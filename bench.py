@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver collect cost). A warmup query first amortizes JVM/codegen startup
+out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from salesdata_engineering_spark.registry import QUERIES  # noqa: E402
+from salesdata_engineering_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "sales_team_mart",
+    "customer_mart",
+    "pricing_summary",
+    "filter_range_revenue",
+    "join_star_enrich",
+    "topk_suppliers_per_nation",
+    "window_running_total",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="salesdata-engine-bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    names += [n for n in QUERIES if n not in names and QUERIES[n].bench]
+
+    force(QUERIES[names[0]].fn(spark, sf_dir))  # warmup: JVM + codegen + FS caches
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(QUERIES[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
