@@ -1,0 +1,277 @@
+"""Deduplication operators over ``documents`` (north-star X1).
+
+Four escalating strategies, all shuffle-shaped for 100 TB:
+
+1. **Exact** — group by content hash, keep min id. One hash-agg shuffle
+   on a 16-byte key; never shuffles document text.
+2. **N-gram Jaccard** — word-shingle inverted index self-join: explode
+   distinct shingles, join on shingle (pairs that share ≥1 shingle),
+   count intersections, filter by exact Jaccard. The join is the
+   standard "candidates-by-postings" plan: skew-prone on stop-shingles,
+   so frequent shingles above ``df_cap`` are dropped (standard
+   prefix-filter trick; at 100 TB pair this with AQE skew-join).
+3. **MinHash + LSH banding** — k salted md5 min-hashes per doc, band
+   into b groups of r, bucket-join on (band, band-signature); candidate
+   pairs verified with exact Jaccard. Shuffle cost: k·docs tiny rows +
+   bucket join — independent of pairwise O(n²).
+4. **SimHash** — 32-bit fingerprint; near-dups = fingerprints within
+   small Hamming distance. Fingerprint build is explode(token) +
+   bit-matrix aggregation; pairing joins on fingerprint (distance 0)
+   here — banded multi-probe at scale.
+
+Everything is deterministic md5-based hashing (:mod:`.hashing`) so the
+DuckDB oracle reproduces results bit-for-bit. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_long
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct content hash.
+
+    Returns (content_hash, keep_id, n_copies) — the dedup *decision*
+    table; join back on id to materialize the deduped corpus."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_array_expr(text_col: str, n: int) -> str:
+    """SQL expr: distinct word n-gram shingle array (no explode)."""
+    sp = f"split({text_col}, '\\\\s+')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({sp}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({sp}, i, {n}))))"
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenize ONCE with posexplode(split), then build each n-gram with
+    window ``lead``s over (id, pos) — the array-expression formulation
+    (transform(sequence, i -> slice(split(text),...))) re-ran the regex
+    split per array element (Catalyst inlines collapsed projections
+    into lambdas without CSE) and dominated runtime. The window shuffle
+    is narrow (id, pos, token) rows and doubles as the parallelism
+    spreader for few-file corpora.
+
+    Edge semantics (must match the oracle's t[i:i+n-1] slicing): docs
+    shorter than n tokens yield one partial shingle — concat_ws skips
+    the NULL leads at pos 0."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = toks.select(
+        "id",
+        "pos",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+        leads[-1].isNotNull().alias("_full"),
+    )
+    return (
+        sh.filter(F.col("_full") | (F.col("pos") == 0))
+        .select("id", "shingle")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle inverted-index join.
+
+    |A∩B| from the self-join on shingle; |A∪B| = |A|+|B|−|A∩B|.
+    ``df_cap`` drops shingles occurring in more than that many docs
+    (skew + quadratic-blowup guard; exact results for corpora where
+    true near-dups share at least one sub-cap shingle)."""
+    sh = word_shingles(df, text_col, id_col, n)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("df") <= df_cap)), "shingle")
+        sh = sh.select("id", "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """k MinHash values per document as rows (id, h, sig).
+
+    sig_h = min over shingles of md5_long(h || ':' || shingle) — the
+    classic k-independent-permutation estimate; P[sig_h(A)=sig_h(B)] =
+    Jaccard(A,B).
+
+    Computed as k ``min()`` aggregates over the exploded shingle rows in
+    ONE groupBy(id): shingles are materialized exactly once (explode),
+    each row computes k codegen'd md5s, and map-side partial mins make
+    the shuffle ~k longs per doc. (Two rejected formulations: crossJoin
+    with range(k) shuffled k·shingles rows; a nested
+    transform(sequence(k), h -> min(transform(shingles, md5)))
+    array-expression recomputed the shingle split per lambda element —
+    Catalyst inlines collapsed projects into lambdas, no CSE — and went
+    interpreted-slow.)"""
+    return (
+        _sig_cols(word_shingles(df, text_col, id_col, n), k)
+        .select(
+            F.col("id").alias(id_col),
+            F.posexplode(F.array(*[F.col(f"sig_{h}") for h in range(k)])).alias("h", "sig"),
+        )
+    )
+
+
+def _sig_cols(sh: DataFrame, k: int) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) — one min-agg per salted hash family."""
+    return sh.groupBy("id").agg(
+        *[F.min(md5_long(F.col("shingle"), h)).alias(f"sig_{h}") for h in range(k)]
+    )
+
+
+def minhash_sig_expr(shingles_expr: str, k: int) -> str:
+    """SQL expr: array of k MinHash values over a shingle-array expr."""
+    return (
+        f"transform(sequence(0, {k - 1}), h -> array_min(transform({shingles_expr}, "
+        f"s -> cast(conv(substr(md5(concat(cast(h as string), ':', s)), 1, 15), 16, 10) as bigint))))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact Jaccard.
+
+    Band r = k/bands consecutive signature values into one md5 bucket
+    key; docs sharing any (band, key) bucket become candidates
+    (P[candidate] ≈ 1−(1−j^r)^b); exact Jaccard then removes false
+    positives. False negatives are inherent to LSH — the oracle mirrors
+    the identical construction, so results still match exactly."""
+    r = k // bands
+    sh_rows = word_shingles(df, text_col, id_col, n)
+    # shingle sets for the verify step come from the same exploded rows
+    # (collect_set), not a second array-expression pass over the text.
+    docs = sh_rows.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    # banding: per-band md5 over the k sig columns (projection only —
+    # the groupBy(id) in _sig_cols is the single shuffle on this path).
+    sig_cols = _sig_cols(sh_rows, k)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(f"sig_{t * r + j}").cast("string") for j in range(r)]))
+            for t in range(bands)
+        ]
+    )
+    banded = sig_cols.select("id", F.posexplode(band_keys).alias("band", "bucket"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard via array_intersect — joins
+    # shingle arrays for the (rare) candidates only, no inverted index.
+    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint (Charikar'02): per token-hash bit, sum ±1
+    weighted by term frequency; fingerprint bit = sign of the sum.
+
+    Explode tokens → hash → per-(doc,bit) contributions via a bit-index
+    array → two-level aggregate. Shuffle carries (doc, bit) partial sums
+    only. Near-dup docs differ in few bits (Hamming ≤ 3 typical)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("hv", md5_long(F.col("tok")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = toks.select(
+        "id",
+        "tf",
+        "hv",
+        bit,
+    ).withColumn(
+        # shiftright() takes a Python int for numBits; expr() for column-bit
+        "c",
+        F.when(F.expr("shiftright(hv, bit) & 1").cast("bigint") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    )
+    bitsums = contrib.groupBy("id", "bit").agg(F.sum("c").alias("s"))
+    fp = bitsums.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+    return fp.select(F.col("id").alias(id_col), "simhash")
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Exact-fingerprint SimHash collisions (Hamming distance 0) — the
+    scalable join is on the fingerprint itself. Banded multi-probe
+    (split fingerprint into 4 bands, join per band, verify Hamming ≤ d)
+    generalizes this to d>0 without pairwise comparison."""
+    fp = simhash(df, text_col, id_col, bits)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("b.simhash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), F.col("a.simhash").alias("simhash"))
+    )

@@ -1,0 +1,232 @@
+"""Similarity search over ``embeddings.embedding`` (north-star X2).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exact baseline: query-set ⨯ corpus
+  nested-loop with the small side broadcast, dot/norms as sequential
+  array folds (bit-identical to the DuckDB oracle's list_dot_product),
+  per-query rank() for top-k. Cost O(|Q|·|C|·d) — right answer for
+  |Q| small; at 100 TB the corpus scan stays one pass, no shuffle
+  beyond the final per-query top-k (tiny).
+- **Random-hyperplane LSH ANN** — sign-bit bucket key from h
+  deterministic pseudo-random hyperplanes (md5-derived components, so
+  the oracle reproduces them); candidates = bucket collisions; exact
+  cosine re-rank inside buckets. Trades recall for a corpus-partition-
+  local join; recall is measured against brute force in tests, and
+  multi-probe (flipping one bit) is the standard recall knob.
+
+Embedding-cosine near-dup detection (X1's embedding variant) falls out
+of the same kernel: pairs with cosine ≥ threshold.
+
+No Python UDFs: folds run in codegen; only the final top-k shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left fold — same FP addition order as the DuckDB
+    oracle's list_reduce/list_dot_product (bit-identical results)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With ``dim`` known, unrolls to an explicit
+    a[0]·b[0] + … + a[d−1]·b[d−1] sum: Spark's higher-order functions
+    (aggregate/zip_with) are CodegenFallback — interpreted per row,
+    ~50x slower — while the unrolled form stays in whole-stage codegen.
+    Left-assoc addition keeps the identical IEEE order as the fold and
+    as DuckDB's list_dot_product, so results stay bit-identical."""
+    if dim is None:
+        return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    s = a.getItem(0) * b.getItem(0)
+    for i in range(1, dim):
+        s = s + a.getItem(i) * b.getItem(i)
+    return s
+
+
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is None:
+        return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+    s = a.getItem(0) * a.getItem(0)
+    for i in range(1, dim):
+        s = s + a.getItem(i) * a.getItem(i)
+    return F.sqrt(s)
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the pair-scan stream side when the source yields
+    fewer partitions than cores (single small parquet locally). A
+    broadcast nested-loop over a 1-partition stream runs in ONE task —
+    this is the difference between 1 and 32 cores on the O(|Q|·|C|)
+    scan. No-op cost at scale: an explicit numPartitions repartition is
+    never AQE-coalesced, so only call when under-partitioned."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = 64,
+) -> DataFrame:
+    """Exact brute-force top-k: for each query vector, the k nearest
+    corpus vectors by cosine (self-matches excluded when ids collide).
+
+    Plan: broadcast(queries) ⨯ corpus → codegen'd unrolled dot per pair
+    (norms precomputed once per vector, not per pair) → row_number per
+    query — the only shuffle is |Q|·|C| narrow rows into the per-query
+    sort, and AQE coalesces it."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col), dim).alias("_qn"),
+    )
+    c = _spread(corpus).select(id_col, vec_col, norm(F.col(vec_col), dim).alias("_cn"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
+    sim = pairs.select(
+        query_id_col,
+        id_col,
+        (dot(F.col(vec_col), F.col("_qvec"), dim) / (F.col("_cn") * F.col("_qn"))).alias("_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    return (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "rk",
+            F.round("_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def hyperplane(dim: int, h: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component list.
+
+    Component d of plane h = (md5_long('h:d') mod 2001 − 1000)/1000 ∈
+    [−1, 1] — reproducible in SQL, no RNG state. (Quality is fine for
+    LSH: components only need symmetric zero-mean spread.)"""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        hv = int(hashlib.md5(f"{h}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((hv % 2001 - 1000) / 1000.0)
+    return out
+
+
+def lsh_bucket_key(vec: Column, planes: list[list[float]], dim: int | None = None) -> Column:
+    """Sign-bit bucket key: bit h = [dot(vec, plane_h) > 0]."""
+    bits = []
+    for h, plane in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in plane])
+        bits.append(F.when(dot(vec, arr, dim) > 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+    return F.concat(*bits)
+
+
+def lsh_bucket_keys(
+    vec: Column, planes: list[list[float]], n_tables: int, bits: int, dim: int | None = None
+) -> Column:
+    """Array of per-table bucket keys (table t uses planes t·bits..t·bits+bits−1)."""
+    return F.array(
+        *[
+            lsh_bucket_key(vec, planes[t * bits : (t + 1) * bits], dim)
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: exact cosine re-rank within LSH bucket collisions.
+
+    Multi-table OR-amplification (the standard recall fix for
+    single-probe LSH): ``n_tables`` independent tables of ``bits`` sign
+    bits each; a corpus vector is a candidate if it collides with the
+    query in ANY table. For bit-collision prob p = 1−θ/π, recall per
+    neighbor is 1−(1−p^bits)^n_tables. Corpus-side cost: a narrow
+    posexplode into n_tables rows, then an equi-join on (table, bucket)
+    — partition-local after one shuffle, never a ⨯-product."""
+    planes = [hyperplane(dim, h) for h in range(n_tables * bits)]
+    # fold-based plane dots (dim=None): the unrolled form here is a
+    # 2048-term expression whose Janino compile alone costs ~25s; the
+    # interpreted fold over |C|+|Q| rows (not per-pair!) is cheaper.
+    keys = lsh_bucket_keys(F.col(vec_col), planes, n_tables, bits, None)
+    ckey = _spread(corpus).select(id_col, vec_col, F.posexplode(keys).alias("tbl", "bucket"))
+    qkey = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("_qvec"),
+        F.posexplode(keys).alias("tbl", "bucket"),
+    )
+    cand = (
+        ckey.join(F.broadcast(qkey), ["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    sim = cand.select(query_id_col, id_col, cosine(F.col(vec_col), F.col("_qvec"), dim).alias("_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    return (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "rk", F.round("_sim", 6).alias("cosine_sim"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (X1 embedding variant).
+
+    Exact all-pairs here (corpus small at test SF); the LSH bucket key
+    above is the scale path — same verify step, bucketed candidates.
+    Norms precomputed per vector; only the unrolled dot runs per pair."""
+    a = _spread(corpus).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col), dim).alias("_na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col), dim).alias("_nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.round("_sim", 6).alias("cosine_sim"))
+    )

@@ -1,0 +1,194 @@
+"""Text-analysis operators over the ``documents`` table (north-star X3).
+
+All operators are pure built-in column expressions — tokenization, ratio
+math, and even the winnowing fingerprint run as array expressions inside
+whole-stage codegen; no Python UDFs, no explode-shuffle unless the
+operator is genuinely per-term (term_frequencies).
+
+The reference has no text surface at all (SURVEY §2.10); these are the
+document-prep operators an LLM-data pipeline needs: token counting,
+language ID, quality scoring, content fingerprinting.
+
+Scale: every per-doc operator is a narrow map — no shuffle, linear scan,
+trivially partition-parallel at 100 TB. ``term_frequencies`` is
+explode + partial-aggregated count (map-side combine keeps the shuffle
+to distinct terms per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small & hardcoded: a heuristic's job is to be
+# deterministic and cheap, not clever. (Public knowledge — these are the
+# most frequent function words of each language.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "que"),
+}
+
+TOKEN_SEP = r"\s+"
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization as an array column (no explode)."""
+    return F.split(F.col(c) if isinstance(c, str) else c, TOKEN_SEP)
+
+
+SQL_TOKENS = "string_split_regex({c}, '\\s+')"
+
+
+def _ratio_in(toks: Column, words: tuple[str, ...]) -> Column:
+    """Fraction of tokens that appear in ``words`` (0 when empty)."""
+    wordlist = F.array(*[F.lit(w) for w in words])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts: total, unique, average token length.
+
+    Whitespace tokens + a BPE-ish sub-token count: alphanumeric runs and
+    single punctuation marks each count as one piece (the usual
+    pre-tokenizer regex), approximating LLM token counts without a
+    vocab file.
+    """
+    t = tokens(text_col)
+    pieces = F.split(F.regexp_replace(F.col(text_col), r"([^\sA-Za-z0-9]|[0-9]+)", r" $1 "), r"\s+")
+    pieces = F.filter(pieces, lambda p: p != F.lit(""))
+    return df.select(
+        id_col,
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x)
+            / F.greatest(F.size(t), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.size(pieces).alias("n_subword_pieces"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language heuristic.
+
+    Scores each language by the fraction of tokens in its stopword list;
+    predicts the argmax if its ratio ≥ 0.02, else 'und' (undetermined).
+    Ties break by language code order (deterministic). Structured as a
+    single codegen'd expression — no shuffle."""
+    t = tokens(text_col)
+    ratios = {lang: F.round(_ratio_in(t, words), 6) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*ratios.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when((best >= 0.02) & (ratios[lang] == best), lang).otherwise(pred)
+    return df.select(
+        id_col,
+        *[r.alias(f"ratio_{lang}") for lang, r in ratios.items()],
+        pred.alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document quality heuristics: length, punctuation ratio, stopword
+    ratio, mean word length — combined into one [0,1] score.
+
+    score = 0.4·min(n_tokens/50, 1) + 0.3·(1 − punct_ratio)
+          + 0.2·min(stop_ratio/0.1, 1) + 0.1·len_ok
+    (len_ok: mean token length in the natural-language 3..8 band).
+    """
+    t = tokens(text_col)
+    n_tok = F.greatest(F.size(t), F.lit(1))
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    )
+    stop_ratio = _ratio_in(t, LANG_STOPWORDS["en"])
+    mean_len = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x) / n_tok
+    len_ok = F.when((mean_len >= 3) & (mean_len <= 8), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.size(t) / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(stop_ratio / F.lit(0.1), F.lit(1.0))
+        + F.lit(0.1) * len_ok
+    )
+    return df.select(
+        id_col,
+        F.size(t).alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03).
+
+    Hash every char ``k``-gram (rolling-hash equivalent via md5_long),
+    take the min in each sliding window of ``w`` hashes, and keep the
+    distinct minima — the document's fingerprint set. Near-identical
+    documents share most fingerprints. Output: fingerprint count + a
+    stable digest (md5 of the sorted minima) for exact-set comparison.
+
+    Implemented as posexplode(gram positions) + a rows-frame window min
+    + collect_set — each k-gram is hashed exactly once. (The pure
+    array-expression form — transform(sequence, j -> array_min(slice(
+    grams, j, w))) — inlines and re-evaluates the whole gram array per
+    window position: O(len²) md5s. Catalyst does not CSE across lambda
+    boundaries; don't go back to it.)
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(f"sequence(1, greatest(length({text_col}) - {k - 1}, 1))")).alias(
+            "ord", "i"
+        ),
+        F.col(text_col).alias("_t"),
+    ).select(
+        "id",
+        "i",
+        F.conv(F.substring(F.md5(F.expr(f"substring(_t, i, {k})")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("g"),
+    )
+    win = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    n_win = Window.partitionBy("id")
+    mins = grams.select(
+        "id",
+        "i",
+        F.min("g").over(win).alias("m"),
+        F.count("*").over(n_win).alias("_n"),
+    ).filter(F.col("i") <= F.greatest(F.col("_n") - (w - 1), F.lit(1)))
+    fp = mins.groupBy("id").agg(F.sort_array(F.collect_set("m")).alias("fp"))
+    return fp.select(
+        F.col("id").alias(id_col),
+        F.size("fp").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.transform("fp", lambda x: x.cast("string")))).alias("fingerprint"),
+    )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Corpus-level term frequencies, top-N by count (explode + count).
+
+    Map-side combine makes the shuffle proportional to distinct terms,
+    not tokens; top-N is TakeOrderedAndProject (no global sort)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(top_n)
+    )

@@ -571,3 +571,8 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
     )
+
+
+# Extension operators (text/dedup/similarity — SURVEY §2.11 + north star)
+# register themselves on import; keep this import last.
+from . import registry_ext  # noqa: E402,F401  (registration side effect)

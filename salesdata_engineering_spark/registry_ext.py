@@ -1,0 +1,445 @@
+"""Registry entries for the extension operators (text / dedup / similarity).
+
+Every oracle here MIRRORS the Spark implementation's deterministic
+construction (md5-based hashing, sequential float folds) rather than
+asserting some independent ground truth — that is the point: the same
+algorithm, expressed twice (PySpark vs ANSI/DuckDB SQL), must agree
+bit-for-bit. See registry.py's cross-engine exactness rules.
+
+DuckDB↔Spark equivalences used throughout (probed, exact):
+- ``('0x'||substr(md5(x),1,15))::BIGINT`` == ``conv(substr(md5(x),1,15),16,10)``
+- ``list_dot_product(a,b)`` == sequential ``F.aggregate(zip_with(a,b,*),0.0,+)``
+  (same left-to-right IEEE order)
+- ``l[i:j]`` (inclusive) == ``slice(l, i, j-i+1)``
+- ``h // r`` == ``floor(h / r)`` (never cast(double as int): Spark
+  truncates, DuckDB rounds)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datasets import load_tables
+from .ext.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .ext.similarity import cosine_topk, embedding_near_dup_pairs, hyperplane, lsh_ann_topk
+from .ext.text import (
+    LANG_STOPWORDS,
+    lang_id,
+    quality_score,
+    term_frequencies,
+    token_stats,
+    winnow_fingerprint,
+)
+from .registry import register
+
+SQL_TOKENS = r"string_split_regex(text, '\s+')"
+SQL_HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+# ---------------------------------------------------------------------------
+# X3 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH sp AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_unique_tokens,
+           round(list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
+                 / greatest(len(t), 1), 6) AS avg_token_len,
+           len(list_filter(string_split_regex(
+                   regexp_replace(text, '([^\\sA-Za-z0-9]|[0-9]+)', ' \\1 ', 'g'),
+                   '\\s+'), p -> p <> '')) AS n_subword_pieces
+    FROM sp
+    """,
+    doc="X3 token counting: whitespace tokens + BPE-ish piece count "
+    "(pre-tokenizer regex), all codegen'd array expressions.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _sql_ratio(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"round(len(list_filter(t, x -> list_contains([{lst}], x))) / greatest(len(t), 1), 6)"
+
+
+_LANG_RATIOS = ",\n           ".join(
+    f"{_sql_ratio(words)} AS ratio_{lang}" for lang, words in LANG_STOPWORDS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"ratio_{lang}" for lang in LANG_STOPWORDS) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_LANG_BEST} >= 0.02 AND ratio_{lang} = {_LANG_BEST} THEN '{lang}'"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH sp AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+    r AS (SELECT doc_id,
+           {_LANG_RATIOS}
+    FROM sp)
+    SELECT doc_id, ratio_en, ratio_de, ratio_es, ratio_fr,
+           {_LANG_CASE} AS lang_pred
+    FROM r
+    """,
+    doc="X3 language-ID heuristic: per-language stopword-hit ratio, argmax "
+    "with deterministic tie-break, 'und' under 2% evidence.",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH sp AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
+    m AS (SELECT doc_id,
+           len(t) AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1) AS punct_ratio,
+           len(list_filter(t, x -> list_contains([{_EN}], x)))
+             / greatest(len(t), 1) AS stop_ratio,
+           list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
+             / greatest(len(t), 1) AS mean_len
+    FROM sp)
+    SELECT doc_id, n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(mean_len, 6) AS mean_token_len,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * least(stop_ratio / 0.1, 1.0)
+                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
+                 6) AS quality
+    FROM m
+    """,
+    doc="X3 quality scoring: length/punctuation/stopword/word-length "
+    "heuristics folded into one [0,1] score.",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+_WINNOW_GRAMS = (
+    "list_transform(generate_series(1, greatest(length(text) - 7, 1)), "
+    "i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT)"
+)
+
+
+@register(
+    "text_winnow_fingerprint",
+    f"""
+    WITH g AS (SELECT doc_id, {_WINNOW_GRAMS} AS grams FROM documents),
+    m AS (SELECT doc_id,
+           list_sort(list_distinct(
+               list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
+                              j -> list_min(grams[j:j+3])))) AS fp
+    FROM g)
+    SELECT doc_id, len(fp) AS n_fingerprints,
+           md5(array_to_string(list_transform(fp, x -> x::VARCHAR), ',')) AS fingerprint
+    FROM m
+    """,
+    doc="X3 winnowing fingerprint (Schleimer et al. SIGMOD'03): char-8-gram "
+    "hashes, window-4 minima, distinct-set digest. One array expression "
+    "per row — no explode, no shuffle.",
+)
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprint(_docs(spark, sf_dir), k=8, w=4)
+
+
+@register(
+    "text_term_frequencies",
+    f"""
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest({SQL_TOKENS}) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term ORDER BY n DESC, term LIMIT 20
+    """,
+    doc="X3 corpus term frequencies: explode + map-side-combined count + "
+    "top-N (TakeOrderedAndProject).",
+)
+def q_text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_frequencies(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X1 — deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="X1 exact dedup: hash-groupBy on content digest, min-id survivor. "
+    "Shuffles 16-byte keys, never document text.",
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _sql_shingles(n: int) -> str:
+    return f"""
+    sp AS (SELECT doc_id AS id, {SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - {n - 1}, 1)),
+                              i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+           FROM sp),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_sql_shingles(3)},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+    """,
+    doc="X1 n-gram Jaccard near-dup: word-3-gram inverted-index self-join, "
+    "exact Jaccard ≥ 0.6. Finds the corpus's planted near-duplicates.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+
+
+_MINHASH_K, _MINHASH_BANDS = 16, 4
+
+
+def _sql_minhash_sigs(k: int, n: int) -> str:
+    hashed = SQL_HASH60.format(x="h.h::VARCHAR || ':' || sh.shingle")
+    return f"""
+    {_sql_shingles(n)},
+    hs AS (SELECT unnest(generate_series(0, {k - 1})) AS h),
+    sigs AS (
+        SELECT sh.id, h.h, min({hashed}) AS sig
+        FROM sh, hs h GROUP BY sh.id, h.h
+    )
+    """
+
+
+@register(
+    "dedup_minhash_sigs",
+    f"""
+    WITH {_sql_minhash_sigs(_MINHASH_K, 3)}
+    SELECT id AS doc_id, h, sig FROM sigs
+    """,
+    doc="X1 MinHash signatures: k=16 salted-md5 min-hashes over word-3-gram "
+    "shingles; P[sig_h(A)=sig_h(B)] = Jaccard(A,B).",
+)
+def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir), k=_MINHASH_K, n=3)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_sql_minhash_sigs(_MINHASH_K, 3)},
+    banded AS (
+        SELECT id, h // {_MINHASH_K // _MINHASH_BANDS} AS band,
+               md5(string_agg(sig::VARCHAR, ',' ORDER BY h)) AS bucket
+        FROM sigs GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    ),
+    inter AS (
+        SELECT id_a, id_b, count(*) AS n_inter
+        FROM cand JOIN sh a ON id_a = a.id
+                  JOIN sh b ON id_b = b.id AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+    """,
+    doc="X1 MinHash-LSH: k=16 sigs banded 4×4 into md5 buckets; bucket-join "
+    "candidates verified with exact Jaccard ≥ 0.6. The scale path: cost "
+    "tracks docs, not pairs.",
+    bench=True,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=_MINHASH_K, bands=_MINHASH_BANDS, n=3, threshold=0.6
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, term AS tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT id, b.bit,
+               CASE WHEN ({SQL_HASH60.format(x='tok')} >> b.bit) & 1 = 1
+                    THEN tf ELSE -tf END AS c
+        FROM toks, (SELECT unnest(generate_series(0, 31)) AS bit) b
+    ),
+    bitsums AS (SELECT id, bit, sum(c) AS s FROM contrib GROUP BY 1, 2)
+    SELECT id AS doc_id,
+           sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+    FROM bitsums GROUP BY 1
+    """,
+    doc="X1 SimHash (Charikar'02): 32-bit tf-weighted sign fingerprint; "
+    "near-dups differ in few bits. Shuffle carries (doc,bit) partials only.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+# ---------------------------------------------------------------------------
+# X2 — similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _queries_subset(emb: DataFrame, n: int = 10) -> DataFrame:
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT query_id, vec_id,
+               {_SQL_COSINE.format(a="v", b="qv")} AS s
+        FROM c, q WHERE vec_id <> query_id
+    ),
+    rk AS (SELECT query_id, vec_id, s,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM sims)
+    SELECT query_id, vec_id AS neighbor_id, rk, round(s, 6) AS cosine_sim
+    FROM rk WHERE rk <= 5
+    """,
+    doc="X2 exact brute-force cosine top-5 for 10 query vectors: "
+    "broadcast(Q) ⨯ corpus, codegen'd folds, per-query row_number.",
+    bench=True,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return cosine_topk(corpus, _queries_subset(corpus), k=5)
+
+
+_N_TABLES, _BITS, _DIM = 8, 4, 64
+_PLANES_SQL = ", ".join(
+    "[" + ", ".join(repr(c) for c in hyperplane(_DIM, h)) + "]"
+    for h in range(_N_TABLES * _BITS)
+)
+_BUCKET_BITS_SQL = ", ".join(
+    f"CASE WHEN list_dot_product(embedding::DOUBLE[], p.planes[t*{_BITS}+{h + 1}]) > 0"
+    " THEN '1' ELSE '0' END"
+    for h in range(_BITS)
+)
+_BUCKETS_SQL = (
+    f"list_transform(generate_series(0, {_N_TABLES - 1}), "
+    f"t -> struct_pack(tbl := t, b := concat({_BUCKET_BITS_SQL})))"
+)
+
+
+@register(
+    "sim_lsh_ann_topk",
+    f"""
+    WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
+    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+           FROM embeddings, p),
+    c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
+          FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
+    q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
+          FROM (SELECT vec_id, unnest(buckets) AS u FROM c0 WHERE vec_id < 10)),
+    cand AS (
+        SELECT DISTINCT query_id, vec_id
+        FROM c JOIN q USING (tbl, bucket) WHERE vec_id <> query_id
+    ),
+    sims AS (
+        SELECT cand.query_id, cand.vec_id,
+               {_SQL_COSINE.format(a="cv.v", b="qv.v")} AS s
+        FROM cand JOIN c0 cv ON cand.vec_id = cv.vec_id
+                  JOIN c0 qv ON cand.query_id = qv.vec_id
+    ),
+    rk AS (SELECT query_id, vec_id, s,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM sims)
+    SELECT query_id, vec_id AS neighbor_id, rk, round(s, 6) AS cosine_sim
+    FROM rk WHERE rk <= 5
+    """,
+    doc="X2 LSH ANN with OR-amplification: 8 tables × 4 sign-bit "
+    "hyperplanes, candidates = bucket collision in ANY table, exact cosine "
+    "re-rank. Recall vs brute force measured in tests.",
+)
+def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return lsh_ann_topk(
+        corpus, _queries_subset(corpus), k=5, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
+    )
+
+
+@register(
+    "sim_embedding_near_dup",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_SQL_COSINE.format(a="a.v", b="b.v")}, 6) AS cosine_sim
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COSINE.format(a="a.v", b="b.v")} >= 0.4
+    """,
+    doc="X1/X2 embedding-cosine near-dup pairs (threshold 0.4 — demo value; "
+    "0.95+ in production). Exact all-pairs at test SF; LSH buckets are the "
+    "scale path.",
+)
+def q_sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return embedding_near_dup_pairs(emb, threshold=0.4)

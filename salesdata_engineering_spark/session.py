@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE keep small shuffles wide enough to use every core:
+        # the 1 MiB default floor coalesces CPU-bound stages over small
+        # inputs down to 1-2 tasks. At scale the 64 MiB advisory target
+        # governs; this floor only binds on small/local data.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)

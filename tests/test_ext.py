@@ -1,0 +1,96 @@
+"""Semantic tests for the extension operators (beyond oracle parity):
+do the dedup strategies actually FIND the corpus's planted near-dups,
+and does ANN recall hold up against brute force?"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesdata_engineering_spark.ext.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from salesdata_engineering_spark.ext.similarity import cosine_topk, lsh_ann_topk
+from salesdata_engineering_spark.ext.text import winnow_fingerprint
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+@pytest.fixture(scope="module")
+def embs(tables):
+    return tables["embeddings"].withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+def test_ngram_jaccard_finds_planted_dups(docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    assert len(pairs) > 0, "corpus has planted near-dups; none found"
+    assert all(0.6 <= r.jaccard <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates verified by exact Jaccard must recover nearly all
+    true high-similarity pairs (k=16, b=4, r=4 → P[cand] ≈ 1 at j≥0.8)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, k=16, bands=4, n=3, threshold=0.8).collect()}
+    assert lsh <= exact, "LSH+verify must never emit a below-threshold pair"
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9 ({len(lsh)}/{len(exact)})"
+
+
+def test_exact_dedup_idempotent(docs):
+    d = exact_dedup(docs)
+    assert d.count() == d.select("content_hash").distinct().count()
+    # corpus has no byte-identical copies → every hash keeps exactly 1
+    assert d.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_winnow_fingerprint_identical_for_identical_text(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "an entirely different sentence about spark engines")],
+        "doc_id int, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in winnow_fingerprint(df).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engine shuffle partition join aggregate window"),
+         (2, "spark engine shuffle partition join aggregate window extra"),
+         (3, "completely unrelated words about cooking pasta tonight")],
+        "doc_id int, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_lsh_ann_recall_vs_brute_force(embs):
+    queries = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(embs, queries, k=5, n_tables=8, bits=4, dim=64).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    # 8 tables × 4 bits OR-amplification; p=1−θ/π per bit → expected
+    # per-neighbor recall ≈ 1−(1−p⁴)⁸ ≈ 0.8+ for the top-5 band here.
+    assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
+    assert len(ann) > 0
