@@ -576,3 +576,4 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension operators (text/dedup/similarity — SURVEY §2.11 + north star)
 # register themselves on import; keep this import last.
 from . import registry_ext  # noqa: E402,F401  (registration side effect)
+from . import registry_events  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,174 @@
+"""Registry entries for event-time windows and Structured Streaming.
+
+The window operators run the SAME DataFrame transform in batch and
+streaming plans; `stream_tumbling_counts` actually executes a streaming
+query (file source → watermark → windowed agg → AvailableNow drain into
+a memory sink) and hands the driver the sink as a batch DataFrame — so
+even the streaming path is oracle-checked.
+
+Oracle timestamp rule: DuckDB's to_timestamp() yields TIMESTAMPTZ
+(renders with +00:00, breaking the canonical compare); make_timestamp
+(microseconds) yields naive UTC exactly like Spark's session-UTC
+timestamps.
+
+Money/value rule: events.value is a 2-decimal double; SUM in
+DECIMAL(12,2) (exact, order-independent) and cast out to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datasets import load_tables
+from .registry import register
+from .streaming.runner import read_events_stream, run_to_completion
+from .streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+_VAL = "CAST(value AS DECIMAL(12,2))"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+def _dec_val() -> F.Column:
+    return F.col("value").cast("decimal(12,2)")
+
+
+@register(
+    "events_tumbling_counts",
+    f"""
+    SELECT make_timestamp((floor(epoch(ts)/600)::BIGINT * 600) * 1000000) AS window_start,
+           make_timestamp(((floor(epoch(ts)/600)::BIGINT + 1) * 600) * 1000000) AS window_end,
+           event_type,
+           count(*) AS n,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 10-minute event-time windows per event_type "
+    "(engine extension; SURVEY §2.9 — reference has no streaming/window surface).",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tumbling_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        n=F.count("*"),
+        sum_value=F.sum(_dec_val()).cast("double"),
+    )
+    return out
+
+
+@register(
+    "events_sliding_avg",
+    f"""
+    SELECT make_timestamp(((floor(epoch(ts)/300)::BIGINT - k.k) * 300) * 1000000) AS window_start,
+           make_timestamp((((floor(epoch(ts)/300)::BIGINT - k.k) + 2) * 300) * 1000000) AS window_end,
+           count(*) AS n,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1, 2
+    """,
+    doc="Sliding windows (10-minute length, 5-minute slide): every event "
+    "lands in exactly 2 windows; oracle derives both starts arithmetically.",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "10 minutes",
+        "5 minutes",
+        [],
+        n=F.count("*"),
+        sum_value=F.sum(_dec_val()).cast("double"),
+    )
+
+
+_GAP_S = 6 * 3600
+
+
+@register(
+    "events_session_windows",
+    f"""
+    WITH lagd AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    flag AS (
+        SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= {_GAP_S}
+                       THEN 1 ELSE 0 END AS new_s
+        FROM lagd
+    ),
+    isl AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 6 HOUR AS session_end,
+           user_id,
+           count(*) AS n_events,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
+    FROM isl GROUP BY user_id, sid
+    """,
+    doc="Per-user session windows (6h inactivity gap) via native "
+    "session_window; the oracle proves equivalence to the gaps-and-islands "
+    "rewrite. Session end = last event + gap (half-open: an event exactly "
+    "gap later starts a NEW session — hence >= in the oracle).",
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "6 hours",
+        ["user_id"],
+        n_events=F.count("*"),
+        sum_value=F.sum(_dec_val()).cast("double"),
+    )
+
+
+@register(
+    "events_type_stats",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value,
+           round(CAST(SUM({_VAL}) AS DOUBLE) / count(*), 6) AS avg_value,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY 1
+    """,
+    doc="Per-type event stats (count/sum/avg/min/max on the stream table).",
+)
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec_val()).cast("double").alias("sum_value"),
+        F.round(F.sum(_dec_val()).cast("double") / F.count("*"), 6).alias("avg_value"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    f"""
+    SELECT make_timestamp((floor(epoch(ts)/600)::BIGINT * 600) * 1000000) AS window_start,
+           make_timestamp(((floor(epoch(ts)/600)::BIGINT + 1) * 600) * 1000000) AS window_end,
+           event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="REAL Structured Streaming run: file source (readStream) → "
+    "1-hour watermark → tumbling window count → Trigger.AvailableNow "
+    "drain → memory sink returned as a batch frame. Unified semantics "
+    "make the result equal the batch oracle.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = tumbling_agg(stream, "ts", "10 minutes", ["event_type"], n=F.count("*"))
+    return run_to_completion(agg, output_mode="complete")

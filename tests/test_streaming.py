@@ -1,0 +1,137 @@
+"""Structured Streaming behavior tests: micro-batch file ordering,
+watermark late-data eviction, streaming dedup state, and foreachBatch
+reuse of batch writers — the semantics a registry oracle can't capture."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from salesdata_engineering_spark.streaming.runner import (
+    foreach_batch_pipeline,
+    run_to_completion,
+)
+from salesdata_engineering_spark.streaming.windows import tumbling_agg
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_file(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _read_stream(spark, root):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{root}/batch_*")
+    )
+
+
+TS = "2024-01-01 {h:02d}:{m:02d}:00"
+
+
+def _ts(h, m=0):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def three_batches(spark, tmp_path):
+    """batch_0: 10:00/10:20 events (+11:00 → watermark 10:30 after it).
+    batch_1: 12:00 event → 10:xx windows emit+evict (watermark 11:30).
+    batch_2: a 10:05 straggler arriving AFTER its window was finalized —
+    the watermark contract guarantees this one is dropped.
+
+    (A late row whose window is merely *older than the watermark* but
+    still in state MAY legally be aggregated — Spark's watermark is an
+    eviction bound, not a strict input filter — so the test provokes
+    the guaranteed case: state already evicted.)"""
+    import time
+
+    root = str(tmp_path)
+    _write_file(
+        spark,
+        [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 20), 1, 1.0), (3, _ts(11, 0), 2, 1.0)],
+        f"{root}/batch_0",
+    )
+    time.sleep(1.1)  # distinct mtimes → deterministic oldest-first order
+    _write_file(spark, [(4, _ts(12, 0), 2, 1.0)], f"{root}/batch_1")
+    time.sleep(1.1)
+    _write_file(spark, [(5, _ts(10, 5), 9, 1.0)], f"{root}/batch_2")  # straggler
+    return root
+
+
+def test_watermark_drops_late_data_after_eviction(spark, three_batches):
+    stream = _read_stream(spark, three_batches).withWatermark("ts", "30 minutes")
+    agg = tumbling_agg(stream, "ts", "10 minutes", [], n=F.count("*"))
+    out = run_to_completion(agg, output_mode="append").collect()
+    by_window = {r.window_start.strftime("%H:%M"): r.n for r in out}
+    # 10:00 window finalized with ONLY the on-time event; the batch_2
+    # straggler must not re-open or re-emit it.
+    assert by_window.get("10:00") == 1 and by_window.get("10:20") == 1
+    assert sum(by_window.values()) <= 4  # straggler never counted
+
+
+def test_streaming_dropduplicates_across_batches(spark, tmp_path):
+    root = str(tmp_path)
+    _write_file(spark, [(1, _ts(10), 1, 1.0), (2, _ts(10, 5), 1, 1.0)], f"{root}/batch_0")
+    _write_file(spark, [(2, _ts(10, 5), 1, 1.0), (3, _ts(10, 6), 1, 1.0)], f"{root}/batch_1")
+    stream = _read_stream(spark, root).withWatermark("ts", "1 hour")
+    dedup = stream.dropDuplicates(["event_id"])
+    out = run_to_completion(dedup, output_mode="append")
+    ids = sorted(r.event_id for r in out.collect())
+    # event 2 re-arrives in batch_1; state dedups it across micro-batches
+    assert ids == [1, 2, 3]
+
+
+def test_foreach_batch_reuses_batch_writer(spark, tmp_path):
+    root = str(tmp_path)
+    _write_file(spark, [(1, _ts(10), 1, 2.0)], f"{root}/batch_0")
+    _write_file(spark, [(2, _ts(11), 2, 3.0)], f"{root}/batch_1")
+    out_dir = f"{root}/out"
+    seen_batches = []
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        seen_batches.append(epoch_id)
+        df.withColumn("doubled", F.col("value") * 2).write.mode("append").parquet(out_dir)
+
+    q = foreach_batch_pipeline(
+        _read_stream(spark, root), write_batch, checkpoint=f"{root}/ckpt"
+    )
+    q.awaitTermination()
+    assert len(seen_batches) >= 2  # maxFilesPerTrigger=1 → one batch per file
+    got = spark.read.parquet(out_dir).orderBy("event_id").collect()
+    assert [(r.event_id, r.doubled) for r in got] == [(1, 4.0), (2, 6.0)]
+
+
+def test_checkpoint_resume_skips_processed_files(spark, tmp_path):
+    """The checkpoint is the file-processing ledger (reference parity:
+    product_staging_table A/I statuses, main.py:39-49) — a restarted
+    query must not reprocess already-committed files."""
+    root = str(tmp_path)
+    _write_file(spark, [(1, _ts(10), 1, 1.0)], f"{root}/batch_0")
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def sink(df: DataFrame, _e: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    foreach_batch_pipeline(_read_stream(spark, root), sink, checkpoint=ckpt).awaitTermination()
+    # new file lands; restart with the SAME checkpoint
+    _write_file(spark, [(2, _ts(11), 1, 1.0)], f"{root}/batch_1")
+    foreach_batch_pipeline(_read_stream(spark, root), sink, checkpoint=ckpt).awaitTermination()
+    ids = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
+    assert ids == [1, 2]  # file 1 processed exactly once despite restart
