@@ -1,0 +1,121 @@
+"""Multimodal (image/audio/video) column support (north-star extension).
+
+Design: media is an opaque ``binary`` column + typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+Pandas functions under ``mapInPandas`` — the standard shape for Python
+per-item compute in a Spark plan (vectorized transfer, no per-row
+pickling). Real codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container, so the decode kernels are STUBS:
+
+- ``decode_media`` raises NotImplementedError (clearly marked seam
+  where a real codec plugs in), and
+- ``fake_decode_features`` is a deterministic md5-based stand-in that
+  exercises the identical Spark-side plumbing (schema, batching,
+  partitioning) and is cross-checkable in DuckDB.
+
+Scale notes: media rows are large and skew-prone — keep binary columns
+OUT of shuffles (derive features first, then drop the payload), size
+``spark.sql.files.maxPartitionBytes`` so one task holds a few hundred
+items, and ``repartition`` before mapInPandas when the source is a few
+giant files. maxRecordsPerBatch bounds Arrow batch memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_media(payload: bytes, kind: str):  # pragma: no cover - stub
+    """REAL-CODEC SEAM. Decode bytes into pixels/samples/frames.
+
+    Plug in PIL / soundfile / pyav here in a real deployment; this
+    container ships no media libraries."""
+    raise NotImplementedError(
+        f"no codec for kind={kind!r} in this environment; "
+        "wire a real decoder (PIL/ffmpeg) into decode_media()"
+    )
+
+
+def fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in 'embedding': dim doubles derived from the
+    md5 of the payload — exercises the exact plumbing a real encoder
+    would (bytes in, float vector out), reproducible cross-engine."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{i}:".encode() + payload).hexdigest()[:15]
+        out.append((int(h, 16) % 2001 - 1000) / 1000.0)
+    return out
+
+
+def featurize(df: DataFrame, dim: int = 8, batch_size: int = 256) -> DataFrame:
+    """mapInPandas feature extraction over MEDIA_SCHEMA rows.
+
+    One Arrow batch in, one out; the binary payload never survives past
+    this operator (features replace it), so downstream shuffles stay
+    narrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "digest": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+                    "features": pdf["payload"].map(lambda b: fake_decode_features(b, dim)),
+                }
+            )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp (decode stubbed). Shows the explode-shaped plumbing: rows
+    multiply by duration/every_ms BEFORE the (stubbed) per-frame decode,
+    so frame work parallelizes across tasks."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(F.sequence(F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)), F.lit(every_ms))),
+        )
+        .select("media_id", "frame_ts_ms", "payload", "meta")
+    )

@@ -1,0 +1,59 @@
+"""Sinks (SURVEY §2.1 S4-S6) and layout helpers.
+
+Parity targets in /root/reference:
+- S4 plain overwrite parquet: src/main/write/parquet_writer.py:8-19
+- S5 partitioned parquet (sales_month, store_id): main.py:260-261 —
+  the layout that makes month/store predicates prune at read time
+- S6 JDBC append: src/main/write/database_write.py:8-17 — kept as an
+  optional adapter; the engine's default serving copy is parquet.
+
+Scale notes: partitionBy writes one directory per key combo — keep the
+leading partition column low-cardinality (months), bucket the
+high-cardinality co-location key instead. ``write_bucketed`` gives the
+shuffle-free join layout (saveAsTable required: bucket metadata lives
+in the catalog).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4 — plain parquet sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_by: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """S5 — partitioned layout; equality/IN predicates on the partition
+    columns prune directories at read time (verified in tests via the
+    scan's PartitionFilters)."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: co-locates join/agg keys so repeated
+    joins on ``bucket_by`` skip the shuffle entirely (engine extension;
+    the 100 TB answer to the reference's every-run re-shuffle)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, properties: dict[str, str], mode: str = "append") -> None:
+    """S6 — JDBC adapter (optional; parity with database_write.py:8-17).
+    Executors write partitions concurrently; size partitions so the
+    target DB survives the fan-in."""
+    df.write.jdbc(url, table, mode=mode, properties=properties)

@@ -577,3 +577,4 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # register themselves on import; keep this import last.
 from . import registry_ext  # noqa: E402,F401  (registration side effect)
 from . import registry_events  # noqa: E402,F401  (registration side effect)
+from . import registry_scalar  # noqa: E402,F401  (registration side effect)

@@ -443,3 +443,45 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
     return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload → mapInPandas featurize), oracle-checked
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_featurize",
+    """
+    SELECT doc_id AS media_id,
+           strlen(text) AS n_bytes,
+           md5(text) AS digest,
+           (('0x'||substr(md5('0:' || text),1,15))::BIGINT % 2001 - 1000)/1000.0 AS f0,
+           (('0x'||substr(md5('1:' || text),1,15))::BIGINT % 2001 - 1000)/1000.0 AS f1,
+           (('0x'||substr(md5('2:' || text),1,15))::BIGINT % 2001 - 1000)/1000.0 AS f2,
+           (('0x'||substr(md5('3:' || text),1,15))::BIGINT % 2001 - 1000)/1000.0 AS f3
+    FROM documents
+    """,
+    doc="Multimodal plumbing end-to-end: binary payloads (document text "
+    "encoded to bytes as stand-in media) through the Arrow-batched "
+    "mapInPandas featurizer; the deterministic stub features + digest are "
+    "reproduced by the oracle. Real codecs plug into decode_media().",
+)
+def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.multimodal import featurize
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:int>")
+        .alias("meta"),
+    )
+    feats = featurize(media, dim=4)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "digest",
+        *[F.col("features").getItem(i).alias(f"f{i}") for i in range(4)],
+    )

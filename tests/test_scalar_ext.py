@@ -1,0 +1,31 @@
+"""Checks for operators without value oracles (sketches) and dialect
+equivalences worth pinning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from salesdata_engineering_spark.registry import QUERIES
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir, tables):
+    got = {r.l_returnflag: r.approx_orders for r in QUERIES["approx_count_distinct"].fn(spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: r.n
+        for r in tables["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        rel_err = abs(got[flag] - n) / n
+        assert rel_err < 0.05, f"{flag}: approx {got[flag]} vs exact {n} ({rel_err:.2%})"
+
+
+def test_month_substring_equals_date_format(spark, tables):
+    """F1 hard-part pinned: substring(date_str,1,7) ≡ date_format(ts,'yyyy-MM')."""
+    o = tables["orders"].select(
+        F.substring(F.date_format("o_orderdate", "yyyy-MM-dd"), 1, 7).alias("a"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("b"),
+    )
+    assert o.filter(F.col("a") != F.col("b")).count() == 0
