@@ -190,19 +190,20 @@ def minhash_lsh_pairs(
     the identical construction, so results still match exactly."""
     r = k // bands
     sh_rows = word_shingles(df, text_col, id_col, n)
-    # shingle sets for the verify step come from the same exploded rows
-    # (collect_set), not a second array-expression pass over the text.
-    docs = sh_rows.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
-    # banding: per-band md5 over the k sig columns (projection only —
-    # the groupBy(id) in _sig_cols is the single shuffle on this path).
-    sig_cols = _sig_cols(sh_rows, k)
+    # ONE groupBy(id) computes both the k min-hash sigs and the shingle
+    # set (verify input) — one shuffle, one pass over the shingle rows;
+    # identical subplans downstream then hit AQE's exchange reuse.
+    docs = sh_rows.groupBy("id").agg(
+        F.collect_set("shingle").alias("sh"),
+        *[F.min(md5_long(F.col("shingle"), h)).alias(f"sig_{h}") for h in range(k)],
+    )
     band_keys = F.array(
         *[
             F.md5(F.concat_ws(",", *[F.col(f"sig_{t * r + j}").cast("string") for j in range(r)]))
             for t in range(bands)
         ]
     )
-    banded = sig_cols.select("id", F.posexplode(band_keys).alias("band", "bucket"))
+    banded = docs.select("id", F.posexplode(band_keys).alias("band", "bucket"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))

@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the optimizations the 100 TB design relies
+on must be visible in the executed/optimized plans, not assumed.
+(`explain` checks per the SURVEY build plan step 11: pushdown, pruning,
+broadcast, partial aggregation, top-k without a global sort.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesdata_engineering_spark.registry import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filters_push_to_parquet_scan(spark, sf_dir):
+    """Q6-shaped predicate stack: every comparison must reach the scan
+    as PushedFilters, and the scan must read only the needed columns."""
+    df = QUERIES["filter_range_revenue"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_returnflag" not in schema, f"column pruning failed: {schema}"
+
+
+def test_star_join_uses_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["join_star_enrich"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # tiny dims must never sort-merge
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    """groupBy must plan a map-side partial HashAggregate before the
+    exchange — the reason the engine rewrites the reference's
+    window+distinct shape (SURVEY §4)."""
+    plan = plan_of(QUERIES["pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["global_topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(QUERIES["join_semi_customers_with_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_mart_pipeline_shuffles_aggregated_rows_only(spark, sf_dir):
+    """The rank window must re-shuffle the AGGREGATED frame (group
+    cardinality), not the raw fact: exactly one exchange below the
+    aggregate, windows above it."""
+    plan = plan_of(QUERIES["sales_team_mart"].fn(spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan
+    win_part = plan.index("Window")
+    # the aggregate (and its partial half) sit below the window op
+    assert "HashAggregate" in plan[win_part:]
+
+
+def test_whole_stage_codegen_covers_scan_filter_agg(spark, sf_dir):
+    df = QUERIES["filter_range_revenue"].fn(spark, sf_dir)
+    df.collect()  # AQE: codegen spans appear once the plan is finalized
+    plan = plan_of(df)
+    # AQE final plans mark whole-stage-codegen stages with "*(n)"
+    assert "isFinalPlan=true" in plan and "*(1)" in plan
+
+
+def test_dimension_prune_pushes_into_scan(spark, tables):
+    """Column pruning: selecting 2 of 11 lineitem columns must shrink
+    ReadSchema to exactly those."""
+    df = tables["lineitem"].select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema
