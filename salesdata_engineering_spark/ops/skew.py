@@ -1,0 +1,46 @@
+"""Skew-mitigation operators (SURVEY §4 'skew handling' row).
+
+AQE's skew-join splitting handles join-side skew automatically; for
+AGGREGATION skew (a handful of hot group keys — the reference's data
+has 20 customers, so every key is hot at scale) the standard recipe is
+two-phase salted aggregation:
+
+    phase 1: groupBy(key, salt) — hot keys split across ``n_salts``
+             reducers, partial results tiny
+    phase 2: groupBy(key) over the partials — at most n_salts rows/key
+
+The final result is independent of the salt assignment, so a plain
+groupBy oracle verifies it. Salt must be deterministic only for plan
+re-execution stability — derived from other columns via crc32, never
+rand() (a failed-stage retry with rand() double-counts rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    alias: str,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase SUM with deterministic salting on hot group keys.
+
+    ``salt_from`` is any column with per-row variation (an id, a line
+    number); crc32(salt_from) % n_salts spreads each hot key across
+    n_salts partial groups. SUM/COUNT/MIN/MAX decompose this way; AVG
+    needs sum+count carried separately."""
+    salt = F.pmod(F.crc32(F.col(salt_from).cast("string")), F.lit(n_salts)).alias("_salt")
+    partial = (
+        df.select(*keys, salt, (F.col(value) if isinstance(value, str) else value).alias("_v"))
+        .groupBy(*keys, "_salt")
+        .agg(F.sum("_v").alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))

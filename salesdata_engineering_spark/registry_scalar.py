@@ -16,6 +16,7 @@ Dialect gotchas encoded here:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it in globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -381,3 +382,169 @@ def q_json_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("props").alias("props_len"),
         F.when(F.col("_p").isNotNull(), 1).otherwise(0).alias("is_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2 completion: predicates (P5), positional union (U1), global sort (O),
+# pandas_udf surface (§2.10), AES column crypto, salted skew agg (§4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_in_like",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+      AND o_orderpriority LIKE '%URGENT'
+      AND o_totalprice IS NOT NULL
+    """,
+    doc="P5 predicate family: IN-list + LIKE + null-check (SURVEY §2.2 — "
+    "the reference's only predicates live in raw MySQL SQL; the engine "
+    "exposes them as DataFrame filters).",
+)
+def q_filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "P")
+        & F.col("o_orderpriority").like("%URGENT")
+        & F.col("o_totalprice").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "union_positional",
+    """
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="U1 — positional UNION ALL exactly as the reference unions "
+    "per-file frames (main.py:184-204); engine default is unionByName, "
+    "compat positional union kept.",
+)
+def q_union_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").cast("double").alias("v")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey"), F.col("o_totalprice").cast("double")
+    )
+    return a.union(b)  # positional
+
+
+@register(
+    "global_sort_prices",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+    FROM orders
+    WHERE o_totalprice > 450000
+    """,
+    doc="Global total order (range-partitioned sort; the driver's compare "
+    "is order-insensitive so the ORDER is materialized as a row_number "
+    "position column to make it checkable).",
+)
+def q_global_sort_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _orders(spark, sf_dir).filter(F.col("o_totalprice") > 450000)
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+@register(
+    "pandas_udf_price_bands",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(o_totalprice AS DOUBLE) / 1000.0 AS price_k
+    FROM orders
+    """,
+    doc="§2.10 UDF surface: an Arrow-vectorized @pandas_udf computing "
+    "banding + scaling (deterministic numpy ops, so oracle-checkable). "
+    "Demonstrates the sanctioned Python path — batch-vectorized, never "
+    "row-at-a-time; core operators stay JVM expressions.",
+)
+def q_pandas_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def band(price: pd.Series) -> pd.Series:
+        out = pd.Series("high", index=price.index)
+        out[price < 300000] = "mid"
+        out[price < 100000] = "low"
+        return out
+
+    @pandas_udf("double")
+    def in_thousands(price: pd.Series) -> pd.Series:
+        # no .round(): pandas rounds half-to-even, DuckDB half-away —
+        # plain IEEE division is bit-identical in both engines
+        return price / 1000.0
+
+    o = _orders(spark, sf_dir)
+    return o.select(
+        "o_orderkey",
+        band("o_totalprice").alias("band"),
+        in_thousands("o_totalprice").alias("price_k"),
+    )
+
+
+@register(
+    "aes_roundtrip",
+    """
+    SELECT c_custkey, c_name AS decrypted, 1 AS roundtrip_ok
+    FROM customer
+    """,
+    doc="Column-level AES-GCM crypto via Spark built-ins (parity: the "
+    "reference's Python AES utility src/main/utility/encrypt_decrypt.py, "
+    "re-expressed as JVM-side aes_encrypt/aes_decrypt). Ciphertext is "
+    "IV-randomized so the oracle checks the decrypt(encrypt(x)) == x "
+    "roundtrip, not bytes.",
+)
+def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    key = F.lit("0123456789abcdef")  # 16-byte demo key
+    enc = F.expr("aes_encrypt(c_name, '0123456789abcdef')")
+    dec = F.expr(
+        "cast(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef'), '0123456789abcdef') as string)"
+    )
+    return c.select(
+        "c_custkey",
+        dec.alias("decrypted"),
+        F.when(dec == F.col("c_name"), 1).otherwise(0).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "skew_salted_sum",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+    doc="§4 skew recipe: two-phase salted aggregation (groupBy(key, "
+    "crc32-salt) partials, then groupBy(key)) — result provably equals "
+    "the plain groupBy, which IS the oracle. 3 hot keys split across 16 "
+    "salted partials; the recipe for 100 TB hot-key aggs.",
+)
+def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.skew import salted_sum
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    out = salted_sum(
+        li,
+        keys=["l_returnflag"],
+        value=F.col("l_quantity").cast("decimal(12,2)"),
+        alias="sum_qty",
+        salt_from="l_orderkey",
+        n_salts=16,
+    )
+    return out.select("l_returnflag", F.col("sum_qty").cast("double").alias("sum_qty"))
