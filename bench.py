@@ -53,6 +53,7 @@ def main() -> None:
         t0 = time.perf_counter()
         force(QUERIES[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # isolate queries: no cross-query cache reuse
 
     print(
         json.dumps(

@@ -17,7 +17,7 @@ DECIMAL(12,2) (exact, order-independent) and cast out to DOUBLE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .datasets import load_tables
@@ -172,3 +172,31 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = tumbling_agg(stream, "ts", "10 minutes", ["event_type"], n=F.count("*"))
     return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="Custom stateful operator (applyInPandasWithState): per-user "
+    "running (count, sum) accumulators in Spark's managed state store, "
+    "streaming/stateful.py. Drained with AvailableNow in one batch, the "
+    "final per-user state equals the batch GROUP BY — which is the "
+    "oracle. Cross-micro-batch state carry is covered in "
+    "tests/test_streaming.py.",
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_completion(running_user_totals(stream), output_mode="update")
+    # one emission per (user, micro-batch); keep the final accumulator
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+    )

@@ -135,3 +135,21 @@ def test_checkpoint_resume_skips_processed_files(spark, tmp_path):
     foreach_batch_pipeline(_read_stream(spark, root), sink, checkpoint=ckpt).awaitTermination()
     ids = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
     assert ids == [1, 2]  # file 1 processed exactly once despite restart
+
+
+def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the (count, sum) accumulator for user 1
+    must fold batch_1 on top of batch_0's persisted state, not restart."""
+    from salesdata_engineering_spark.streaming.stateful import running_user_totals
+
+    root = str(tmp_path)
+    _write_file(spark, [(1, _ts(10), 1, 2.0), (2, _ts(10, 5), 1, 3.0)], f"{root}/batch_0")
+    _write_file(spark, [(3, _ts(11), 1, 5.0), (4, _ts(11), 2, 7.0)], f"{root}/batch_1")
+    out = run_to_completion(
+        running_user_totals(_read_stream(spark, root)), output_mode="update"
+    ).collect()
+    # user 1 emits once per batch; the second emission includes batch_0 state
+    u1 = sorted((r.n_events, r.total_value) for r in out if r.user_id == 1)
+    assert u1 == [(2, 5.0), (3, 10.0)]
+    u2 = [(r.n_events, r.total_value) for r in out if r.user_id == 2]
+    assert u2 == [(1, 7.0)]
