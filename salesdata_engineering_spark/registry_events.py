@@ -200,3 +200,34 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
     )
+
+
+@register(
+    "asof_click_purchase",
+    """
+    WITH p AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS ts_matched, p.value AS value_matched
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join (ops/asof.py): for each click, the same user's most "
+    "recent purchase at-or-before it. Union+window-last composition — "
+    "O(|L|+|R|) rows, one key shuffle, no range-join blowup; verified "
+    "against DuckDB's native ASOF LEFT JOIN. Right-side equal-ts dups "
+    "collapsed deterministically (max event_id) in both engines.",
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, keys=["user_id"], ts="ts", payload=["value"], tiebreak="event_id"
+    )

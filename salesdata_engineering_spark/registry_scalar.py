@@ -548,3 +548,62 @@ def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.select("l_returnflag", F.col("sum_qty").cast("double").alias("sum_qty"))
+
+
+_NATION_REVENUE_SQL = """
+    WITH enriched AS (
+        SELECT n.n_name,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (100 - CAST(l.l_discount * 100 AS INT)) AS rev_cents_pct
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT n_name, CAST(SUM(rev_cents_pct) AS DOUBLE) / 100 AS revenue, COUNT(*) AS n
+    FROM enriched GROUP BY n_name
+"""
+
+
+@register(
+    "sql_api_nation_revenue",
+    _NATION_REVENUE_SQL,
+    doc="The spark.sql() surface end-to-end: a 5-table CTE join "
+    "(TPC-H Q5 shape) run as ONE SQL string over registered views — "
+    "identical text runs on DuckDB as the oracle. Discount arithmetic "
+    "in integer cents-pct so both engines sum exactly. Catalyst plans "
+    "it like the DataFrame twin: dims broadcast, filter pushed into "
+    "the region scan, partial aggs before the exchange.",
+)
+def q_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datasets import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NATION_REVENUE_SQL)
+
+
+@register(
+    "percentile_stats",
+    """
+    SELECT o_orderpriority,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY 1
+    """,
+    doc="Exact percentiles (median/p90 via linear interpolation — Spark "
+    "percentile() ≡ DuckDB quantile_cont). approx_percentile is the "
+    "100 TB single-pass path; exact percentile sorts per group and is "
+    "the oracle-checkable baseline (SURVEY §2.4 'absent' aggregates).",
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )

@@ -94,3 +94,39 @@ def test_lsh_ann_recall_vs_brute_force(embs):
     # per-neighbor recall ≈ 1−(1−p⁴)⁸ ≈ 0.8+ for the top-5 band here.
     assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
     assert len(ann) > 0
+
+
+def test_asof_join_backward_semantics(spark):
+    """Ties match (ts equal counts as at-or-before); no earlier right row
+    -> NULL match; latest-of-several wins; equal-ts right dups collapse
+    to max tiebreak."""
+    import datetime
+
+    from salesdata_engineering_spark.ops.asof import asof_join
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 10, m)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(10)), (2, 100, ts(5)), (3, 200, ts(30)), (4, 300, ts(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 100, ts(5), 1.0),   # equal-ts for left#2 -> tie matches
+            (12, 100, ts(5), 2.0),   # dup ts: max event_id (12) wins
+            (13, 100, ts(9), 3.0),   # latest before left#1
+            (14, 200, ts(31), 4.0),  # AFTER left#3 -> no match
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.value_matched, r.ts_matched)
+        for r in asof_join(
+            left, right, keys=["user_id"], ts="ts", payload=["value"], tiebreak="event_id"
+        ).collect()
+    }
+    assert out[1] == (3.0, ts(9))     # most recent of several
+    assert out[2] == (2.0, ts(5))     # tie included, dedup kept id 12
+    assert out[3] == (None, None)     # only later rows exist
+    assert out[4] == (None, None)     # user has no right rows at all

@@ -84,3 +84,34 @@ def test_dimension_prune_pushes_into_scan(spark, tables):
     schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "l_orderkey" in schema and "l_quantity" in schema
     assert "l_extendedprice" not in schema
+
+def test_bucketed_join_skips_shuffle(spark, tables, tmp_path):
+    """write_bucketed_table co-locates join keys: a self-equi-join of two
+    tables bucketed by the same key into the same bucket count must plan
+    ZERO shuffle exchanges — the 100 TB repeated-join layout."""
+    import shutil
+
+    from salesdata_engineering_spark.io import write_bucketed_table
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        write_bucketed_table(orders, "b_orders_a", ["o_orderkey"], 8)
+        write_bucketed_table(
+            orders.select("o_orderkey", "o_custkey"), "b_orders_b", ["o_orderkey"], 8
+        )
+        a, b = spark.table("b_orders_a"), spark.table("b_orders_b")
+        with_buckets = a.join(b, "o_orderkey")
+        plan = plan_of(with_buckets)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # same result as the shuffled variant
+        assert with_buckets.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders_a")
+        spark.sql("DROP TABLE IF EXISTS b_orders_b")
+        for t in ("b_orders_a", "b_orders_b"):
+            shutil.rmtree(f"{warehouse.removeprefix('file:')}/{t}", ignore_errors=True)
