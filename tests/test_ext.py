@@ -130,3 +130,23 @@ def test_asof_join_backward_semantics(spark):
     assert out[2] == (2.0, ts(5))     # tie included, dedup kept id 12
     assert out[3] == (None, None)     # only later rows exist
     assert out[4] == (None, None)     # user has no right rows at all
+
+
+def test_ivf_ann_recall_vs_brute_force(embs):
+    from salesdata_engineering_spark.ext.similarity import ivf_ann_topk
+
+    queries = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(embs, queries, k=5, stride=50, nprobe=4).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    # probing 4 of ~|corpus|/50 cells; sampled (non-kmeans) centroids —
+    # recall floor is modest but must beat random-cell collapse
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
