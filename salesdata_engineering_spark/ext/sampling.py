@@ -1,0 +1,60 @@
+"""Deterministic sampling — the reproducible kind a training-data
+pipeline needs (engine extension; the reference has no sampling).
+
+``df.sample()`` draws from per-partition RNG streams: resampling after
+a repartition, a retry, or at a different parallelism yields a
+DIFFERENT subset, and no other engine can reproduce it. Hash-gating on
+a stable id fixes all of that: membership is a pure function of the
+row, so the sample is identical across reruns, engines (the DuckDB
+oracle mirrors the same md5 arithmetic), cluster sizes, and data
+layout — and it composes (a 10% sample of a 50% sample is a 5%
+sample when the gates use disjoint salt).
+
+Both ops are narrow or single-shuffle: ``hash_sample`` is a pure
+filter pushed at the scan (no shuffle at any scale); ``stratified_sample``
+is one window over the strata keys — same shuffle as any per-class
+top-N.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_long
+
+#: gate resolution: rate quantized to 1/10000ths
+_BUCKETS = 10_000
+
+
+def _gate(id_col: Column, salt: str) -> Column:
+    return F.pmod(md5_long(id_col.cast("string"), salt), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keeps a row iff
+    md5(salt:id) lands under ``rate``. Pure filter — no RNG state, no
+    shuffle; different ``salt`` values give independent samples."""
+    return df.filter(_gate(F.col(id_col), salt) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic n-per-class sample: the ``n_per_stratum`` rows with
+    the smallest hash per stratum (a reproducible 'random' order). The
+    standard class-balancing primitive for training mixes."""
+    w = Window.partitionBy(*strata).orderBy(_gate(F.col(id_col), salt), id_col)
+    return (
+        df.withColumn("_srk", F.row_number().over(w))
+        .filter(F.col("_srk") <= n_per_stratum)
+        .drop("_srk")
+    )

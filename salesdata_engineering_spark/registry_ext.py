@@ -541,3 +541,44 @@ def q_sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(
         corpus, _queries_subset(corpus), k=5, stride=_IVF_STRIDE, nprobe=_IVF_NPROBE
     )
+
+
+from .ext.hashing import sql_md5_long  # noqa: E402
+from .ext.sampling import hash_sample, stratified_sample  # noqa: E402
+
+_GATE_SQL = f"{sql_md5_long('doc_id::VARCHAR', '{salt}')} % 10000"
+
+
+@register(
+    "sample_hash_documents",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_GATE_SQL.format(salt='sample')} < 1000
+    """,
+    doc="Deterministic Bernoulli-by-hash 10% sample (ext/sampling.py): "
+    "membership is a pure function of the id, so the sample is identical "
+    "across reruns, engines, parallelism, and layout — unlike "
+    "df.sample()'s per-partition RNG. Pure filter, zero shuffle at any "
+    "scale.",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sample_stratified_by_lang",
+    f"""
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY {_GATE_SQL.format(salt='strata')}, doc_id) <= 10
+    """,
+    doc="Deterministic 10-per-language stratified sample: smallest-hash "
+    "rows per stratum (reproducible 'random' order) — the class-"
+    "balancing primitive for training mixes. One window shuffle on the "
+    "strata keys.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return stratified_sample(d, ["lang"], 10, "doc_id").select("doc_id", "lang")
