@@ -641,3 +641,139 @@ def q_pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("P"), F.lit(0)).cast("double").alias("total_p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic multi-join analytics shapes (TPC-H Q3 / Q10 analogues) + arrays
+# ---------------------------------------------------------------------------
+
+_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
+    FROM (
+        SELECT l_orderkey,
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15'
+          AND l_shipdate > TIMESTAMP '1997-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        QUALIFY row_number() OVER (ORDER BY revenue DESC, o_orderdate, l_orderkey) <= 10
+    )
+    """,
+    doc="TPC-H Q3 shape: segment filter -> 3-table join -> grouped "
+    "revenue -> deterministic top-10 (row_number tiebreak on date+key "
+    "so the LIMIT edge is stable across engines). Customer dim "
+    "broadcast; both date filters push to the scans.",
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t["orders"].filter(F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp"))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+    return (
+        agg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, revenue, n_name
+    FROM (
+        SELECT c_custkey, c_name,
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+               n_name
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        QUALIFY row_number() OVER (ORDER BY revenue DESC, c_custkey) <= 20
+    )
+    """,
+    doc="TPC-H Q10 shape: returned-items revenue per customer with "
+    "nation enrichment, deterministic top-20. The returnflag + date "
+    "predicates push down; nation broadcast.",
+)
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(t["customer"], o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
+    return (
+        agg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_c,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_c,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_c,
+           CASE WHEN list_contains(list_transform(embedding, x -> x > 0), true)
+                THEN 1 ELSE 0 END AS any_pos,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+    doc="Array/list function surface over the embedding column: size, "
+    "index, min/max, exists, sort, filter-count — Spark arrays vs DuckDB "
+    "lists (1-based in both). Rounded at 6dp: float32->double casts are "
+    "bit-identical, arithmetic is element-local.",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(emb.getItem(0), 6).alias("first_c"),
+        F.round(F.array_max(emb), 6).alias("max_c"),
+        F.round(F.array_min(emb), 6).alias("min_c"),
+        F.when(F.exists(emb, lambda x: x > 0), 1).otherwise(0).alias("any_pos"),
+        F.round(F.sort_array(emb).getItem(0), 6).alias("sorted_first"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
