@@ -777,3 +777,64 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sort_array(emb).getItem(0), 6).alias("sorted_first"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
     )
+
+
+@register(
+    "subquery_exists_urgent",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'P')
+    """,
+    doc="Correlated EXISTS / NOT EXISTS subqueries through spark.sql() — "
+    "Catalyst decorrelates them into a left-semi + left-anti join pair "
+    "(no per-row re-execution; asserted in tests). Same text runs on "
+    "the oracle.",
+)
+def q_subquery_exists_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datasets import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+        """
+    )
+
+
+@register(
+    "subquery_above_avg_orders",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.5, 2) FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery: the inner aggregate computes once "
+    "and broadcasts into the filter (Catalyst ScalarSubquery). The "
+    "threshold is rounded to 2dp in both engines so distributed-vs-"
+    "sequential avg drift (~1e-10) cannot flip a 2-decimal price across "
+    "the comparison boundary.",
+)
+def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datasets import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.5, 2) FROM orders)
+        """
+    )

@@ -115,3 +115,10 @@ def test_bucketed_join_skips_shuffle(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders_b")
         for t in ("b_orders_a", "b_orders_b"):
             shutil.rmtree(f"{warehouse.removeprefix('file:')}/{t}", ignore_errors=True)
+
+
+def test_correlated_exists_decorrelates_to_semi_anti(spark, sf_dir):
+    """EXISTS / NOT EXISTS must become one semi + one anti join — no
+    per-row subquery re-execution survives Catalyst."""
+    plan = plan_of(QUERIES["subquery_exists_urgent"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
