@@ -10,7 +10,8 @@ Four escalating strategies, all shuffle-shaped for 100 TB:
    standard "candidates-by-postings" plan: skew-prone on stop-shingles,
    so frequent shingles above ``df_cap`` are dropped (standard
    prefix-filter trick; at 100 TB pair this with AQE skew-join).
-3. **MinHash + LSH banding** — k salted md5 min-hashes per doc, band
+3. **MinHash + LSH banding** — k universal-hash permutations of one
+   md5 base hash per shingle, min per doc, band
    into b groups of r, bucket-join on (band, band-signature); candidate
    pairs verified with exact Jaccard. Shuffle cost: k·docs tiny rows +
    bucket join — independent of pairwise O(n²).
@@ -25,12 +26,19 @@ DuckDB oracle reproduces results bit-for-bit. No Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .hashing import md5_long
+from .hashing import MINHASH_P, md5_long, perm_hash
 from .text import tokens
+
+
+def _minhash_base(shingle: Column = None) -> Column:
+    """One md5 base hash per shingle, folded into the permutation
+    modulus; all k signatures derive from it arithmetically."""
+    c = F.col("shingle") if shingle is None else shingle
+    return F.pmod(md5_long(c), F.lit(MINHASH_P))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -136,14 +144,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """k MinHash values per document as rows (id, h, sig).
 
-    sig_h = min over shingles of md5_long(h || ':' || shingle) — the
-    classic k-independent-permutation estimate; P[sig_h(A)=sig_h(B)] =
+    sig_h = min over shingles of (a_h·md5(shingle) + b_h) mod P — the
+    classic universal-hash permutation family; P[sig_h(A)=sig_h(B)] =
     Jaccard(A,B).
 
     Computed as k ``min()`` aggregates over the exploded shingle rows in
     ONE groupBy(id): shingles are materialized exactly once (explode),
-    each row computes k codegen'd md5s, and map-side partial mins make
-    the shuffle ~k longs per doc. (Two rejected formulations: crossJoin
+    each row computes ONE codegen'd md5 plus k multiply-adds (k
+    independent md5s cost ~2× more — measured), and map-side partial
+    mins make the shuffle ~k longs per doc. (Two rejected formulations: crossJoin
     with range(k) shuffled k·shingles rows; a nested
     transform(sequence(k), h -> min(transform(shingles, md5)))
     array-expression recomputed the shingle split per lambda element —
@@ -160,16 +169,18 @@ def minhash_signatures(
 
 def _sig_cols(sh: DataFrame, k: int) -> DataFrame:
     """(id, sig_0..sig_{k-1}) — one min-agg per salted hash family."""
+    base = _minhash_base()
     return sh.groupBy("id").agg(
-        *[F.min(md5_long(F.col("shingle"), h)).alias(f"sig_{h}") for h in range(k)]
+        *[F.min(perm_hash(base, h)).alias(f"sig_{h}") for h in range(k)]
     )
 
 
 def minhash_sig_expr(shingles_expr: str, k: int) -> str:
     """SQL expr: array of k MinHash values over a shingle-array expr."""
+    base = "pmod(cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint), " + str(MINHASH_P) + ")"
     return (
         f"transform(sequence(0, {k - 1}), h -> array_min(transform({shingles_expr}, "
-        f"s -> cast(conv(substr(md5(concat(cast(h as string), ':', s)), 1, 15), 16, 10) as bigint))))"
+        f"s -> pmod({base} * (2*h+3) + h*h + 1, {MINHASH_P}))))"
     )
 
 
@@ -197,11 +208,12 @@ def minhash_lsh_pairs(
     # sides) get different column-pruned subtrees, so Spark's exchange
     # reuse never fires and the aggregate would execute 3× (measured
     # 9.5s→6.3s at sf0.1). One row per doc — tiny relative to input.
+    base = _minhash_base()
     docs = (
         sh_rows.groupBy("id")
         .agg(
             F.collect_set("shingle").alias("sh"),
-            *[F.min(md5_long(F.col("shingle"), h)).alias(f"sig_{h}") for h in range(k)],
+            *[F.min(perm_hash(base, h)).alias(f"sig_{h}") for h in range(k)],
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -39,3 +39,21 @@ def sql_md5_long(expr: str, salt: int | str | None = None) -> str:
     """DuckDB SQL mirroring :func:`md5_long` exactly."""
     inner = f"'{salt}:' || {expr}" if salt is not None else expr
     return f"('0x' || substr(md5({inner}), 1, {HEX_CHARS}))::BIGINT"
+
+
+#: Mersenne prime 2^31−1 — the universal-hash modulus for MinHash
+#: permutations. Small enough that a_i·x never overflows int64 in either
+#: engine (DuckDB raises on overflow; Spark would silently wrap).
+MINHASH_P = 2_147_483_647
+
+
+def perm_hash(base: Column, i: int) -> Column:
+    """i-th MinHash permutation h_i(x) = (a_i·x + b_i) mod P over ONE
+    md5 base hash — 16 permutations cost 1 md5 + 16 multiply-adds
+    instead of 16 md5s (the CPU line-item at 100 TB)."""
+    return F.pmod(base * F.lit(2 * i + 3) + F.lit(i * i + 1), F.lit(MINHASH_P))
+
+
+def sql_perm_hash(base_expr: str, i_expr: str) -> str:
+    """DuckDB mirror of :func:`perm_hash`; ``i_expr`` may be a column."""
+    return f"((({base_expr}) * (2*({i_expr})+3) + ({i_expr})*({i_expr}) + 1) % {MINHASH_P})"

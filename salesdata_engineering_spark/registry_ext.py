@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datasets import load_tables
+from .ext.hashing import MINHASH_P, sql_perm_hash
 from .ext.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -251,12 +252,12 @@ _MINHASH_K, _MINHASH_BANDS = 16, 4
 
 
 def _sql_minhash_sigs(k: int, n: int) -> str:
-    hashed = SQL_HASH60.format(x="h.h::VARCHAR || ':' || sh.shingle")
+    base = f"({SQL_HASH60.format(x='shingle')}) % {MINHASH_P}"
     return f"""
     {_sql_shingles(n)},
     hs AS (SELECT unnest(generate_series(0, {k - 1})) AS h),
     sigs AS (
-        SELECT sh.id, h.h, min({hashed}) AS sig
+        SELECT sh.id, h.h, min({sql_perm_hash(base, 'h.h')}) AS sig
         FROM sh, hs h GROUP BY sh.id, h.h
     )
     """
