@@ -57,3 +57,34 @@ def write_jdbc(df: DataFrame, url: str, table: str, properties: dict[str, str], 
     Executors write partitions concurrently; size partitions so the
     target DB survives the fan-in."""
     df.write.jdbc(url, table, mode=mode, properties=properties)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet dir into ~target-sized
+    files. Streaming/per-batch ingest (and the reference's per-day CSV
+    drops) accretes file counts that dominate scan planning time at
+    scale — compaction is the standing maintenance op. Returns the file
+    count written. Uses a scratch dir + atomic rename so a failed
+    rewrite never destroys the source."""
+    import math
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(path)
+    total_bytes = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=src.parent)
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    Path(tmp).rename(path)
+    return n_files

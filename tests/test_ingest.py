@@ -97,3 +97,16 @@ def test_ingest_batch_end_to_end_with_ledger_and_rerun(spark, tmp_path, landing)
     (landing / "sales_data_2024-01-03.csv").write_text(VALID_CSV)
     df3, report3 = ingest_batch(spark, str(landing), str(error_dir), ledger)
     assert len(report3.accepted) == 1 and report3.rows == 2
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from salesdata_engineering_spark.io import compact_parquet
+
+    out = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(64).write.parquet(out)
+    before = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert before >= 32  # fragmented
+    n = compact_parquet(spark, out, target_file_mb=128)
+    after = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(out).count() == 10_000  # lossless
