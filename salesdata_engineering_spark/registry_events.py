@@ -231,3 +231,37 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, keys=["user_id"], ts="ts", payload=["value"], tiebreak="event_id"
     )
+
+
+@register(
+    "interval_join_click_error",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           c.ts AS click_ts, e.ts AS error_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND c.ts <= e.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+    doc="Interval join (ops/interval.py): every error within 10 minutes "
+    "after a click by the same user. Banded equi-join rewrite — a naive "
+    "inequality join plans BroadcastNestedLoopJoin (O(|L|*|R|), plan-"
+    "asserted away in tests); banding gives one hash shuffle on "
+    "(user, time-bucket) at any scale. Oracle is the plain inequality "
+    "join.",
+)
+def q_interval_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.interval import interval_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    out = interval_join(
+        clicks, errors, keys=["user_id"], left_ts="click_ts", right_ts="error_ts",
+        max_delay="10 minutes",
+    )
+    return out.select("click_id", "error_id", "user_id", "click_ts", "error_ts")

@@ -122,3 +122,11 @@ def test_correlated_exists_decorrelates_to_semi_anti(spark, sf_dir):
     per-row subquery re-execution survives Catalyst."""
     plan = plan_of(QUERIES["subquery_exists_urgent"].fn(spark, sf_dir))
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The banded rewrite must plan a hash-keyed join — a naive
+    inequality join would be BroadcastNestedLoopJoin (O(|L|·|R|))."""
+    plan = plan_of(QUERIES["interval_join_click_error"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan
