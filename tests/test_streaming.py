@@ -153,3 +153,41 @@ def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
     assert u1 == [(2, 5.0), (3, 10.0)]
     u2 = [(r.n_events, r.total_value) for r in out if r.user_id == 2]
     assert u2 == [(1, 7.0)]
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Watermarked stream-stream inner join: clicks x errors within 10
+    minutes, both sides streaming. The time-range condition bounds the
+    join state so watermarks can evict it — the streaming counterpart of
+    ops/interval.py's banded batch join."""
+    root = str(tmp_path)
+    _write_file(spark, [(1, _ts(10, 0), 1, 1.0), (2, _ts(11, 0), 2, 1.0)], f"{root}/clicks/batch_0")
+    _write_file(
+        spark,
+        [(101, _ts(10, 5), 1, 1.0),   # within 10 min of click 1 -> match
+         (102, _ts(10, 40), 1, 1.0),  # 40 min later -> no match
+         (103, _ts(11, 9), 2, 1.0)],  # within 10 min of click 2 -> match
+        f"{root}/errors/batch_0",
+    )
+
+    def stream(sub, alias):
+        df = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(f"{root}/{sub}/batch_*")
+            .withWatermark("ts", "1 hour")
+        )
+        return df.select(
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col("user_id"),
+            F.col("ts").alias(f"{alias}_ts"),
+        )
+
+    clicks, errors = stream("clicks", "click"), stream("errors", "error")
+    joined = clicks.join(
+        errors,
+        (clicks.user_id == errors.user_id)
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("interval 10 minutes")),
+    ).select("click_id", "error_id")
+    out = run_to_completion(joined, output_mode="append").collect()
+    assert {(r.click_id, r.error_id) for r in out} == {(1, 101), (2, 103)}
