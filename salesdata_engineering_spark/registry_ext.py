@@ -583,3 +583,59 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return stratified_sample(d, ["lang"], 10, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "corpus_curation_pipeline",
+    f"""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sp AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
+    m AS (SELECT doc_id,
+           len(t) AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1) AS punct_ratio,
+           len(list_filter(t, x -> list_contains([{_EN}], x)))
+             / greatest(len(t), 1) AS stop_ratio,
+           list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
+             / greatest(len(t), 1) AS mean_len
+    FROM sp),
+    q AS (SELECT doc_id,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * least(stop_ratio / 0.1, 1.0)
+                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
+                 6) AS quality
+    FROM m)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           round(sum(q.quality), 6) AS sum_quality,
+           round(min(q.quality), 6) AS min_quality
+    FROM documents d
+    JOIN keep USING (doc_id)
+    JOIN q USING (doc_id)
+    WHERE d.lang = 'en' AND q.quality >= 0.5
+    GROUP BY d.source
+    """,
+    doc="The end-to-end training-data curation pipeline in one plan: "
+    "exact dedup (keep min-id per content hash) -> language filter -> "
+    "quality gate (>= 0.5) -> per-source corpus stats. Composes "
+    "ext/dedup + ext/text operators; each stage is one hash shuffle, "
+    "the dedup decision table and quality frame join back on doc_id "
+    "(broadcast at test SF, co-partitioned at 100 TB).",
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    q = quality_score(d).select("doc_id", "quality")
+    curated = (
+        d.join(keep, "doc_id")
+        .join(q, "doc_id")
+        .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    )
+    return curated.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("quality"), 6).alias("sum_quality"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+    )
