@@ -192,3 +192,21 @@ def term_frequencies(
         .orderBy(F.col("n").desc(), F.col("term"))
         .limit(top_n)
     )
+
+
+#: RE2-and-Java-compatible PII patterns (no backrefs/lookarounds, so the
+#: same literal runs in Spark and the DuckDB oracle).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Scrub emails then IPv4 addresses to typed placeholder tokens —
+    the privacy-filter stage of a training-data pipeline. Pure
+    regexp_replace chain: codegen'd, partition-local, no shuffle at any
+    scale. (Order matters: emails first, or an address inside a
+    user@host string would be half-scrubbed.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+    )

@@ -639,3 +639,50 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("quality"), 6).alias("sum_quality"),
         F.round(F.min("quality"), 6).alias("min_quality"),
     )
+
+
+_PII_RAW = (
+    "concat('contact user', CAST(doc_id AS VARCHAR), '@example.com from 10.2.', "
+    "CAST(doc_id % 256 AS VARCHAR), '.7 re: ', substr(text, 1, 40))"
+)
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH raw AS (SELECT doc_id, {_PII_RAW} AS raw_text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g') AS scrubbed,
+           len(regexp_extract_all(raw_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(raw_text, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS n_ips
+    FROM raw
+    """,
+    doc="PII scrubbing (ext/text.pii_scrub): emails then IPv4s replaced "
+    "with typed placeholders — the privacy-filter stage. Input is doc "
+    "text salted with deterministic synthetic PII so the scrub "
+    "demonstrably fires; patterns are RE2-and-Java compatible so the "
+    "identical literals run in both engines. Codegen'd regexp chain, "
+    "zero shuffle.",
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import PII_EMAIL, PII_IPV4, pii_scrub
+
+    d = _docs(spark, sf_dir)
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 re: "), F.substring("text", 1, 40),
+        ).alias("raw_text"),
+    )
+    return raw.select(
+        "doc_id",
+        pii_scrub("raw_text").alias("scrubbed"),
+        F.regexp_count("raw_text", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("raw_text", F.lit(PII_IPV4)).alias("n_ips"),
+    )
