@@ -838,3 +838,63 @@ def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.5, 2) FROM orders)
         """
     )
+
+
+@register(
+    "window_moving_sum_3rows",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame
+    FROM orders
+    """,
+    doc="Bounded ROWS frame (3-row moving sum per customer) — the "
+    "sliding-window analytic the reference's unbounded frames never "
+    "exercise. (o_orderdate, o_orderkey) ordering is unique, so the "
+    "frame contents are deterministic; decimal sum is exact.",
+)
+def q_window_moving_sum_3rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _orders(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    return o.select(
+        "o_orderkey",
+        F.sum(dec).over(w).cast("double").alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+@register(
+    "window_range_frame_price_band",
+    """
+    SELECT o_orderkey,
+           COUNT(*) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_close_cheaper
+    FROM orders
+    """,
+    doc="Value-based RANGE frame: per priority class, how many orders "
+    "price within 10k below this one. Range frames are tie-inclusive by "
+    "value, so the count is deterministic even with duplicate prices "
+    "(unlike a ROWS frame over a non-unique ordering).",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _orders(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select("o_orderkey", F.count(F.lit(1)).over(w).alias("n_close_cheaper"))
