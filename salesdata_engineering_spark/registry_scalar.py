@@ -898,3 +898,54 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-10000, Window.currentRow)
     )
     return o.select("o_orderkey", F.count(F.lit(1)).over(w).alias("n_close_cheaper"))
+
+
+@register(
+    "stats_moments",
+    """
+    SELECT o_orderpriority, n,
+           sx / n AS mean_price,
+           (sxx - sx * sx / n) / (n - 1) AS var_price,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_price
+    FROM (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sx,
+               CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sxx
+        FROM (SELECT o_orderpriority,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS xc
+              FROM orders)
+        GROUP BY 1
+    )
+    """,
+    doc="Variance/stddev from EXACT decimal power sums (n, Σx, Σx²) with "
+    "the final arithmetic spelled identically in both engines — native "
+    "stddev/var aggregates use engine-specific update orders (Welford "
+    "vs naive) whose FP drift breaks bit-parity; decimal sums are "
+    "order-independent, so this is reproducible at any parallelism — "
+    "which is also why it's the right formulation at 100 TB.",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    # integer cents: xc < 2^26 so xc**2 fits a long exactly; sums carried
+    # in DECIMAL(38,0) (order-independent, exact) and converted to double
+    # in ONE correctly-rounded step. (A scale-4 decimal sum diverged from
+    # DuckDB by 1 ulp: its scaled-int128->double conversion rounds twice.)
+    xc = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    agg = o.select("o_orderpriority", xc.alias("xc")).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("xc").cast("decimal(38,0)")).cast("double") / 100).alias("sx"),
+        (F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast("double") / 10000).alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    # NO round(): the inputs are exact decimal sums and /,*,sqrt are
+    # correctly-rounded IEEE ops, so the raw doubles are bit-identical
+    # across engines — round() itself is NOT (HALF_UP-on-BigDecimal vs
+    # scaled-multiply) and flipped a half-boundary at sf0.01.
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+    )
