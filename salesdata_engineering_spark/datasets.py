@@ -46,19 +46,50 @@ def _restore_timestamps(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+class _LazyTables(dict):
+    """Name → DataFrame mapping that opens each parquet table on first access.
+
+    Laziness matters beyond saving scan setup: a caller-supplied session may
+    reject a table another query needs (e.g. events.parquet's
+    INT64 TIMESTAMP(NANOS) column on a session without the nanosAsLong
+    conf) — queries must never fail on tables they don't touch.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TESTDATA_TABLES:
+            raise KeyError(name)
+        df = _restore_timestamps(
+            name, self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
+        )
+        self[name] = df
+        return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Read every testdata table as a DataFrame (lazy parquet scans)."""
-    return {
-        name: _restore_timestamps(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-        for name in TESTDATA_TABLES
-    }
+    """Lazy name→DataFrame mapping over the testdata parquet tables.
+
+    Works on ANY caller-supplied session (the correctness driver builds a
+    bare one): the testdata stores some timestamp columns as INT64
+    TIMESTAMP(NANOS), which Spark rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set — a runtime-settable
+    conf, so we pin it here rather than relying on session.get_spark.
+    UTC session time keeps timestamp rendering aligned with DuckDB.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load tables and register each as a temp view for spark.sql use."""
     tables = load_tables(spark, sf_dir)
-    for name, df in tables.items():
-        df.createOrReplaceTempView(name)
+    for name in TESTDATA_TABLES:
+        tables[name].createOrReplaceTempView(name)
     return tables
 
 

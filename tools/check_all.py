@@ -1,0 +1,120 @@
+"""Driver-replica correctness check on a BARE SparkSession.
+
+Round 1 failed because the engine's queries only worked on a session built
+by ``session.get_spark`` (which pinned parquet-nanos + UTC confs), while
+the verification driver supplies its own bare session. This script
+replicates the driver: a no-conf SparkSession, every ``queries()`` entry
+run at sf0.01 and diffed against ``oracle_sql()`` via DuckDB with
+column-name-sorted, order-insensitive exact value comparison.
+
+Usage:
+    python tools/check_all.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
+    python tools/check_all.py --first 50     # only the driver's checked window
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--first", type=int, default=None, help="check only the first N registered queries")
+    ap.add_argument("--out", default=None, help="write JSON results here")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # Deliberately bare: no engine confs. Mirrors the verification driver.
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("check-all-bare")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from oracle_utils import canon_frame, duckdb_con
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = list(queries)
+    if args.first:
+        names = names[: args.first]
+    if args.only:
+        names = [n for n in args.only.split(",") if n in queries]
+
+    con = duckdb_con(args.sf_dir)
+    results: dict[str, dict] = {}
+    n_pass = n_fail = n_err = n_rows_only = 0
+    t0 = time.time()
+    for name in names:
+        rec: dict = {}
+        try:
+            sdf = queries[name](spark, args.sf_dir)
+            spark_pd = sdf.toPandas()
+            rec["spark_rows"] = len(spark_pd)
+            if name in oracles:
+                oracle_pd = con.execute(oracles[name]).df()
+                rec["oracle_rows"] = len(oracle_pd)
+                s_cols, s_rows = canon_frame(spark_pd)
+                o_cols, o_rows = canon_frame(oracle_pd)
+                rec["rows_match"] = len(s_rows) == len(o_rows)
+                rec["schema_match"] = s_cols == o_cols
+                rec["hash_match"] = s_rows == o_rows
+                if rec["rows_match"] and rec["schema_match"] and rec["hash_match"]:
+                    n_pass += 1
+                    status = "PASS"
+                else:
+                    n_fail += 1
+                    status = "FAIL"
+                    if not rec["schema_match"]:
+                        rec["detail"] = f"cols spark={s_cols} oracle={o_cols}"
+                    elif not rec["rows_match"]:
+                        rec["detail"] = f"rows spark={len(s_rows)} oracle={len(o_rows)}"
+                    else:
+                        diff = [
+                            (a, b) for a, b in zip(s_rows, o_rows) if a != b
+                        ][:2]
+                        rec["detail"] = f"first diffs {diff} cols={s_cols}"
+            else:
+                rec["rows_only"] = True
+                n_rows_only += 1
+                status = "ROWS" if rec["spark_rows"] >= 0 else "FAIL"
+        except Exception:
+            rec["err"] = traceback.format_exc(limit=5)
+            n_err += 1
+            status = "ERR"
+        results[name] = rec
+        line = f"{status:4} {name}"
+        if "detail" in rec:
+            line += f"  [{rec['detail'][:200]}]"
+        if "err" in rec:
+            line += "  [" + rec["err"].strip().splitlines()[-1][:160] + "]"
+        print(line, flush=True)
+
+    total = len(names)
+    print(
+        f"\n{n_pass} PASS / {n_fail} FAIL / {n_err} ERR / {n_rows_only} rows-only"
+        f"  of {total} in {time.time() - t0:.1f}s"
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1, default=str)
+    return 0 if (n_fail == 0 and n_err == 0) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
