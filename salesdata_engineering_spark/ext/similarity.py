@@ -232,6 +232,48 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via LSH-bucketed candidates + exact verify.
+
+    The 100 TB form of ``embedding_near_dup_pairs``: instead of the
+    O(n²) crossJoin, candidates are pairs that collide in ANY of
+    ``n_tables`` sign-bit LSH tables (the same OR-amplified buckets as
+    ``lsh_ann_topk``), then each candidate is verified with the exact
+    cosine at ``threshold``. Plan: narrow posexplode (n_tables rows per
+    vector), one equi-join shuffle on (table, bucket), per-pair dots
+    only on candidates — never a cross product. Recall vs the all-pairs
+    oracle is measured in tests (per-neighbor ≈ 1−(1−p^bits)^n_tables)."""
+    planes = [hyperplane(dim, h) for h in range(n_tables * bits)]
+    keys = lsh_bucket_keys(F.col(vec_col), planes, n_tables, bits, None)
+    keyed = _spread(corpus).select(
+        F.col(id_col), F.col(vec_col), F.posexplode(keys).alias("tbl", "bucket")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "tbl", "bucket"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cand.withColumn("_sim", cosine(F.col("_va"), F.col("_vb"), dim))
+    return sim.filter(F.col("_sim") >= threshold).select(
+        "id_a", "id_b", F.round("_sim", 6).alias("cosine_sim")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

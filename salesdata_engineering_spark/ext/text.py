@@ -126,6 +126,53 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """token_stats + lang_id + quality_score in ONE projection.
+
+    The three profilers are pure per-row expressions over the same text
+    column, so composing them costs one scan and zero shuffles — the
+    shape a 100 TB curation pass wants (three separate selects would be
+    three scans, or a join if combined naively). Column semantics are
+    identical to the individual operators.
+    """
+    t = tokens(text_col)
+    pieces = F.split(F.regexp_replace(F.col(text_col), r"([^\sA-Za-z0-9]|[0-9]+)", r" $1 "), r"\s+")
+    pieces = F.filter(pieces, lambda p: p != F.lit(""))
+    n_tok = F.greatest(F.size(t), F.lit(1))
+    tok_len_sum = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+    ratios = {lang: F.round(_ratio_in(t, words), 6) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*ratios.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when((best >= 0.02) & (ratios[lang] == best), lang).otherwise(pred)
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    )
+    stop_ratio = _ratio_in(t, LANG_STOPWORDS["en"])
+    mean_len = tok_len_sum / n_tok
+    len_ok = F.when((mean_len >= 3) & (mean_len <= 8), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.size(t) / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(stop_ratio / F.lit(0.1), F.lit(1.0))
+        + F.lit(0.1) * len_ok
+    )
+    return df.select(
+        id_col,
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(tok_len_sum / n_tok, 6).alias("avg_token_len"),
+        F.size(pieces).alias("n_subword_pieces"),
+        *[r.alias(f"ratio_{lang}") for lang, r in ratios.items()],
+        pred.alias("lang_pred"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
 def winnow_fingerprint(
     df: DataFrame,
     text_col: str = "text",

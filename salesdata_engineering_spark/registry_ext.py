@@ -437,19 +437,36 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_embedding_near_dup",
     f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_SQL_COSINE.format(a="a.v", b="b.v")}, 6) AS cosine_sim
-    FROM c a JOIN c b ON a.vec_id < b.vec_id
-    WHERE {_SQL_COSINE.format(a="a.v", b="b.v")} >= 0.4
+    WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
+    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+           FROM embeddings, p),
+    k AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
+          FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM k a JOIN k b USING (tbl, bucket) WHERE a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT id_a, id_b, {_SQL_COSINE.format(a="va.v", b="vb.v")} AS s
+        FROM cand JOIN c0 va ON cand.id_a = va.vec_id
+                  JOIN c0 vb ON cand.id_b = vb.vec_id
+    )
+    SELECT id_a, id_b, round(s, 6) AS cosine_sim FROM sims WHERE s >= 0.4
     """,
-    doc="X1/X2 embedding-cosine near-dup pairs (threshold 0.4 — demo value; "
-    "0.95+ in production). Exact all-pairs at test SF; LSH buckets are the "
-    "scale path.",
+    doc="X1/X2 embedding near-dup, LSH-bucketed: candidates = sign-bit "
+    "bucket collision in any of 8 tables (same buckets as sim_lsh_ann_topk), "
+    "exact cosine verify at threshold 0.4 (demo value; 0.95+ in "
+    "production). Never a cross product — the O(n²) all-pairs form stays "
+    "test-only as the recall oracle (ext/similarity.py "
+    "embedding_near_dup_pairs).",
 )
 def q_sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import embedding_near_dup_lsh
+
     emb = _embs(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    return embedding_near_dup_lsh(
+        emb, threshold=0.4, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
+    )
 
 
 # ---------------------------------------------------------------------------

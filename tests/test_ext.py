@@ -150,3 +150,24 @@ def test_ivf_ann_recall_vs_brute_force(embs):
     # probing 4 of ~|corpus|/50 cells; sampled (non-kmeans) centroids —
     # recall floor is modest but must beat random-cell collapse
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_near_dup_lsh_recall_and_plan(embs):
+    """The registered LSH-bucketed near-dup must (a) never plan a cross
+    product and (b) recover a healthy fraction of the all-pairs oracle's
+    pairs at the demo threshold (per-pair P[candidate] = 1-(1-p^4)^8)."""
+    from salesdata_engineering_spark.ext.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    lsh = embedding_near_dup_lsh(embs, threshold=0.4, n_tables=8, bits=4, dim=64)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(embs, threshold=0.4).collect()}
+    got = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert got <= exact, "LSH near-dup produced a pair the exact verify should have rejected"
+    recall = len(got & exact) / max(len(exact), 1)
+    assert recall >= 0.4, f"near-dup LSH recall collapsed: {recall:.2f} of {len(exact)} pairs"
