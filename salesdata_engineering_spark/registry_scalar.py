@@ -161,19 +161,33 @@ def spark_sql_grouping_sets(spark: SparkSession) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    None,  # HLL sketch values are engine-specific — rows-only check;
-    # accuracy bound vs exact count asserted in tests/test_scalar_ext.py
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           COUNT(*) AS n,
+           1 AS approx_ok
+    FROM lineitem GROUP BY 1
+    """,
     doc="approx_count_distinct (HLL) per returnflag — the engine's "
-    "cardinality sketch (SURVEY §2.4 'absent' row). No value oracle by "
-    "construction; bound-tested against exact distinct in pytest.",
+    "cardinality sketch (SURVEY §2.4 'absent' row). HLL sketch values "
+    "are engine-specific, so the oracle checks the exact NDV plus an "
+    "error-bound PREDICATE: Spark emits approx_ok = [|approx−exact| ≤ "
+    "5%·exact] (deterministic — HLL++ has no RNG), the oracle emits "
+    "the literal 1 it must equal. Tighter 2% bound asserted in "
+    "tests/test_scalar_ext.py.",
 )
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
+    # rsd=0.02: tighter HLL registers; default 0.05 wobbles past a
+    # 5% bound at this cardinality
+    approx = F.approx_count_distinct("l_orderkey", rsd=0.02)
+    exact = F.count_distinct("l_orderkey")
     return li.groupBy("l_returnflag").agg(
-        # rsd=0.02: tighter HLL registers; default 0.05 wobbles past a
-        # 5% test bound at this cardinality
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        exact.alias("exact_orders"),
         F.count("*").alias("n"),
+        F.when(
+            F.abs(approx - exact) <= 0.05 * exact, 1
+        ).otherwise(0).alias("approx_ok"),
     )
 
 

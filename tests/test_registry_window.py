@@ -1,0 +1,114 @@
+"""Registration-order invariants for the driver's checked window.
+
+The verification driver oracle-checks only the first 50 registered
+queries; these tests pin that the curated window stays first, stays
+complete, and never silently loses an operator family.
+"""
+
+from __future__ import annotations
+
+from salesdata_engineering_spark.registry import CHECKED_WINDOW, QUERIES
+
+#: One representative per SURVEY §2 row / LLM-pipeline component that must
+#: always be inside the checked window.
+REQUIRED_IN_WINDOW = {
+    # marts (J/A/W flagships), core agg, filters, distinct
+    "sales_team_mart",
+    "customer_mart",
+    "pricing_summary",
+    "filter_range_revenue",
+    "distinct_pairs",
+    # grouping variants + stats + pivot
+    "agg_grouping_variants",
+    "approx_count_distinct",
+    "stats_advanced",
+    "pivot_status_totals",
+    # join family
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_left_outer_order_counts",
+    "join_full_outer_balance",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    # sorts / topk / windows
+    "topk_suppliers_per_nation",
+    "global_topk_orders",
+    "global_sort_prices",
+    "window_analytics_suite",
+    "window_frames_bounded",
+    # set ops
+    "setop_union_compat",
+    "setop_multiset_family",
+    # scalar families / subqueries / UDFs / skew
+    "scalar_string_functions",
+    "date_null_predicates",
+    "array_functions",
+    "json_functions",
+    "subqueries_combined",
+    "udf_surface",
+    "skew_salted_sum",
+    # events + streaming + temporal joins
+    "events_tumbling_counts",
+    "events_sliding_avg",
+    "events_session_windows",
+    "asof_click_purchase",
+    "interval_join_click_error",
+    "stream_tumbling_counts",
+    "stream_stateful_totals",
+    # LLM-pipeline extensions
+    "text_profile",
+    "text_winnow_fingerprint",
+    "text_pii_scrub",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
+    "sim_embedding_near_dup",
+    "multimodal_featurize",
+    "sample_deterministic",
+    "corpus_curation_pipeline",
+}
+
+
+def test_window_is_first_50():
+    assert len(CHECKED_WINDOW) == 50
+    assert list(QUERIES)[:50] == list(CHECKED_WINDOW)
+
+
+def test_window_covers_required_operators():
+    missing = REQUIRED_IN_WINDOW - set(CHECKED_WINDOW)
+    assert not missing, f"§2 operators fell out of the checked window: {missing}"
+
+
+def test_window_queries_all_have_oracles():
+    no_oracle = [n for n in CHECKED_WINDOW if QUERIES[n].oracle is None]
+    assert not no_oracle, f"checked-window queries without a value oracle: {no_oracle}"
+
+
+def test_umbrella_constituents_still_registered():
+    """Umbrellas fold families; the originals must stay queryable."""
+    for name in (
+        "rollup_qty",
+        "cube_qty",
+        "grouping_sets_qty",
+        "setop_intersect_all",
+        "setop_except_all",
+        "union_positional",
+        "window_moving_sum_3rows",
+        "window_range_frame_price_band",
+        "pandas_udf_price_bands",
+        "aes_roundtrip",
+        "percentile_stats",
+        "stats_moments",
+        "text_token_stats",
+        "text_lang_id",
+        "text_quality_score",
+        "sample_hash_documents",
+        "sample_stratified_by_lang",
+        "subquery_exists_urgent",
+        "subquery_above_avg_orders",
+    ):
+        assert name in QUERIES, name
