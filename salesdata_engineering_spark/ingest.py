@@ -145,7 +145,14 @@ class FileLedger:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # Resume from the persisted high-water mark: a fresh process
+        # appending to an existing ledger must not restart seq at 1, or
+        # its new status rows would be shadowed by older higher-seq rows
+        # in snapshot()'s latest-per-file resolution.
         self._seq = 0
+        if self._exists():
+            row = self.spark.read.parquet(self.path).agg(F.max("seq")).first()
+            self._seq = int(row[0] or 0)
 
     def _exists(self) -> bool:
         try:

@@ -85,6 +85,19 @@ def compact_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    shutil.rmtree(path)
-    Path(tmp).rename(path)
+    # Two-rename swap: the canonical path is only ever missing between
+    # two atomic renames (and the data always exists under SOME name) —
+    # a crash leaves either the old or the new copy recoverable, never
+    # neither. The old copy is deleted only after the swap lands. On a
+    # Hadoop FS this maps to FileSystem.rename twice + delete; object
+    # stores without atomic rename should compact into a NEW prefix and
+    # flip a pointer (manifest/catalog) instead.
+    old = tempfile.mktemp(prefix="compact_old_", dir=src.parent)
+    src.rename(old)
+    try:
+        Path(tmp).rename(path)
+    except OSError:
+        Path(old).rename(path)  # roll back; leave tmp for inspection
+        raise
+    shutil.rmtree(old)
     return n_files

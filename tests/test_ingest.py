@@ -110,3 +110,58 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     after = len(list((tmp_path / "frag").glob("*.parquet")))
     assert n == 1 and after == 1
     assert spark.read.parquet(out).count() == 10_000  # lossless
+
+
+def test_compact_parquet_crash_never_loses_data(spark, tmp_path, monkeypatch):
+    """Inject a crash in the worst window — after the source moved aside,
+    before the compacted copy lands — and require the rollback to restore
+    the canonical path with every row intact."""
+    from pathlib import Path as _P
+
+    from salesdata_engineering_spark.io import compact_parquet
+
+    out = str(tmp_path / "frag2")
+    spark.range(0, 1000).repartition(8).write.parquet(out)
+
+    orig_rename = _P.rename
+    calls = {"n": 0}
+
+    def rename_crash_on_second(self, target):
+        # call 1: src -> old-aside; call 2: tmp -> canonical (CRASH HERE);
+        # call 3: rollback old-aside -> canonical (must pass through)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash between the two swap renames")
+        return orig_rename(self, target)
+
+    monkeypatch.setattr(_P, "rename", rename_crash_on_second, raising=True)
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            compact_parquet(spark, out, target_file_mb=128)
+    finally:
+        monkeypatch.setattr(_P, "rename", orig_rename, raising=True)
+
+    # rollback restored the canonical path — full data, readable
+    assert (tmp_path / "frag2").exists()
+    assert spark.read.parquet(out).count() == 1000
+
+    # and a clean compact still round-trips afterwards
+    n = compact_parquet(spark, out, target_file_mb=128)
+    assert n == 1 and spark.read.parquet(out).count() == 1000
+
+
+def test_ledger_seq_survives_restart(spark, tmp_path):
+    """A fresh FileLedger on an existing log must continue seq from the
+    persisted max — its new rows win latest-per-file resolution."""
+    path = str(tmp_path / "ledger_restart")
+    first = FileLedger(spark, path)
+    first.record(["a.csv", "b.csv"], "A")
+    first.record(["a.csv"], "I")
+    assert first._seq == 2
+
+    second = FileLedger(spark, path)  # simulated new process
+    assert second._seq == 2
+    second.record(["b.csv"], "I")  # must append seq=3, not seq=1
+    snap = {r.file_name: (r.status, r.seq) for r in second.snapshot().collect()}
+    assert snap["b.csv"] == ("I", 3), snap
+    assert snap["a.csv"] == ("I", 2), snap
