@@ -31,6 +31,11 @@ HEADLINE = [
     "join_star_enrich",
     "topk_suppliers_per_nation",
     "window_running_total",
+    # temporal joins + LLM-pipeline ops (VERDICT r1 next-round #7)
+    "asof_click_purchase",
+    "interval_join_click_error",
+    "text_pii_scrub",
+    "corpus_curation_pipeline",
 ]
 
 
