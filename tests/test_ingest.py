@@ -165,3 +165,20 @@ def test_ledger_seq_survives_restart(spark, tmp_path):
     snap = {r.file_name: (r.status, r.seq) for r in second.snapshot().collect()}
     assert snap["b.csv"] == ("I", 3), snap
     assert snap["a.csv"] == ("I", 2), snap
+
+
+def test_read_jdbc_wiring_reaches_jdbc_layer(spark):
+    """No JDBC driver jar ships in this sandbox, so a real round-trip is
+    impossible; assert the adapter wires through to Spark's JDBC layer
+    (driver-resolution error, not a Python-side failure) and validates
+    its partitioned-read arguments."""
+    from salesdata_engineering_spark.io import read_jdbc
+
+    with pytest.raises(ValueError, match="partition_column requires"):
+        read_jdbc(spark, "jdbc:h2:mem:x", "t", {}, partition_column="id")
+
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Py4JJavaError) as err:
+        read_jdbc(spark, "jdbc:nosuchdb://nowhere/db", "t", {"driver": "com.example.Missing"})
+    assert "ClassNotFoundException" in str(err.value) or "No suitable driver" in str(err.value)
