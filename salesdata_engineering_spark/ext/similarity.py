@@ -253,22 +253,34 @@ def embedding_near_dup_lsh(
     oracle is measured in tests (per-neighbor ≈ 1−(1−p^bits)^n_tables)."""
     planes = [hyperplane(dim, h) for h in range(n_tables * bits)]
     keys = lsh_bucket_keys(F.col(vec_col), planes, n_tables, bits, None)
+    # Norms are computed per keyed ROW (|C|·n_tables unrolled evaluations,
+    # own codegen stage) rather than per candidate pair — and keeping only
+    # the 64-term dot in the post-join stage also keeps that stage's
+    # generated method under Janino's 64 KB whole-stage-codegen limit
+    # (dot + two norms inline tripped the interpreted fallback).
     keyed = _spread(corpus).select(
-        F.col(id_col), F.col(vec_col), F.posexplode(keys).alias("tbl", "bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col), dim).alias("_n"),
+        F.posexplode(keys).alias("tbl", "bucket"),
     )
     a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "tbl", "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"),
+        "tbl", "bucket",
     )
     b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "tbl", "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"),
+        "tbl", "bucket",
     )
     cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b", "_va", "_vb", "_na", "_nb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = cand.withColumn("_sim", cosine(F.col("_va"), F.col("_vb"), dim))
+    sim = cand.withColumn(
+        "_sim", dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb"))
+    )
     return sim.filter(F.col("_sim") >= threshold).select(
         "id_a", "id_b", F.round("_sim", 6).alias("cosine_sim")
     )
