@@ -1,0 +1,163 @@
+"""Registry entries for table-maintenance operators (SCD2, incremental
+aggregates) — the load-cycle primitives a production warehouse runs that
+the reference's overwrite-everything pipeline lacks.
+
+Inputs are built deterministically from the testdata so the DuckDB
+oracle can reconstruct the identical scenario.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datasets import load_tables
+from .ops.scd import OPEN_END, merge_partial_sums, scd2_merge
+from .registry import register
+
+_BAND_SQL = (
+    "CASE WHEN c_acctbal < 0 THEN 'neg' "
+    "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END"
+)
+
+
+def _band_col() -> F.Column:
+    return (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+
+
+@register(
+    "scd2_customer_segments",
+    f"""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment AS segment, {_BAND_SQL} AS acctbal_band,
+               '1995-01-01' AS valid_from, '{OPEN_END}' AS valid_to, 1 AS is_current
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'LEGACY', {_BAND_SQL},
+               '1990-01-01', '1995-01-01', 0
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    upd AS (
+        SELECT c_custkey, 'PREMIUM' AS segment, {_BAND_SQL} AS acctbal_band,
+               '1997-01-01' AS effective_date
+        FROM customer WHERE c_acctbal > 5000
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, {_BAND_SQL}, '1997-01-01'
+        FROM customer WHERE c_acctbal BETWEEN 0 AND 1000
+    ),
+    open_rows AS (SELECT * FROM cur WHERE is_current = 1)
+    SELECT c_custkey, segment, acctbal_band, valid_from, valid_to, is_current
+    FROM cur WHERE is_current = 0
+    UNION ALL
+    SELECT o.c_custkey, o.segment, o.acctbal_band, o.valid_from, o.valid_to, o.is_current
+    FROM open_rows o LEFT JOIN upd u ON o.c_custkey = u.c_custkey
+    WHERE u.c_custkey IS NULL
+       OR (o.segment = u.segment AND o.acctbal_band = u.acctbal_band)
+    UNION ALL
+    SELECT o.c_custkey, o.segment, o.acctbal_band, o.valid_from,
+           u.effective_date, 0
+    FROM open_rows o JOIN upd u ON o.c_custkey = u.c_custkey
+    WHERE o.segment <> u.segment OR o.acctbal_band <> u.acctbal_band
+    UNION ALL
+    SELECT u.c_custkey, u.segment, u.acctbal_band, u.effective_date,
+           '{OPEN_END}', 1
+    FROM upd u LEFT JOIN open_rows o ON o.c_custkey = u.c_custkey
+    WHERE o.c_custkey IS NULL
+       OR o.segment <> u.segment OR o.acctbal_band <> u.acctbal_band
+    """,
+    doc="SCD type-2 dimension merge (ops/scd.py): close changed open "
+    "rows at the effective date, append new versions, pass history "
+    "through, no-op on identical re-loads. One open-rows ⋈ updates join "
+    "+ narrow unions — never a full-history rewrite. Scenario: customers "
+    "with acctbal > 5000 move to segment PREMIUM effective 1997-01-01; "
+    "low-balance customers re-load unchanged (idempotency branch); every "
+    "10th key carries a pre-existing LEGACY history row.",
+)
+def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    band = _band_col()
+    current = (
+        c.select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("acctbal_band"),
+            F.lit("1995-01-01").alias("valid_from"),
+            F.lit(OPEN_END).alias("valid_to"),
+            F.lit(1).alias("is_current"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey",
+                F.lit("LEGACY").alias("segment"),
+                band.alias("acctbal_band"),
+                F.lit("1990-01-01").alias("valid_from"),
+                F.lit("1995-01-01").alias("valid_to"),
+                F.lit(0).alias("is_current"),
+            )
+        )
+    )
+    updates = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .select(
+            "c_custkey",
+            F.lit("PREMIUM").alias("segment"),
+            band.alias("acctbal_band"),
+            F.lit("1997-01-01").alias("effective_date"),
+        )
+        .unionByName(
+            c.filter(F.col("c_acctbal").between(0, 1000)).select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("segment"),
+                band.alias("acctbal_band"),
+                F.lit("1997-01-01").alias("effective_date"),
+            )
+        )
+    )
+    return scd2_merge(
+        current, updates, key="c_custkey", attrs=["segment", "acctbal_band"]
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    SELECT o_orderpriority,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    doc="Incremental aggregate maintenance (ops/scd.py "
+    "merge_partial_sums): an existing aggregate over history "
+    "(o_orderdate < 1997-01-01) is folded with a delta aggregate over "
+    "the new load — only the delta is scanned, decimal partial sums "
+    "make the fold order-independent. The ORACLE is the full recompute "
+    "over all of orders: incremental ≡ full is exactly the invariant "
+    "the operator must keep at 100 TB.",
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(dec).alias("sum_price"), F.count("*").alias("n")
+        )
+
+    existing = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = merge_partial_sums(
+        existing.unionByName(delta),
+        keys=["o_orderpriority"],
+        sum_cols=["sum_price"],
+        count_col="n",
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.round("sum_price", 2).cast("double").alias("sum_price"),
+        F.col("n").cast("long").alias("n"),
+    )
