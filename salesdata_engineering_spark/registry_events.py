@@ -265,3 +265,27 @@ def q_interval_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_delay="10 minutes",
     )
     return out.select("click_id", "error_id", "user_id", "click_ts", "error_ts")
+
+
+@register(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming deduplication: readStream -> watermark -> "
+    "dropDuplicates on the dedup key, state-store backed — the "
+    "streaming half of the X1 dedup family (a live ingest pipeline "
+    "dedups in-flight, not in a nightly batch). Drained with "
+    "AvailableNow; only the distinct KEYS are emitted so the result is "
+    "arrival-order-insensitive and equals the batch SELECT DISTINCT "
+    "oracle. At scale the watermark variant "
+    "(dropDuplicatesWithinWatermark) bounds the state store to the "
+    "late-data horizon instead of all history.",
+)
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    out = run_to_completion(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
+    return out.distinct()  # sink may replay across drains; keys are the contract
