@@ -130,3 +130,39 @@ def test_interval_join_avoids_nested_loop(spark, sf_dir):
     plan = plan_of(QUERIES["interval_join_click_error"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Join" in plan
+
+
+def test_umbrella_predicates_push_to_scan(spark, sf_dir):
+    """date_null_predicates: the P5 IN/LIKE/not-null family must reach
+    the parquet scan as PushedFilters (In, StringEndsWith/like residual,
+    IsNotNull)."""
+    plan = plan_of(QUERIES["date_null_predicates"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters: [")[1].splitlines()[0]
+    # (toString elides the tail of long filter lists — assert on the
+    # IN-list and LIKE rewrites, which prove the P5 family pushed)
+    assert "In(o_orderstatus" in pushed, pushed
+    assert "StringEndsWith(o_orderpriority" in pushed, pushed
+
+
+def test_window_frames_umbrella_shares_sorts(spark, sf_dir):
+    """Six window functions over two window specs must plan exactly two
+    window sorts (per-customer spec shared by four functions), not one
+    per function."""
+    plan = plan_of(QUERIES["window_frames_bounded"].fn(spark, sf_dir))
+    n_window_ops = plan.count("Window ") + plan.count("RunningWindowFunction")
+    n_sorts = plan.count("Sort [")
+    assert n_sorts <= 3, f"window specs not shared: {n_sorts} sorts\n{plan[:2000]}"
+
+
+def test_near_dup_lsh_no_cross_product(spark, sf_dir):
+    plan = plan_of(QUERIES["sim_embedding_near_dup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_join_no_window(spark, sf_dir):
+    """SCD2 merge must be one full-outer join + unions — no window
+    function, no second pass over history."""
+    plan = optimized_of(QUERIES["scd2_customer_segments"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan[:1500]
+    assert plan.count("Join FullOuter") >= 1, plan[:1500]
