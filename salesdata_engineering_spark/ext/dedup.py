@@ -296,3 +296,63 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), F.col("a.simhash").alias("simhash"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Dedup clustering: near-dup PAIRS → components → canonical keeper.
+
+    Min-label propagation to fixpoint: every vertex starts labeled with
+    its own id; each round it takes the min of its label and its
+    neighbors' labels. Converges in O(component diameter) rounds —
+    near-dup clusters are shallow (pairs/stars), so a handful. The
+    fixpoint is algorithm-independent (label = min id in the component),
+    which is what makes it oracle-checkable via a recursive-CTE
+    reachability query.
+
+    Each round is one shuffle join (symmetric edges ⋈ labels) + one
+    min-aggregate; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1. The per-round driver
+    convergence probe reads ONE boolean (`isEmpty`), not data. At
+    100 TB this is the standard large-star/small-star regime; for
+    billion-edge graphs swap in the alternating large/small-star steps —
+    the per-round plan shape (join + min-agg) is identical.
+
+    Returns (id, component) for every vertex that appears in an edge;
+    component = min id in the cluster (the conventional keeper).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct().select("id", F.col("id").alias("component"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("_nbr", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels

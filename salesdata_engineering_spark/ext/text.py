@@ -173,6 +173,47 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The pre-training segmentation step: chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride = chunk_tokens −
+    overlap; the final chunk clamps at the document end, and every doc
+    yields at least one chunk. (chunk_id, doc_id) is a stable,
+    layout-independent key — chunk membership is a pure function of the
+    text, so chunks are reproducible across engines and reruns.
+
+    Plan: one explode of ceil(n/stride) ints per doc, slices computed
+    per chunk row — no shuffle; chunk rows inherit the document's
+    partitioning.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.size(t) - F.lit(overlap)) / F.lit(float(stride))).cast("int"), F.lit(1)
+    )
+    ex = df.select(
+        id_col,
+        t.alias("_t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    sliced = F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return ex.select(
+        id_col,
+        "chunk_id",
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).alias("n_chunk_tokens"),
+    )
+
+
 def winnow_fingerprint(
     df: DataFrame,
     text_col: str = "text",

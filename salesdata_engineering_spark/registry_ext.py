@@ -703,3 +703,76 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw_text", F.lit(PII_EMAIL)).alias("n_emails"),
         F.regexp_count("raw_text", F.lit(PII_IPV4)).alias("n_ips"),
     )
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH sp AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+    ex AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0,
+                   greatest(CAST(ceil((len(t) - 10) / 40.0) AS INT), 1) - 1)) AS chunk_id
+        FROM sp
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(t[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' ') AS chunk_text,
+           len(t[chunk_id * 40 + 1 : chunk_id * 40 + 50]) AS n_chunk_tokens
+    FROM ex
+    """,
+    doc="X3 document chunking (ext/text.py chunk_documents): overlapping "
+    "50-token windows with stride 40 — the pre-training segmentation "
+    "step. Chunk membership is a pure function of the text (stable "
+    "(doc_id, chunk_id) keys across engines/reruns); one explode per "
+    "doc, no shuffle.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=50, overlap=10)
+
+
+@register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE {_sql_shingles(3)},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN sym e ON r.id = e.u
+    )
+    SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+           CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS keep
+    FROM reach GROUP BY id
+    """,
+    doc="X1 dedup clustering (ext/dedup.py connected_components): near-dup "
+    "PAIRS (n-gram Jaccard >= 0.6) -> connected components via min-label "
+    "propagation -> one canonical keeper per cluster (min doc_id). The "
+    "fixpoint is algorithm-independent, so the oracle recomputes it with "
+    "a recursive reachability CTE. This is the step that turns pairwise "
+    "dedup output into the keep/drop decision a corpus pipeline needs.",
+)
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        F.when(F.col("component") == F.col("id"), 1).otherwise(0).alias("keep"),
+    )

@@ -171,3 +171,40 @@ def test_near_dup_lsh_recall_and_plan(embs):
     assert got <= exact, "LSH near-dup produced a pair the exact verify should have rejected"
     recall = len(got & exact) / max(len(exact), 1)
     assert recall >= 0.4, f"near-dup LSH recall collapsed: {recall:.2f} of {len(exact)} pairs"
+
+
+def test_connected_components_planted_clusters(spark):
+    from salesdata_engineering_spark.ext.dedup import connected_components
+
+    # two chains (1-2-3, 10-11) and a triangle (20,21,22): min-id labels
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.component) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark):
+    from salesdata_engineering_spark.ext.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(95))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 95 tokens, stride 40 -> ceil(85/40)=3 chunks; last clamps
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [c.n_chunk_tokens for c in chunks] == [50, 50, 15]
+    assert chunks[1].chunk_text.split()[0] == "t40"  # overlap of 10
+    assert chunks[2].chunk_text.split()[-1] == "t94"  # full coverage
+    # short docs yield exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 2
+    assert len(by_doc[3]) == 1
