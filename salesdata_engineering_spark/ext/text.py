@@ -93,6 +93,31 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The [0,1] quality score as a single inline Column expression.
+
+    Exposed separately so pipelines can compute quality IN the main
+    projection (one scan) instead of joining ``quality_score``'s frame
+    back on the id — a pure-projection self-join Catalyst won't collapse.
+    """
+    t = tokens(text_col)
+    n_tok = F.greatest(F.size(t), F.lit(1))
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    )
+    stop_ratio = _ratio_in(t, LANG_STOPWORDS["en"])
+    mean_len = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x) / n_tok
+    len_ok = F.when((mean_len >= 3) & (mean_len <= 8), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * F.least(F.size(t) / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(stop_ratio / F.lit(0.1), F.lit(1.0))
+        + F.lit(0.1) * len_ok,
+        6,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document quality heuristics: length, punctuation ratio, stopword
     ratio, mean word length — combined into one [0,1] score.

@@ -642,12 +642,15 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(broadcast at test SF, co-partitioned at 100 TB).",
 )
 def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import quality_expr
+
     d = _docs(spark, sf_dir)
     keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-    q = quality_score(d).select("doc_id", "quality")
+    # quality inline in the main projection: one scan of documents plus
+    # the column-pruned dedup branch — not three scans and two joins
     curated = (
-        d.join(keep, "doc_id")
-        .join(q, "doc_id")
+        d.withColumn("quality", quality_expr())
+        .join(keep, "doc_id")
         .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
     )
     return curated.groupBy("source").agg(
