@@ -88,18 +88,23 @@ def q_agg_grouping_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
            (sxx - sx * sx / n) / (n - 1) AS var_price,
            sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_price
     FROM (
-        SELECT o_orderpriority,
-               COUNT(*) AS n,
-               round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
-               round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
-               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
-               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
-               CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sx,
-               CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sxx
-        FROM (SELECT o_orderpriority, o_totalprice,
-                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS xc
-              FROM orders)
-        GROUP BY 1
+        SELECT o_orderpriority, n, p50, p90, min_price, max_price, sx,
+               (CAST(CAST(sxx_dec AS HUGEINT) // 1073741824 AS DOUBLE) * 1073741824.0
+                + CAST(CAST(sxx_dec AS HUGEINT) % 1073741824 AS DOUBLE)) / 10000 AS sxx
+        FROM (
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+                   round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
+                   CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+                   CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sx,
+                   SUM(CAST(xc * xc AS DECIMAL(38,0))) AS sxx_dec
+            FROM (SELECT o_orderpriority, o_totalprice,
+                         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS xc
+                  FROM orders)
+            GROUP BY 1
+        )
     )
     """,
     doc="§2.4 statistics umbrella: exact interpolated percentiles "
@@ -122,10 +127,19 @@ def q_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").cast("double").alias("min_price"),
             F.max("o_totalprice").cast("double").alias("max_price"),
             (F.sum(F.col("xc").cast("decimal(38,0)")).cast("double") / 100).alias("sx"),
-            (F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast("double") / 10000).alias(
-                "sxx"
-            ),
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).alias("sxx_dec"),
         )
+    )
+    # hi·2^30 + lo split: Σxc² exceeds 2^63 past ~sf0.1 and DuckDB's
+    # int128->double conversion double-rounds where Spark rounds once —
+    # see stats_moments (registry_scalar.py) for the full rationale.
+    agg = agg.withColumn(
+        "sxx",
+        (
+            F.expr("CAST(sxx_dec div 1073741824 AS DOUBLE)") * 1073741824.0
+            + F.expr("CAST(sxx_dec % 1073741824 AS DOUBLE)")
+        )
+        / 10000,
     )
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
     return agg.select(

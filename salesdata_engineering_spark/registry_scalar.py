@@ -922,14 +922,19 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            (sxx - sx * sx / n) / (n - 1) AS var_price,
            sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_price
     FROM (
-        SELECT o_orderpriority,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sx,
-               CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sxx
-        FROM (SELECT o_orderpriority,
-                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS xc
-              FROM orders)
-        GROUP BY 1
+        SELECT o_orderpriority, n, sx,
+               (CAST(CAST(sxx_dec AS HUGEINT) // 1073741824 AS DOUBLE) * 1073741824.0
+                + CAST(CAST(sxx_dec AS HUGEINT) % 1073741824 AS DOUBLE)) / 10000 AS sxx
+        FROM (
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sx,
+                   SUM(CAST(xc * xc AS DECIMAL(38,0))) AS sxx_dec
+            FROM (SELECT o_orderpriority,
+                         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS xc
+                  FROM orders)
+            GROUP BY 1
+        )
     )
     """,
     doc="Variance/stddev from EXACT decimal power sums (n, Σx, Σx²) with "
@@ -942,14 +947,26 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir)
     # integer cents: xc < 2^26 so xc**2 fits a long exactly; sums carried
-    # in DECIMAL(38,0) (order-independent, exact) and converted to double
-    # in ONE correctly-rounded step. (A scale-4 decimal sum diverged from
-    # DuckDB by 1 ulp: its scaled-int128->double conversion rounds twice.)
+    # in DECIMAL(38,0) (order-independent, exact). Σxc² exceeds 2^63 past
+    # ~sf0.1, where Spark's BigDecimal->double rounds once but DuckDB's
+    # int128->double combines two 64-bit halves and rounds TWICE (1-ulp
+    # drift). So the big sum is split hi·2^30 + lo — hi < 2^53 and
+    # lo < 2^30 convert exactly, and the double reconstruction is the
+    # same two IEEE ops in both engines. Holds to hi = 2^53, i.e.
+    # Σxc² ≈ 1e25 ~ sf 1e7.
     xc = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     agg = o.select("o_orderpriority", xc.alias("xc")).groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         (F.sum(F.col("xc").cast("decimal(38,0)")).cast("double") / 100).alias("sx"),
-        (F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast("double") / 10000).alias("sxx"),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).alias("sxx_dec"),
+    )
+    agg = agg.withColumn(
+        "sxx",
+        (
+            F.expr("CAST(sxx_dec div 1073741824 AS DOUBLE)") * 1073741824.0
+            + F.expr("CAST(sxx_dec % 1073741824 AS DOUBLE)")
+        )
+        / 10000,
     )
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
     # NO round(): the inputs are exact decimal sums and /,*,sqrt are
