@@ -166,3 +166,29 @@ def test_scd2_single_join_no_window(spark, sf_dir):
     plan = optimized_of(QUERIES["scd2_customer_segments"].fn(spark, sf_dir))
     assert "Window" not in plan, plan[:1500]
     assert plan.count("Join FullOuter") >= 1, plan[:1500]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """When a selective dim can't broadcast, Spark must inject a runtime
+    bloom filter on the fact side of the shuffle join (row-level runtime
+    pruning — the 100 TB tool for selective-dim joins too big to
+    broadcast). Thresholds are lowered to trigger at test scale."""
+    from salesdata_engineering_spark.datasets import load_tables
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, sf_dir)
+        sel = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        j = t["orders"].join(sel, t["orders"].o_custkey == sel.c_custkey)
+        plan = plan_of(j)
+        assert "bloom" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
