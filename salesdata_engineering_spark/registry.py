@@ -398,19 +398,24 @@ def q_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
                 OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
     FROM lineitem
     """,
     doc="Window frame rowsBetween(unboundedPreceding, currentRow) — engine "
-    "extension (reference has only unbounded whole-partition sums W1/W2).",
+    "extension (reference has only unbounded whole-partition sums W1/W2). "
+    "The testdata's (l_orderkey, l_linenumber) is NOT unique (l_linenumber "
+    "is random), so l_quantity joins the ordering: rows still tied after "
+    "it have equal quantities, making every prefix sum order-invariant — "
+    "without it the frame order is partition-dependent and the result "
+    "nondeterministic in BOTH engines.",
 )
 def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"].withColumn("qty_dec", _dec("l_quantity"))
     out = running_total(
         li,
         keys=["l_suppkey"],
-        order=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        order=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity")],
         value="qty_dec",
         alias="running_qty",
     )
