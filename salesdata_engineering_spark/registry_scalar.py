@@ -9,9 +9,10 @@ Dialect gotchas encoded here:
   ts)`` returns DATE for month granularity → cast to TIMESTAMP.
 - RE2 (DuckDB) vs Java (Spark) regex: stick to character-class +
   quantifier patterns that parse identically in both.
-- approx_count_distinct is HLL-based and engine-specific → no value
-  oracle; registered with oracle=None (driver's rows-only check) and
-  bound-tested against the exact count in pytest.
+- sketch aggregates (approx_count_distinct HLL, approx_percentile GK)
+  produce engine-specific values → their oracles check the EXACT value
+  plus an error-bound predicate column (approx_ok = 1), with tighter
+  bounds asserted in pytest.
 """
 
 from __future__ import annotations
@@ -979,4 +980,32 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx") / F.col("n")).alias("mean_price"),
         var.alias("var_price"),
         F.sqrt(var).alias("stddev_price"),
+    )
+
+
+@register(
+    "approx_percentile_bounds",
+    """
+    SELECT o_orderpriority,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50_exact,
+           COUNT(*) AS n,
+           1 AS approx_ok
+    FROM orders GROUP BY 1
+    """,
+    doc="approx_percentile — the single-pass mergeable quantile sketch "
+    "(Greenwald-Khanna summaries), the 100 TB path where exact "
+    "percentile's per-group sort is too expensive. Sketch merge order "
+    "is partition-dependent, so like approx_count_distinct the oracle "
+    "checks the exact value plus an error-bound PREDICATE: approx_ok = "
+    "[|approx_p50 − exact_p50| ≤ 2%·exact] (far looser than the "
+    "accuracy=10000 rank-error guarantee).",
+)
+def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    exact = F.expr("percentile(o_totalprice, 0.5)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(exact, 4).cast("double").alias("p50_exact"),
+        F.count("*").alias("n"),
+        F.when(F.abs(approx - exact) <= 0.02 * exact, 1).otherwise(0).alias("approx_ok"),
     )
