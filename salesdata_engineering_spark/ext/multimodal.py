@@ -119,3 +119,57 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "payload", "meta")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def fake_resize_bytes(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a pixel resample: a digest-derived
+    payload tagged with the target dims — same bytes-in/bytes-out
+    contract a real PIL/ffmpeg resize kernel has."""
+    return hashlib.md5(payload).digest() + f":{w}x{h}".encode()
+
+def resize_images(df: DataFrame, max_side: int = 224, batch_size: int = 256) -> DataFrame:
+    """Aspect-preserving image resize under ``mapInPandas``.
+
+    Target dims are PURE METADATA math and computed JVM-side BEFORE the
+    Python stage (codegen; rows where the image is already small enough
+    skip Python entirely via the filter) — only the pixel resample
+    itself crosses into the Arrow batch, through the same real-codec
+    seam as ``decode_media`` (``fake_resize_bytes`` stands in: no
+    PIL/ffmpeg in this container)."""
+    scale = F.lit(max_side) / F.greatest(F.col("meta.width"), F.col("meta.height"))
+    needs = (
+        df.filter((F.col("kind") == "image") & (F.greatest("meta.width", "meta.height") > max_side))
+        .select(
+            "media_id",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.greatest((F.col("meta.width") * scale).cast("int"), F.lit(1)).alias("new_width"),
+            F.greatest((F.col("meta.height") * scale).cast("int"), F.lit(1)).alias("new_height"),
+            "payload",
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                fake_resize_bytes(p, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["new_width"], pdf["new_height"])
+            ]
+            yield pdf
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return needs.mapInPandas(run, RESIZED_SCHEMA)

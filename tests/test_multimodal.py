@@ -57,3 +57,15 @@ def test_decode_media_is_a_marked_stub():
 def test_payload_dropped_before_downstream(spark, media):
     out = featurize(media)
     assert "payload" not in out.columns  # binary never reaches a shuffle
+
+def test_resize_plan_and_kernel(spark, media):
+    from salesdata_engineering_spark.ext.multimodal import fake_resize_bytes, resize_images
+
+    out = {r.media_id: r for r in resize_images(media, max_side=40).collect()}
+    # only images larger than max_side resize; video/audio never enter
+    assert set(out) == {1}
+    r = out[1]  # 64x48 -> 40x30 (aspect preserved)
+    assert (r.new_width, r.new_height) == (40, 30)
+    assert bytes(r.payload) == fake_resize_bytes(b"\x89PNG-fake-bytes-1", 40, 30)
+    # 32x32 image already fits: filtered out JVM-side before Python
+    assert 2 not in out
