@@ -1009,3 +1009,61 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.when(F.abs(approx - exact) <= 0.02 * exact, 1).otherwise(0).alias("approx_ok"),
     )
+
+
+@register(
+    "window_count_distinct",
+    """
+    SELECT o_custkey, o_orderkey,
+           COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS n_prios,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    """,
+    doc="Distinct aggregate over a window: Spark forbids DISTINCT in "
+    "window functions, so the engine bridges with "
+    "size(collect_set(x) OVER w) — semantically COUNT(DISTINCT x) OVER "
+    "w, which is exactly what the DuckDB oracle runs. Bounded state: "
+    "the set holds distinct values only (5 priorities), not rows.",
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _orders(spark, sf_dir)
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w)).alias("n_prios"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    )
+
+
+@register(
+    "map_functions",
+    """
+    SELECT o_orderkey,
+           2 AS n_keys,
+           o_orderstatus AS status_val,
+           upper(o_orderpriority) AS prio_val,
+           1 AS has_status
+    FROM orders
+    """,
+    doc="Map/struct surface (SURVEY §2.8 'map functions absent' row): "
+    "build map<string,string> from arrays, then element_at / "
+    "map_contains_key / size — Spark-side the values round-trip THROUGH "
+    "the map type; the oracle computes the same scalars directly "
+    "(DuckDB's MAP dialect differs, values are what's checked).",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("prio")),
+        F.array(F.col("o_orderstatus"), F.upper("o_orderpriority")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "prio").alias("prio_val"),
+        F.when(F.map_contains_key(m, "status"), 1).otherwise(0).alias("has_status"),
+    )
