@@ -161,3 +161,28 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("sum_price", 2).cast("double").alias("sum_price"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+from .ops.layout import zorder_key, zorder_sql  # noqa: E402
+
+
+@register(
+    "layout_zorder_key",
+    f"""
+    SELECT o_orderkey,
+           {zorder_sql('o_custkey', 'o_orderkey', 16)} AS zkey
+    FROM orders
+    """,
+    doc="Z-order (Morton) clustering key over (o_custkey, o_orderkey) — "
+    "the multi-column data-skipping layout (ops/layout.py): files sorted "
+    "by the interleaved bits cover small rectangles of the key space, so "
+    "min/max footer stats prune scans filtered on EITHER column. Pure "
+    "bit math, identical in both engines; the layout benefit itself is "
+    "measured from real parquet footers in tests/test_layout.py.",
+)
+def q_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        zorder_key(F.col("o_custkey"), F.col("o_orderkey"), 16).alias("zkey"),
+    )

@@ -1,0 +1,68 @@
+"""Z-order layout: the clustered write must measurably narrow per-file
+min/max ranges on BOTH clustering columns (that's what lets footer-stats
+pruning skip files for predicates on either one), and the Morton key
+must round-trip exactly between engines (oracle parity covers that)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from salesdata_engineering_spark.ops.layout import write_zordered, zorder_key
+
+
+def _avg_file_span(path: str, col: str) -> float:
+    """Mean (max-min) of ``col`` across the parquet files under path."""
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                c = meta.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                    hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+        if lo is not None:
+            spans.append(hi - lo)
+    assert spans, f"no stats for {col} under {path}"
+    return sum(spans) / len(spans)
+
+
+def test_zorder_write_narrows_file_ranges(spark, tables, tmp_path):
+    o = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    n_files = 16
+
+    base = str(tmp_path / "plain")
+    o.repartition(n_files).write.parquet(base)  # hash layout: every file spans everything
+    zord = str(tmp_path / "zordered")
+    write_zordered(o, zord, by=["o_custkey", "o_orderkey"], n_files=n_files)
+
+    # identical data either way
+    assert spark.read.parquet(zord).count() == o.count()
+
+    for col in ("o_custkey", "o_orderkey"):
+        plain_span = _avg_file_span(base, col)
+        z_span = _avg_file_span(zord, col)
+        # each z-file covers a rectangle of the key space: expect a
+        # clear reduction on BOTH dimensions vs hash layout
+        assert z_span < plain_span * 0.7, (
+            f"{col}: z-order span {z_span:.0f} not < 70% of plain {plain_span:.0f}"
+        )
+
+
+def test_zorder_key_locality(spark):
+    """Nearby (a, b) points must map to nearby Morton keys: the key of
+    (a, b) and (a, b+1) differ less on average than random pairs."""
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") / 16).cast("long").alias("b")
+    )
+    keyed = df.select("a", "b", zorder_key(F.col("a"), F.col("b"), 4).alias("z")).collect()
+    zmap = {(r.a, r.b): r.z for r in keyed}
+    # all 256 keys distinct (bijective on the 4-bit x 4-bit grid)
+    assert len(set(zmap.values())) == 256
+    assert min(zmap.values()) == 0 and max(zmap.values()) == 255
+    # spot-check interleave: a=0b11, b=0b01 -> z = 0b0111
+    assert zmap[(3, 1)] == 0b0111
