@@ -599,7 +599,6 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "sales_team_mart",
     "customer_mart",
     "pricing_summary",
-    "filter_range_revenue",
     "distinct_pairs",
     "agg_grouping_variants",
     "approx_count_distinct",
@@ -611,7 +610,6 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "join_left_outer_order_counts",
     "join_full_outer_balance",
     "q3_shipping_priority",
-    "q10_returned_items",
     # sorts / top-k / windows
     "topk_suppliers_per_nation",
     "global_topk_orders",
@@ -641,7 +639,9 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "text_profile",
     "text_winnow_fingerprint",
     "text_pii_scrub",
+    "doc_chunking",
     "dedup_exact",
+    "dedup_cluster_components",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -371,7 +371,8 @@ def q_scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _P5_WHERE = """o_orderstatus IN ('O', 'P')
       AND o_orderpriority LIKE '%URGENT'
-      AND o_totalprice IS NOT NULL"""
+      AND o_totalprice IS NOT NULL
+      AND o_totalprice BETWEEN 1000 AND 600000"""
 
 
 @register(
@@ -396,8 +397,8 @@ _P5_WHERE = """o_orderstatus IN ('O', 'P')
     WHERE {_P5_WHERE}
     """,
     doc="§2.8/§2.2 umbrella: the date-function surface + NULL semantics "
-    "(nullif/coalesce/ifnull/null-CASE) over the P5 predicate family "
-    "(IN-list + LIKE + null-check) — predicates reach the parquet scan "
+    "(nullif/coalesce/ifnull/null-CASE) over the FULL P5 predicate family "
+    "(IN-list + LIKE + null-check + BETWEEN range) — predicates reach the parquet scan "
     "as PushedFilters. Constituents remain registered (date_functions / "
     "null_handling / filter_in_like).",
 )
@@ -406,6 +407,7 @@ def q_date_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").isin("O", "P")
         & F.col("o_orderpriority").like("%URGENT")
         & F.col("o_totalprice").isNotNull()
+        & F.col("o_totalprice").between(1000, 600000)
     )
     return o.select(
         "o_orderkey",

@@ -16,7 +16,6 @@ REQUIRED_IN_WINDOW = {
     "sales_team_mart",
     "customer_mart",
     "pricing_summary",
-    "filter_range_revenue",
     "distinct_pairs",
     # grouping variants + stats + pivot
     "agg_grouping_variants",
@@ -29,7 +28,6 @@ REQUIRED_IN_WINDOW = {
     "join_left_outer_order_counts",
     "join_full_outer_balance",
     "q3_shipping_priority",
-    "q10_returned_items",
     # sorts / topk / windows
     "topk_suppliers_per_nation",
     "global_topk_orders",
@@ -59,7 +57,9 @@ REQUIRED_IN_WINDOW = {
     "text_profile",
     "text_winnow_fingerprint",
     "text_pii_scrub",
+    "doc_chunking",
     "dedup_exact",
+    "dedup_cluster_components",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
