@@ -1067,3 +1067,43 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "prio").alias("prio_val"),
         F.when(F.map_contains_key(m, "status"), 1).otherwise(0).alias("has_status"),
     )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(total_qty AS DOUBLE) AS total_qty,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 210
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: aggregate-with-HAVING (the post-aggregation "
+    "predicate surface no other query exercises) feeding joins back to "
+    "orders/customer. Catalyst plans HAVING as a filter ABOVE the final "
+    "hash aggregate — partial aggregation still runs map-side; the "
+    "surviving group keys (rare) drive the join.",
+)
+def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dec = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec).alias("total_qty"))
+        .filter(F.col("total_qty") > 210)
+    )
+    j = big.join(t["orders"], big.l_orderkey == F.col("o_orderkey")).join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
