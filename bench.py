@@ -8,13 +8,18 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect cost). A warmup query first amortizes JVM/codegen startup
-out of the numbers.
+out of the numbers. Each query is timed ``$SPARK_GRAFT_BENCH_RUNS``
+times (default 3) and the MEDIAN is reported: single-run timings on a
+shared machine showed ~35% co-load noise in round 2 (sales_team_mart
+recorded 4.45 s vs 2.7-3.3 s on re-measurement), so round-over-round
+deltas on ~1 s queries were unreliable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -53,12 +58,18 @@ def main() -> None:
 
     force(QUERIES[names[0]].fn(spark, sf_dir))  # warmup: JVM + codegen + FS caches
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        force(QUERIES[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()  # isolate queries: no cross-query cache reuse
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(QUERIES[name].fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+            # isolate runs AND queries: a persist inside one run must not
+            # make the next run (or the next query) artificially fast
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 3)
 
     print(
         json.dumps(

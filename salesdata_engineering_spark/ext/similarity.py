@@ -33,31 +33,45 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product. With ``dim`` known, unrolls to an explicit
     a[0]·b[0] + … + a[d−1]·b[d−1] sum: Spark's higher-order functions
     (aggregate/zip_with) are CodegenFallback — interpreted per row,
     ~50x slower — while the unrolled form stays in whole-stage codegen.
     Left-assoc addition keeps the identical IEEE order as the fold and
-    as DuckDB's list_dot_product, so results stay bit-identical."""
+    as DuckDB's list_dot_product, so results stay bit-identical.
+
+    Pass column NAMES (str) on the fast path: the unrolled sum is then
+    built as ONE SQL string parsed server-side (``F.expr``; SQL ``+`` is
+    left-assoc, identical tree). Building the same 64-term tree with
+    Column operators costs ~1.7 s of py4j round trips PER EXPRESSION on
+    the driver — measured as the dominant cost of the brute-force cosine
+    query (2.9 s build vs 0.6 s execution at sf0.1)."""
     if dim is None:
-        return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+        return _fold_sum(F.zip_with(F.col(a) if isinstance(a, str) else a,
+                                    F.col(b) if isinstance(b, str) else b,
+                                    lambda x, y: x * y))
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(" + ".join(f"`{a}`[{i}] * `{b}`[{i}]" for i in range(dim)))
     s = a.getItem(0) * b.getItem(0)
     for i in range(1, dim):
         s = s + a.getItem(i) * b.getItem(i)
     return s
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
     if dim is None:
-        return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+        return F.sqrt(_fold_sum(F.transform(F.col(a) if isinstance(a, str) else a,
+                                            lambda x: x * x)))
+    if isinstance(a, str):
+        return F.sqrt(F.expr(" + ".join(f"`{a}`[{i}] * `{a}`[{i}]" for i in range(dim))))
     s = a.getItem(0) * a.getItem(0)
     for i in range(1, dim):
         s = s + a.getItem(i) * a.getItem(i)
     return F.sqrt(s)
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
@@ -71,11 +85,25 @@ def _spread(df: DataFrame) -> DataFrame:
     broadcast nested-loop over a 1-partition stream runs in ONE task —
     this is the difference between 1 and 32 cores on the O(|Q|·|C|)
     scan. No-op cost at scale: an explicit numPartitions repartition is
-    never AQE-coalesced, so only call when under-partitioned."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    never AQE-coalesced, so only call when under-partitioned.
+
+    Probe is driver-only: ``df.rdd.getNumPartitions()`` would CONVERT the
+    plan to an RDD and run a job (~1.1 s even on a 1-file scan — measured);
+    instead estimate scan splits from the leaf file list and plan-stat
+    bytes / ``files.maxPartitionBytes`` (a single huge file still splits,
+    so it must not trigger the repartition)."""
+    sess = df.sparkSession
+    par = sess.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files or len(files) >= par:
+            return df
+        max_pb = int(sess._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        est = max(len(files), -(-size // max(max_pb, 1)))
+        return df.repartition(par) if est < par else df
+    except Exception:  # non-file sources / internal API drift: spread is safe
+        return df.repartition(par)
 
 
 def cosine_topk(
@@ -97,14 +125,14 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col), dim).alias("_qn"),
+        norm(vec_col, dim).alias("_qn"),
     )
-    c = _spread(corpus).select(id_col, vec_col, norm(F.col(vec_col), dim).alias("_cn"))
+    c = _spread(corpus).select(id_col, vec_col, norm(vec_col, dim).alias("_cn"))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
     sim = pairs.select(
         query_id_col,
         id_col,
-        (dot(F.col(vec_col), F.col("_qvec"), dim) / (F.col("_cn") * F.col("_qn"))).alias("_sim"),
+        (dot(vec_col, "_qvec", dim) / (F.col("_cn") * F.col("_qn"))).alias("_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
     return (
@@ -134,8 +162,22 @@ def hyperplane(dim: int, h: int) -> list[float]:
     return out
 
 
-def lsh_bucket_key(vec: Column, planes: list[list[float]], dim: int | None = None) -> Column:
-    """Sign-bit bucket key: bit h = [dot(vec, plane_h) > 0]."""
+def lsh_bucket_key(vec: Column | str, planes: list[list[float]], dim: int | None = None) -> Column:
+    """Sign-bit bucket key: bit h = [dot(vec, plane_h) > 0].
+
+    With a column NAME, the whole key is ONE parsed SQL expression
+    (fold-dot per plane; the ``D`` suffix keeps plane components double
+    literals — bare decimals parse as DECIMAL and would change the
+    arithmetic). The py4j route built 64 lit calls per plane — ~2.3 s
+    of driver time per LSH query (measured); the sign of the dot is all
+    that matters here, so the interpreted fold is fine row-side."""
+    if isinstance(vec, str):
+        bits = []
+        for plane in planes:
+            arr = "array(" + ", ".join(f"{c!r}D" for c in plane) + ")"
+            d = f"aggregate(zip_with(`{vec}`, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            bits.append(f"CASE WHEN {d} > 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(bits) + ")")
     bits = []
     for h, plane in enumerate(planes):
         arr = F.array(*[F.lit(c) for c in plane])
@@ -144,7 +186,7 @@ def lsh_bucket_key(vec: Column, planes: list[list[float]], dim: int | None = Non
 
 
 def lsh_bucket_keys(
-    vec: Column, planes: list[list[float]], n_tables: int, bits: int, dim: int | None = None
+    vec: Column | str, planes: list[list[float]], n_tables: int, bits: int, dim: int | None = None
 ) -> Column:
     """Array of per-table bucket keys (table t uses planes t·bits..t·bits+bits−1)."""
     return F.array(
@@ -179,7 +221,7 @@ def lsh_ann_topk(
     # fold-based plane dots (dim=None): the unrolled form here is a
     # 2048-term expression whose Janino compile alone costs ~25s; the
     # interpreted fold over |C|+|Q| rows (not per-pair!) is cheaper.
-    keys = lsh_bucket_keys(F.col(vec_col), planes, n_tables, bits, None)
+    keys = lsh_bucket_keys(vec_col, planes, n_tables, bits, None)
     ckey = _spread(corpus).select(id_col, vec_col, F.posexplode(keys).alias("tbl", "bucket"))
     qkey = queries.select(
         query_id_col,
@@ -192,7 +234,7 @@ def lsh_ann_topk(
         .select(query_id_col, id_col, vec_col, "_qvec")
         .dropDuplicates([query_id_col, id_col])
     )
-    sim = cand.select(query_id_col, id_col, cosine(F.col(vec_col), F.col("_qvec"), dim).alias("_sim"))
+    sim = cand.select(query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
     return (
         sim.withColumn("rk", F.row_number().over(w))
@@ -216,17 +258,17 @@ def embedding_near_dup_pairs(
     a = _spread(corpus).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        norm(F.col(vec_col), dim).alias("_na"),
+        norm(vec_col, dim).alias("_na"),
     )
     b = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        norm(F.col(vec_col), dim).alias("_nb"),
+        norm(vec_col, dim).alias("_nb"),
     )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")))
+        .withColumn("_sim", dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round("_sim", 6).alias("cosine_sim"))
     )
@@ -252,34 +294,44 @@ def embedding_near_dup_lsh(
     only on candidates — never a cross product. Recall vs the all-pairs
     oracle is measured in tests (per-neighbor ≈ 1−(1−p^bits)^n_tables)."""
     planes = [hyperplane(dim, h) for h in range(n_tables * bits)]
-    keys = lsh_bucket_keys(F.col(vec_col), planes, n_tables, bits, None)
-    # Norms are computed per keyed ROW (|C|·n_tables unrolled evaluations,
-    # own codegen stage) rather than per candidate pair — and keeping only
-    # the 64-term dot in the post-join stage also keeps that stage's
-    # generated method under Janino's 64 KB whole-stage-codegen limit
-    # (dot + two norms inline tripped the interpreted fallback).
+    keys = lsh_bucket_keys(vec_col, planes, n_tables, bits, None)
+    # Candidate generation is NARROW: only (id, tbl, bucket) enters the
+    # self-join and the pair dedup. The previous form carried both 64-dim
+    # vectors + norms through the bucket join AND dropDuplicates — ~1 GB
+    # of shuffle for ~1M candidate rows at sf0.1 (4–7 s, measured). Now
+    # the wide columns are joined back AFTER dedup, once per surviving
+    # pair; vectors cross a shuffle only in those two id-equi-joins.
     keyed = _spread(corpus).select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm(F.col(vec_col), dim).alias("_n"),
-        F.posexplode(keys).alias("tbl", "bucket"),
-    )
-    a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"),
-        "tbl", "bucket",
-    )
-    b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"),
-        "tbl", "bucket",
+        F.col(id_col), F.posexplode(keys).alias("tbl", "bucket")
     )
     cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb", "_na", "_nb")
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["tbl", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = cand.withColumn(
-        "_sim", dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb"))
+    # Norms are computed per corpus ROW (own codegen stage) rather than
+    # per candidate pair — and keeping only the 64-term dot in the
+    # post-join stage also keeps that stage's generated method under
+    # Janino's 64 KB whole-stage-codegen limit (dot + two norms inline
+    # tripped the interpreted fallback).
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(vec_col, dim).alias("_na"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(vec_col, dim).alias("_nb"),
+    )
+    sim = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_sim", dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")))
     )
     return sim.filter(F.col("_sim") >= threshold).select(
         "id_a", "id_b", F.round("_sim", 6).alias("cosine_sim")
@@ -312,12 +364,12 @@ def ivf_ann_topk(
         corpus.filter(F.col(id_col) % stride == 0).select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).alias("_cvec"),
-            norm(F.col(vec_col), dim).alias("_cn"),
+            norm(vec_col, dim).alias("_cn"),
         )
     )
 
     def assign(df: DataFrame, out_id: str, keep: int) -> DataFrame:
-        sim = (dot(F.col(vec_col), F.col("_cvec"), dim) / (norm(F.col(vec_col), dim) * F.col("_cn"))).alias("_cs")
+        sim = (dot(vec_col, "_cvec", dim) / (norm(vec_col, dim) * F.col("_cn"))).alias("_cs")
         w = Window.partitionBy(out_id).orderBy(F.col("_cs").desc(), "cid")
         return (
             df.crossJoin(cents)
@@ -337,7 +389,7 @@ def ivf_ann_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     sim = cand.select(
-        query_id_col, id_col, cosine(F.col(vec_col), F.col("_qvec"), dim).alias("_sim")
+        query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
     return (
