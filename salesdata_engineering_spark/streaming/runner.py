@@ -20,34 +20,38 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-#: events.parquet physical schema (ts is INT64 nanos — see datasets.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """readStream over the events parquet with nanos→timestamp restore."""
+    """readStream over the events parquet, timestamp-layout adaptive.
+
+    readStream requires a user-supplied schema; hardcoding one breaks the
+    moment the producer changes the physical timestamp encoding (seen in
+    practice: the testdata flipped from INT64 TIMESTAMP(NANOS) to plain
+    timestamp[us], silently compressing a month of event-time into
+    minutes). Probe the actual schema with a batch footer read instead,
+    then reuse the same dtype-conditional nanos restore as the batch path
+    so both paths agree by construction.
+    """
+    from ..datasets import _restore_timestamps
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    out = _restore_timestamps("events", reader.parquet(sf_dir))
+    if dict(out.dtypes)["ts"] == "timestamp_ntz":
+        # watermarks demand TIMESTAMP (with local-tz semantics); the cast is
+        # value-preserving because the session timezone is pinned to UTC above
+        out = out.withColumn("ts", out["ts"].cast("timestamp"))
+    return out
 
 
 def run_to_completion(
