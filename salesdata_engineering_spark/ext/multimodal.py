@@ -82,12 +82,28 @@ def fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     return out
 
 
-def featurize(df: DataFrame, dim: int = 8, batch_size: int = 256) -> DataFrame:
+def _cap_arrow_batch(df: DataFrame, batch_size: int | None) -> None:
+    """Bound Arrow batch memory for large-payload mapInPandas stages.
+
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is the only knob —
+    there is no per-plan override — and it is read at EXECUTION time, so
+    a set-then-restore around building the (lazy) plan would silently
+    drop the bound before it ever applied. Hence: ``None`` (default)
+    leaves the session conf untouched; an explicit value is set for the
+    session and stays set, which the caller opts into knowingly."""
+    if batch_size is not None:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+
+
+def featurize(df: DataFrame, dim: int = 8, batch_size: int | None = None) -> DataFrame:
     """mapInPandas feature extraction over MEDIA_SCHEMA rows.
 
     One Arrow batch in, one out; the binary payload never survives past
     this operator (features replace it), so downstream shuffles stay
-    narrow."""
+    narrow. Pass ``batch_size`` to cap Arrow batch memory when payloads
+    are real media (session-scoped — see ``_cap_arrow_batch``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,8 +117,7 @@ def featurize(df: DataFrame, dim: int = 8, batch_size: int = 256) -> DataFrame:
                 }
             )
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _cap_arrow_batch(df, batch_size)
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
@@ -139,7 +154,7 @@ def fake_resize_bytes(payload: bytes, w: int, h: int) -> bytes:
     contract a real PIL/ffmpeg resize kernel has."""
     return hashlib.md5(payload).digest() + f":{w}x{h}".encode()
 
-def resize_images(df: DataFrame, max_side: int = 224, batch_size: int = 256) -> DataFrame:
+def resize_images(df: DataFrame, max_side: int = 224, batch_size: int | None = None) -> DataFrame:
     """Aspect-preserving image resize under ``mapInPandas``.
 
     Target dims are PURE METADATA math and computed JVM-side BEFORE the
@@ -170,6 +185,5 @@ def resize_images(df: DataFrame, max_side: int = 224, batch_size: int = 256) -> 
             ]
             yield pdf
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _cap_arrow_batch(df, batch_size)
     return needs.mapInPandas(run, RESIZED_SCHEMA)

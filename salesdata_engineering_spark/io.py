@@ -117,6 +117,7 @@ def compact_parquet(
     import math
     import shutil
     import tempfile
+    import uuid
     from pathlib import Path
 
     src = Path(path)
@@ -135,7 +136,9 @@ def compact_parquet(
     # Hadoop FS this maps to FileSystem.rename twice + delete; object
     # stores without atomic rename should compact into a NEW prefix and
     # flip a pointer (manifest/catalog) instead.
-    old = tempfile.mktemp(prefix="compact_old_", dir=src.parent)
+    # uuid sibling path, not tempfile.mktemp: mktemp is deprecated and its
+    # name can be claimed between generation and the rename
+    old = src.parent / f"compact_old_{uuid.uuid4().hex}"
     src.rename(old)
     try:
         Path(tmp).rename(path)

@@ -69,3 +69,21 @@ def test_resize_plan_and_kernel(spark, media):
     assert bytes(r.payload) == fake_resize_bytes(b"\x89PNG-fake-bytes-1", 40, 30)
     # 32x32 image already fits: filtered out JVM-side before Python
     assert 2 not in out
+
+
+def test_default_calls_leave_arrow_conf_untouched(spark, media):
+    """Session conf hygiene: featurize/resize must not mutate the
+    session-global Arrow batch size unless the caller opts in (the conf
+    is read at execution time, so an eager set-then-restore would be a
+    silent no-op — see _cap_arrow_batch)."""
+    from salesdata_engineering_spark.ext.multimodal import resize_images
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    featurize(media).collect()
+    resize_images(media, max_side=40).collect()
+    assert spark.conf.get(key) == before
+    # explicit opt-in DOES set it (and is executed with the bound live)
+    featurize(media, batch_size=2).collect()
+    assert spark.conf.get(key) == "2"
+    spark.conf.set(key, before)
