@@ -289,3 +289,49 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.select("user_id", "event_type"), output_mode="append"
     )
     return out.distinct()  # sink may replay across drains; keys are the contract
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream watermarked inner join: purchases within 30 "
+    "minutes after a click by the same user, BOTH sides readStream. The "
+    "time-range join condition plus the 1-hour watermarks is what lets "
+    "Spark evict join state (without it, both sides buffer forever — "
+    "the scale-critical part of a streaming join). Inner-join matches "
+    "are emitted as soon as both rows arrive, so the AvailableNow drain "
+    "equals the batch interval join — which is the oracle. Streaming "
+    "counterpart of ops/interval.py; unit-level late-data behavior in "
+    "tests/test_streaming.py.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def side(event_type: str, alias: str) -> DataFrame:
+        s = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+        return s.filter(F.col("event_type") == event_type).select(
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col("user_id").alias(f"_{alias}_user"),
+            F.col("ts").alias(f"{alias}_ts"),
+        )
+
+    clicks, purchases = side("click", "click"), side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("_click_user") == F.col("_purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_to_completion(joined, output_mode="append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("_click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
