@@ -41,6 +41,10 @@ HEADLINE = [
     "interval_join_click_error",
     "text_pii_scrub",
     "corpus_curation_pipeline",
+    # round-4 additions: repetition gate, contamination scan, packing
+    "text_repetition_score",
+    "contamination_ngram_overlap",
+    "pack_training_sequences",
 ]
 
 

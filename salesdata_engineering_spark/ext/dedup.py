@@ -356,3 +356,48 @@ def connected_components(
         if changed.isEmpty():
             break
     return labels
+
+
+def contamination_overlap(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Train/eval contamination check: which training documents share
+    word ``n``-grams with a held-out set (the benchmark-leakage scan a
+    training pipeline runs before every data release; n=5..13 is the
+    usual window — GPT-3 used 13-gram, Gopher 8-gram overlap).
+
+    Shape is the scale-safe inverted index, NOT all-pairs: distinct
+    (doc, gram-hash) on each side, equi-join on the 60-bit gram hash,
+    aggregate per training doc. Shuffle is proportional to total
+    distinct grams; the held-out side (benchmarks) is tiny in practice,
+    so at 100 TB AQE broadcasts it and the train side never shuffles.
+    ``df_cap`` drops grams present in more than that many held-out docs
+    (stop-phrases like 'what is the name of' match everything and only
+    add noise — same guard as ngram_jaccard_pairs' stop-shingles).
+
+    Returns one row per contaminated training doc: distinct shared
+    grams + how many held-out docs it touches.
+    """
+    tg = word_shingles(train, text_col, id_col, n).select(
+        "id", md5_long(F.col("shingle")).alias("g")
+    )
+    hg = word_shingles(heldout, text_col, id_col, n).select(
+        F.col("id").alias("held_id"), md5_long(F.col("shingle")).alias("g")
+    )
+    if df_cap is not None:
+        keep = hg.groupBy("g").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= df_cap
+        )
+        hg = hg.join(keep.select("g"), "g")
+    hits = tg.join(hg, "g")
+    return hits.groupBy("id").agg(
+        F.countDistinct("g").alias("n_shared_grams"),
+        F.countDistinct("held_id").alias("n_held_docs"),
+    ).select(
+        F.col("id").alias(id_col), "n_shared_grams", "n_held_docs"
+    )

@@ -323,3 +323,51 @@ def pii_scrub(text: Column | str) -> Column:
     return F.regexp_replace(
         F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
     )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: fraction of word 2-grams and 3-grams
+    that repeat an earlier occurrence — the Gopher/RefinedWeb "duplicate
+    n-gram" quality signal (boilerplate, keyword stuffing, and decoding
+    loops all score high; filtered before training).
+
+    One tokenize (posexplode), one window over (doc, pos) building both
+    gram widths via ``lead``, one groupBy — the array-expression form
+    (transform over split) re-runs the regex split per element (no CSE
+    across lambda boundaries, same trap as word_shingles/winnowing).
+    The window and the groupBy share the doc-id shuffle key. Docs with
+    fewer than 2 tokens have no 2-grams and are excluded (same rule in
+    the oracle); rep3_frac is 0 when a doc has exactly 2 tokens.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    l1, l2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    grams = toks.select(
+        "id",
+        F.when(l1.isNotNull(), F.concat_ws(" ", F.col("tok"), l1)).alias("g2"),
+        F.when(l2.isNotNull(), F.concat_ws(" ", F.col("tok"), l1, l2)).alias("g3"),
+    )
+    agg = grams.groupBy("id").agg(
+        F.count("g2").alias("n_2grams"),
+        F.countDistinct("g2").alias("n_unique_2grams"),
+        F.count("g3").alias("n_3grams"),
+        F.countDistinct("g3").alias("n_unique_3grams"),
+    )
+    frac = lambda n, u: F.when(  # noqa: E731
+        F.col(n) > 0,
+        F.round(F.lit(1.0) - F.col(u) / F.col(n), 6),
+    ).otherwise(F.lit(0.0))
+    return agg.filter(F.col("n_2grams") > 0).select(
+        F.col("id").alias(id_col),
+        "n_2grams",
+        "n_unique_2grams",
+        frac("n_2grams", "n_unique_2grams").alias("rep2_frac"),
+        "n_3grams",
+        "n_unique_3grams",
+        frac("n_3grams", "n_unique_3grams").alias("rep3_frac"),
+    )

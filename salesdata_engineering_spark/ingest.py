@@ -176,7 +176,13 @@ class FileLedger:
         )
 
     def record(self, files: list[str], status: str) -> None:
-        """INSERT/UPDATE equivalent: append (file, status, seq) rows."""
+        """INSERT/UPDATE equivalent: append (file, status, seq) rows.
+
+        Already batched per status transition (one tiny parquet appended
+        per CALL, not per file) — pass the whole cycle's file list at
+        once. A long-lived ingest loop still accretes one small file per
+        transition; compact_parquet(ledger.path) is the standing remedy,
+        same as for any append-log table."""
         self._seq += 1
         rows = [(Path(f).name, status, self._seq) for f in files]
         self.spark.createDataFrame(rows, "file_name string, status string, seq long").write.mode(

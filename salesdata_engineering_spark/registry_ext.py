@@ -779,3 +779,112 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("cluster_id"),
         F.when(F.col("component") == F.col("id"), 1).otherwise(0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3/X1 extensions: repetition scoring, contamination scan, sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_score",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(w)),
+                              i -> array_to_string(w[i:i+1], ' ')) AS g2,
+               list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+2], ' ')) AS g3
+        FROM t WHERE len(w) >= 2
+    )
+    SELECT doc_id,
+           len(g2) AS n_2grams,
+           len(list_distinct(g2)) AS n_unique_2grams,
+           round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) AS rep2_frac,
+           len(g3) AS n_3grams,
+           len(list_distinct(g3)) AS n_unique_3grams,
+           CASE WHEN len(g3) > 0
+                THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+                ELSE 0.0 END AS rep3_frac
+    FROM g
+    """,
+    doc="Within-document repetition score (ext/text.py repetition_score): "
+    "duplicate 2-gram / 3-gram fractions per doc — the Gopher-style "
+    "repetitious-text quality gate. One tokenize + one (doc,pos) window "
+    "building both gram widths + one groupBy sharing the same shuffle "
+    "key; no UDF, no re-tokenization per gram (the transform-over-split "
+    "array form re-runs the regex per element).",
+)
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir))
+
+
+@register(
+    "contamination_ngram_overlap",
+    f"""
+    WITH sp AS (SELECT doc_id AS id, {SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+                              i -> array_to_string(t[i:i+4], ' ')))) AS shingle
+           FROM sp),
+    hsh AS (SELECT id AS held_id, {SQL_HASH60.format(x='shingle')} AS g
+            FROM sh WHERE id % 20 = 0),
+    tsh AS (SELECT id, {SQL_HASH60.format(x='shingle')} AS g
+            FROM sh WHERE id % 20 <> 0)
+    SELECT tsh.id AS doc_id,
+           count(DISTINCT tsh.g) AS n_shared_grams,
+           count(DISTINCT hsh.held_id) AS n_held_docs
+    FROM tsh JOIN hsh ON tsh.g = hsh.g
+    GROUP BY 1
+    """,
+    doc="Benchmark-contamination scan (ext/dedup.py contamination_overlap): "
+    "training docs (doc_id % 20 != 0) sharing any word 5-gram with the "
+    "held-out slice (doc_id % 20 = 0). Inverted-index equi-join on the "
+    "60-bit gram hash — never all-pairs; at 100 TB the held-out side "
+    "(benchmarks) is tiny, AQE broadcasts it, and the train side never "
+    "shuffles. df_cap drops stop-phrases when the held-out set is large.",
+)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import contamination_overlap
+
+    docs = _docs(spark, sf_dir)
+    heldout = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_overlap(train, heldout, n=5)
+
+
+@register(
+    "pack_training_sequences",
+    f"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               {SQL_HASH60.format(x="CAST(doc_id AS VARCHAR)")} AS h,
+               len({SQL_TOKENS}) AS n_tok
+        FROM documents
+    ),
+    b AS (SELECT *, h % 32 AS bucket FROM d),
+    c AS (SELECT *,
+                 SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h, id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS cum
+          FROM b)
+    SELECT bucket,
+           CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           round(SUM(n_tok)::DOUBLE / 512, 4) AS fill_ratio
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Token-budget sequence packing (ext/packing.py pack_sequences): "
+    "greedy stream packing of documents into 512-token training "
+    "sequences across 32 parallel hash buckets — one window cumsum per "
+    "bucket, no driver loop, reproducible order from the doc-id hash "
+    "(monotonically_increasing_id would not be). Returns per-sequence "
+    "doc/token counts and fill ratio.",
+)
+def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=32)

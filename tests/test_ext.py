@@ -208,3 +208,86 @@ def test_chunking_covers_all_tokens_with_overlap(spark):
     # short docs yield exactly one chunk
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 2
     assert len(by_doc[3]) == 1
+
+
+def test_repetition_score_known_fractions(spark):
+    from salesdata_engineering_spark.ext.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # 2-grams: 'a a' x3 -> rep2 = 1 - 1/3
+            (2, "a b c d"),        # all grams unique -> rep 0
+            (3, "x y"),            # one 2-gram, no 3-grams -> rep3 = 0
+            (4, "solo"),           # no 2-grams -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_score(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_2grams == 3 and out[1].n_unique_2grams == 1
+    assert out[1].rep2_frac == round(1 - 1 / 3, 6)
+    assert out[1].rep3_frac == round(1 - 1 / 2, 6)
+    assert out[2].rep2_frac == 0.0 and out[2].rep3_frac == 0.0
+    assert out[3].n_3grams == 0 and out[3].rep3_frac == 0.0
+
+
+def test_contamination_overlap_planted_leak(spark):
+    from salesdata_engineering_spark.ext.dedup import contamination_overlap
+
+    held = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over and more"),
+            (2, "completely unrelated training document with no overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_overlap(train, held, n=5).collect()}
+    # doc 1 shares exactly 2 distinct 5-grams with the held-out doc
+    assert set(out) == {1}
+    assert out[1].n_shared_grams == 2 and out[1].n_held_docs == 1
+
+
+def test_contamination_df_cap_drops_stop_grams(spark):
+    from salesdata_engineering_spark.ext.dedup import contamination_overlap
+
+    stop = "what is the name of"
+    held = spark.createDataFrame(
+        [(i, f"{stop} item{i}") for i in range(100, 105)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, f"prefix {stop} suffix words here")], "doc_id long, text string"
+    )
+    hit = contamination_overlap(train, held, n=5).collect()
+    assert len(hit) == 1  # the stop 5-gram matches all 5 held docs
+    capped = contamination_overlap(train, held, n=5, df_cap=3).collect()
+    assert capped == []  # gram present in >3 held docs dropped
+
+
+def test_pack_sequences_invariants(spark):
+    from salesdata_engineering_spark.ext.packing import pack_sequences
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), 37)).alias("text"),
+    )
+    out = pack_sequences(docs, budget=100, n_buckets=4).collect()
+    assert sum(r.n_tokens for r in out) == 200 * 37  # every token packed once
+    assert all(r.seq_id >= 0 for r in out)
+    # start-offset binning bound: a straddling doc overfills its own
+    # sequence and the next underfills — by less than one doc length
+    # either way. So every non-last sequence holds > budget - doc_len
+    # tokens (docs here are uniform 37 tokens).
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.seq_id)
+        assert all(r.n_tokens > 100 - 37 for r in rows[:-1])
+    # deterministic: re-run is identical
+    again = pack_sequences(docs, budget=100, n_buckets=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
