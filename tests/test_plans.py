@@ -192,3 +192,29 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Sequence packing must be ONE hash shuffle on bucket: the window
+    cumsum and the (bucket, seq_id) aggregation share the partitioning;
+    a second exchange would mean the groupBy re-shuffled."""
+    plan = plan_of(QUERIES["pack_training_sequences"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_contamination_no_cross_product(spark, sf_dir):
+    """The contamination scan must stay an equi-join on the gram hash —
+    never a cross/nested-loop pairing of train x held-out docs."""
+    plan = plan_of(QUERIES["contamination_ngram_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_repetition_window_and_agg_share_shuffle_key(spark, sf_dir):
+    """Both gram widths come from ONE tokenize pass: exactly one
+    generate (posexplode) in the plan, and the (doc,pos) window feeds
+    the per-doc aggregate without a cross product."""
+    plan = plan_of(QUERIES["text_repetition_score"].fn(spark, sf_dir))
+    assert plan.count("Generate explode") + plan.count("Generate posexplode") == 1, plan
+    assert "CartesianProduct" not in plan

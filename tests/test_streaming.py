@@ -191,3 +191,44 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     ).select("click_id", "error_id")
     out = run_to_completion(joined, output_mode="append").collect()
     assert {(r.click_id, r.error_id) for r in out} == {(1, 101), (2, 103)}
+
+
+def test_write_stream_parquet_durable_sink_and_restart(spark, tmp_path):
+    """Durable file sink: AvailableNow drain writes parquet exactly once;
+    a SECOND drain over the same checkpoint must be a no-op (the
+    checkpoint's file index already covers the source files) — the
+    exactly-once restart contract the reference approximated with its
+    MySQL staging ledger."""
+    from salesdata_engineering_spark.streaming.runner import write_stream_parquet
+
+    root = str(tmp_path)
+    _write_file(spark, [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 5), 2, 2.0)], f"{root}/src/batch_0")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    write_stream_parquet(_read_stream(spark, f"{root}/src"), out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 2
+
+    write_stream_parquet(_read_stream(spark, f"{root}/src"), out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 2  # no duplicate replay
+
+    # new source file after restart: only the delta lands
+    _write_file(spark, [(3, _ts(11, 0), 1, 3.0)], f"{root}/src/batch_1")
+    write_stream_parquet(_read_stream(spark, f"{root}/src"), out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_write_stream_parquet_partitioned_layout(spark, tmp_path):
+    """partition_by produces the partitioned dir layout (prunable on
+    read) straight from the stream."""
+    from salesdata_engineering_spark.streaming.runner import write_stream_parquet
+
+    root = str(tmp_path)
+    _write_file(spark, [(1, _ts(10), 1, 1.0), (2, _ts(11), 2, 2.0)], f"{root}/src/batch_0")
+    out, ckpt = f"{root}/p_out", f"{root}/p_ckpt"
+    write_stream_parquet(
+        _read_stream(spark, f"{root}/src"), out, ckpt, partition_by=("user_id",)
+    ).awaitTermination()
+    assert sorted(d for d in os.listdir(out) if d.startswith("user_id=")) == [
+        "user_id=1",
+        "user_id=2",
+    ]
