@@ -168,10 +168,18 @@ def minhash_signatures(
 
 
 def _sig_cols(sh: DataFrame, k: int) -> DataFrame:
-    """(id, sig_0..sig_{k-1}) — one min-agg per salted hash family."""
-    base = _minhash_base()
-    return sh.groupBy("id").agg(
-        *[F.min(perm_hash(base, h)).alias(f"sig_{h}") for h in range(k)]
+    """(id, sig_0..sig_{k-1}) — one min-agg per salted hash family.
+
+    The md5 base hash is HOISTED into a projected column below the
+    aggregate: each of the k min-agg expressions would otherwise carry
+    its own copy of the md5+conv subtree, and Spark's subexpression
+    elimination does not fire across aggregate expressions, so the md5
+    ran k× per shingle row (measured 1.83 s → 1.07 s median at sf0.1
+    for the full LSH query after the hoist). Post-hoist each agg input
+    is one multiply-add-mod over the shared ``hv`` long."""
+    hv = sh.withColumn("hv", _minhash_base())
+    return hv.groupBy("id").agg(
+        *[F.min(perm_hash(F.col("hv"), h)).alias(f"sig_{h}") for h in range(k)]
     )
 
 
@@ -208,12 +216,15 @@ def minhash_lsh_pairs(
     # sides) get different column-pruned subtrees, so Spark's exchange
     # reuse never fires and the aggregate would execute 3× (measured
     # 9.5s→6.3s at sf0.1). One row per doc — tiny relative to input.
-    base = _minhash_base()
+    # The md5 base is hoisted below the agg (see _sig_cols): agg-expr
+    # subtrees get no cross-expression CSE, so an inline base ran the
+    # md5 k× per shingle row.
     docs = (
-        sh_rows.groupBy("id")
+        sh_rows.withColumn("hv", _minhash_base())
+        .groupBy("id")
         .agg(
             F.collect_set("shingle").alias("sh"),
-            *[F.min(perm_hash(base, h)).alias(f"sig_{h}") for h in range(k)],
+            *[F.min(perm_hash(F.col("hv"), h)).alias(f"sig_{h}") for h in range(k)],
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
