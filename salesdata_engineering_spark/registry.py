@@ -601,19 +601,16 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     "distinct_pairs",
     "agg_grouping_variants",
-    "approx_count_distinct",
     "stats_advanced",
     "pivot_status_totals",
     # joins
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
     "join_left_outer_order_counts",
-    "join_full_outer_balance",
     "q3_shipping_priority",
     # sorts / top-k / windows
     "topk_suppliers_per_nation",
     "global_topk_orders",
-    "global_sort_prices",
     "window_analytics_suite",
     "window_frames_bounded",
     # set ops
@@ -629,20 +626,24 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "skew_salted_sum",
     # events: batch windows, as-of / interval joins, streaming
     "events_tumbling_counts",
-    "events_sliding_avg",
     "events_session_windows",
     "asof_click_purchase",
     "interval_join_click_error",
     "stream_tumbling_counts",
     "stream_stateful_totals",
+    "stream_stream_join",
+    # dimension maintenance
+    "scd2_customer_segments",
     # LLM-pipeline extensions: text, dedup, similarity, multimodal, sampling
     "text_profile",
     "text_winnow_fingerprint",
     "text_pii_scrub",
+    "text_repetition_score",
     "doc_chunking",
+    "pack_training_sequences",
     "dedup_exact",
     "dedup_cluster_components",
-    "dedup_ngram_jaccard",
+    "contamination_ngram_overlap",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
