@@ -371,3 +371,47 @@ def repetition_score(
         "n_unique_3grams",
         frac("n_3grams", "n_unique_3grams").alias("rep3_frac"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    score = tf · (ln((N+1)/(df+1)) + 1) — the sklearn-style smoothed
+    idf, so terms present in every document still get a positive weight
+    and the log never sees zero. Ties break on term (asc) so the top-k
+    edge is deterministic cross-engine.
+
+    Plan shape (scale): one explode + (doc, term) hash-agg for tf; the
+    document-frequency table derives from the SAME tf subtree (exchange
+    reuse fires — one shuffle feeds both aggregates); N is a broadcast
+    1-row frame; term-keyed join tf⋈df is left to AQE (vocabulary can
+    exceed broadcast size at corpus scale); final per-doc top-k is a
+    narrow row_number window. Document text never shuffles."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "rk", "score")
+    )

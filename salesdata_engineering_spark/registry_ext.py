@@ -35,12 +35,14 @@ from .ext.similarity import (
     hyperplane,
     ivf_ann_topk,
     lsh_ann_topk,
+    quantized_topk,
 )
 from .ext.text import (
     LANG_STOPWORDS,
     lang_id,
     quality_score,
     term_frequencies,
+    tfidf_top_terms,
     token_stats,
     winnow_fingerprint,
 )
@@ -888,3 +890,91 @@ def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.packing import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: TF-IDF characteristic terms, quantized ANN
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf,
+               round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, rk, score FROM (
+        SELECT doc_id, term, tf, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rk
+        FROM scored)
+    WHERE rk <= 3
+    """,
+    doc="X3 TF-IDF top-3 characteristic terms per doc (smoothed sklearn "
+    "idf). One explode feeds BOTH the (doc,term) tf agg and the term df "
+    "agg (exchange reuse); term-keyed join sized by AQE — vocabulary "
+    "outgrows broadcast at corpus scale; per-doc top-k window on narrow "
+    "rows. Document text never shuffles.",
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_SQL_QUANT = (
+    "list_transform({v}, x -> round(x / "
+    "greatest(list_max(list_transform({v}, y -> abs(y))) / 127.0, 1e-30)))"
+)
+
+
+@register(
+    "sim_quantized_topk",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qz AS (SELECT vec_id, v, {_SQL_QUANT.format(v="v")} AS qv FROM base),
+    qn AS (SELECT vec_id, v, qv, sqrt(list_dot_product(qv, qv)) AS qnorm FROM qz),
+    q AS (SELECT vec_id AS query_id, v AS qv_full, qv AS qqv, qnorm AS qqn
+          FROM qn WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, c.vec_id,
+               list_dot_product(c.qv, q.qqv) / (c.qnorm * q.qqn) AS qcos
+        FROM qn c, q WHERE c.vec_id <> q.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, vec_id) AS qrk
+            FROM scored) WHERE qrk <= 20
+    ),
+    rr AS (
+        SELECT cand.query_id, cand.vec_id,
+               {_SQL_COSINE.format(a="c.v", b="q.qv_full")} AS s
+        FROM cand JOIN base c ON cand.vec_id = c.vec_id
+                  JOIN q ON cand.query_id = q.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rk, round(s, 6) AS cosine_sim
+    FROM (SELECT query_id, vec_id, s,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= 5
+    """,
+    doc="X2 two-stage quantized ANN: int8 symmetric quantization (scale "
+    "= max|v|/127), integer-exact quantized-cosine scan keeps top-20 "
+    "candidates per query, exact re-rank emits top-5. Quantized values "
+    "are integer-valued doubles so stage-1 ranking is bit-identical "
+    "cross-engine; at scale the quantized corpus moves 4x fewer bytes "
+    "than float32 through the scan.",
+    bench=True,
+)
+def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return quantized_topk(corpus, _queries_subset(corpus), k=5, m=20)

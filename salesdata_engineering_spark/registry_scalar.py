@@ -1107,3 +1107,56 @@ def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_qty").cast("double").alias("total_qty"),
         F.col("o_totalprice").cast("double").alias("price"),
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue
+    FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: the six-table join with the c_nationkey = "
+    "s_nationkey 'local supplier' theta condition folded into the "
+    "supplier equi-join. Date filter pushes to the orders scan; region "
+    "filter prunes nations before touching the big tables; nation and "
+    "region broadcast, the lineitem joins stay key-partitioned for AQE "
+    "to size. Revenue in DECIMAL then cast, matching the other TPC-H "
+    "queries' money convention.",
+)
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    asia_nations = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
+    )
