@@ -386,21 +386,22 @@ def tfidf_top_terms(
     and the log never sees zero. Ties break on term (asc) so the top-k
     edge is deterministic cross-engine.
 
-    Plan shape (scale): one explode + (doc, term) hash-agg for tf; the
-    document-frequency table derives from the SAME tf subtree (exchange
-    reuse fires — one shuffle feeds both aggregates); N is a broadcast
-    1-row frame; term-keyed join tf⋈df is left to AQE (vocabulary can
-    exceed broadcast size at corpus scale); final per-doc top-k is a
-    narrow row_number window. Document text never shuffles."""
+    Plan shape (scale): ONE explode + (doc, term) hash-agg for tf, then
+    the document frequency is a count() window over the tf frame's term
+    partitioning — not a second aggregate of a re-tokenized corpus (a
+    separate groupBy(term) subtree gets different column pruning, so
+    Spark's exchange reuse never fires and the explode would run twice;
+    plan-asserted single-Generate in tests/test_plans.py). N is a
+    broadcast 1-row frame; final per-doc top-k is a narrow row_number
+    window. Document text never shuffles."""
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",

@@ -918,10 +918,10 @@ def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     """,
     doc="X3 TF-IDF top-3 characteristic terms per doc (smoothed sklearn "
-    "idf). One explode feeds BOTH the (doc,term) tf agg and the term df "
-    "agg (exchange reuse); term-keyed join sized by AQE — vocabulary "
-    "outgrows broadcast at corpus scale; per-doc top-k window on narrow "
-    "rows. Document text never shuffles.",
+    "idf). One explode feeds the (doc,term) tf agg; document frequency "
+    "is a count() window over the tf frame's term partitioning, so the "
+    "corpus tokenizes exactly once (plan-asserted single Generate); "
+    "per-doc top-k window on narrow rows. Document text never shuffles.",
 )
 def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)

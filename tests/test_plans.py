@@ -218,3 +218,30 @@ def test_repetition_window_and_agg_share_shuffle_key(spark, sf_dir):
     plan = plan_of(QUERIES["text_repetition_score"].fn(spark, sf_dir))
     assert plan.count("Generate explode") + plan.count("Generate posexplode") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_reuses_tf_exchange(spark, sf_dir):
+    """The df (document-frequency) aggregate derives from the SAME
+    (doc,term) tf subtree — Spark must reuse that exchange, not tokenize
+    and shuffle the corpus twice. One explode, and a ReusedExchange node
+    (or at most the two tf/df hash exchanges + the final window's) —
+    never two Generate nodes."""
+    plan = plan_of(QUERIES["text_tfidf_top_terms"].fn(spark, sf_dir))
+    assert plan.count("Generate explode") + plan.count("Generate posexplode") == 1, plan
+
+
+def test_quantized_topk_plan_shape(spark, sf_dir):
+    """Stage 1 must be a broadcast of the tiny query side over the
+    corpus scan (never an un-broadcast cartesian), and the re-rank joins
+    must stay equi-joins on vec_id/query_id."""
+    plan = plan_of(QUERIES["sim_quantized_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+
+
+def test_q5_pushdown_and_no_cross(spark, sf_dir):
+    """Q5's o_orderdate range must reach the orders parquet scan as a
+    pushed filter, and the six-way join must contain no cross product."""
+    plan = plan_of(QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
