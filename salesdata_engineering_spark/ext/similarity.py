@@ -348,24 +348,26 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into inverted cells around
     centroids, search only the ``nprobe`` cells nearest each query.
 
-    Centroids here are a deterministic sample (every ``stride``-th
-    vector by id) so the DuckDB oracle rebuilds the identical index —
-    production swaps in k-means centroids, the cell/probe machinery is
-    unchanged. Build = one broadcast pass (|C|·|corpus| codegen'd dots,
-    no shuffle); search touches ~nprobe/n_cells of the corpus instead
-    of all of it — the 100 TB path where brute force scans everything.
-    Recall is governed by nprobe (measured against brute force in
-    tests)."""
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) % stride == 0).select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("_cvec"),
-            norm(vec_col, dim).alias("_cn"),
+    Default centroids are a deterministic sample (every ``stride``-th
+    vector by id) so the DuckDB oracle rebuilds the identical index;
+    pass ``centroids`` (cid, _cvec) — e.g. from
+    :func:`ivf_train_centroids` — to search a trained index with the
+    same cell/probe machinery. Build = one broadcast pass (|C|·|corpus|
+    codegen'd dots, no shuffle); search touches ~nprobe/n_cells of the
+    corpus instead of all of it — the 100 TB path where brute force
+    scans everything. Recall is governed by nprobe (measured against
+    brute force in tests)."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
         )
+    cents = F.broadcast(
+        centroids.select("cid", "_cvec", norm("_cvec", dim).alias("_cn"))
     )
 
     def assign(df: DataFrame, out_id: str, keep: int) -> DataFrame:
@@ -485,3 +487,56 @@ def quantized_topk(
             F.round("_sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    stride: int = 50,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the corpus: (cid, _cvec) trained centroids.
+
+    Init = the deterministic strided sample (same seed the untrained IVF
+    uses); each iteration assigns every vector to its nearest centroid
+    by cosine (broadcast centroids, tie on cid) and recomputes each
+    centroid as the elementwise mean of its members. Means are ROUNDED
+    to 6 decimals per iteration: float summation order differs between
+    Spark's partial aggregates and any oracle engine, and the round
+    quenches that last-ulp drift so the next iteration's assignment
+    boundaries — and therefore the final index — are reproducible
+    bit-for-bit cross-engine. Empty cells drop out (standard Lloyd).
+
+    Iteration is driver-side loop composition: each pass is one
+    broadcast-assign (no shuffle) + one narrow (cid, pos) aggregate, so
+    the unrolled plan stays shallow for small ``iters``; checkpoint the
+    centroid frame between iterations if you raise ``iters`` past ~5
+    (lineage doubles per pass)."""
+    cents = corpus.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
+    )
+    for _ in range(iters):
+        bc = F.broadcast(cents.select("cid", "_cvec", norm("_cvec", dim).alias("_cn")))
+        sim = (dot(vec_col, "_cvec", dim) / (norm(vec_col, dim) * F.col("_cn"))).alias("_cs")
+        w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), "cid")
+        assigned = (
+            corpus.select(id_col, vec_col)
+            .crossJoin(bc)
+            .select(F.col(id_col), F.col(vec_col), "cid", sim)
+            .withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") == 1)
+            .select("cid", vec_col)
+        )
+        by_pos = (
+            assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+        )
+        cents = (
+            by_pos.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("_pv"))
+            .select("cid", F.expr("transform(_pv, x -> x.val)").alias("_cvec"))
+        )
+    return cents

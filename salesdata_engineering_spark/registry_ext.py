@@ -978,3 +978,79 @@ def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return quantized_topk(corpus, _queries_subset(corpus), k=5, m=20)
+
+
+def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
+    """One unrolled Lloyd iteration: assign to nearest centroid by
+    cosine (tie on cid), recompute elementwise means rounded to 6dp —
+    the same quench the Spark trainer applies, so assignment boundaries
+    agree bit-for-bit (see ext/similarity.py ivf_train_centroids)."""
+    return f"""
+    a{i} AS (
+        SELECT cid, vec_id, v
+        FROM (SELECT c0.vec_id, c0.v, {prev}.cid,
+                     {_SQL_COSINE.format(a="c0.v", b=f"{prev}.cv")} AS cs
+              FROM c0, {prev}
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id
+                                         ORDER BY cs DESC, cid) = 1)
+    ),
+    m{i} AS (SELECT cid, i AS pos, round(avg(v[i]), 6) AS val
+             FROM a{i}, generate_series(1, 64) AS t(i) GROUP BY cid, i),
+    {out} AS (SELECT cid, list(val ORDER BY pos) AS cv FROM m{i} GROUP BY cid)"""
+
+
+@register(
+    "sim_ivf_trained_topk",
+    f"""
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_IVF_STRIDE} = 0),
+    {_sql_lloyd_iter("cents0", "cents1", 1)},
+    {_sql_lloyd_iter("cents1", "cents2", 2)},
+    cells AS (
+        SELECT vec_id, v, cid
+        FROM (SELECT c0.vec_id, c0.v, cents2.cid,
+                     {_SQL_COSINE.format(a="c0.v", b="cents2.cv")} AS cs
+              FROM c0, cents2
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid) = 1)
+    ),
+    probes AS (
+        SELECT query_id, qv, cid
+        FROM (SELECT c0.vec_id AS query_id, c0.v AS qv, cents2.cid,
+                     {_SQL_COSINE.format(a="c0.v", b="cents2.cv")} AS cs
+              FROM c0, cents2 WHERE c0.vec_id < 10
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
+                      <= {_IVF_NPROBE})
+    ),
+    cand AS (
+        SELECT DISTINCT query_id, vec_id, v, qv
+        FROM cells JOIN probes USING (cid) WHERE vec_id <> query_id
+    ),
+    rk AS (
+        SELECT query_id, vec_id, {_SQL_COSINE.format(a="v", b="qv")} AS s,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_SQL_COSINE.format(a="v", b="qv")} DESC, vec_id) AS rk
+        FROM cand
+    )
+    SELECT query_id, vec_id AS neighbor_id, rk, round(s, 6) AS cosine_sim
+    FROM rk WHERE rk <= 5
+    """,
+    doc="X2 IVF with k-means-TRAINED centroids: two Lloyd iterations "
+    "(broadcast cosine assignment, elementwise-mean recentering rounded "
+    "to 6dp to quench cross-engine float-summation drift) from the "
+    "strided-sample init, then the standard cell/nprobe search. The "
+    "iterative trainer is a driver-side loop of shuffle-light passes — "
+    "one broadcast assign + one narrow (cid,pos) aggregate per "
+    "iteration — and, unlike most iterative algorithms, carries a FULL "
+    "value oracle: the unrolled two-iteration SQL reproduces the index "
+    "bit-for-bit.",
+)
+def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import ivf_train_centroids
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = ivf_train_centroids(corpus, stride=_IVF_STRIDE, iters=2)
+    return ivf_ann_topk(
+        corpus, _queries_subset(corpus), k=5, stride=_IVF_STRIDE,
+        nprobe=_IVF_NPROBE, centroids=cents,
+    )
