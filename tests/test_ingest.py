@@ -182,3 +182,27 @@ def test_read_jdbc_wiring_reaches_jdbc_layer(spark):
     with pytest.raises(Py4JJavaError) as err:
         read_jdbc(spark, "jdbc:nosuchdb://nowhere/db", "t", {"driver": "com.example.Missing"})
     assert "ClassNotFoundException" in str(err.value) or "No suitable driver" in str(err.value)
+
+
+def test_read_rows_validated_splits_good_and_bad(spark, tmp_path):
+    """Row-level PERMISSIVE validation: typed rows pass, malformed rows
+    land in the corrupt side table with their raw line preserved —
+    the finer-grained alternative to whole-file rejection."""
+    from salesdata_engineering_spark.ingest import read_rows_validated
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "customer_id,store_id,price\n"
+        "1,121,212.5\n"
+        "oops,not-a-store,free\n"
+        "2,122,99.0\n"
+    )
+    good, bad = read_rows_validated(
+        spark, str(p), "customer_id INT, store_id INT, price DOUBLE"
+    )
+    assert good.count() == 2
+    assert set(good.columns) == {"customer_id", "store_id", "price"}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0].raw_line == "oops,not-a-store,free"
+    assert bad_rows[0].src_file.endswith("mixed.csv")
