@@ -291,3 +291,57 @@ def test_pack_sequences_invariants(spark):
     # deterministic: re-run is identical
     again = pack_sequences(docs, budget=100, n_buckets=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_quantized_topk_recall_vs_brute_force(embs):
+    """int8 quantization keeps enough signal that the exact re-rank of
+    the top-20 quantized candidates recovers nearly every true top-5
+    neighbor (quantization error ~0.4% per component at 8 bits)."""
+    from salesdata_engineering_spark.ext.similarity import quantized_topk
+
+    queries = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_topk(embs, queries, k=5, m=20).collect()
+    }
+    recall = len(quant & exact) / len(exact)
+    assert recall >= 0.9, f"quantized recall {recall:.2f} below 0.9"
+
+
+def test_trained_ivf_recall_not_worse_than_sampled(embs):
+    """Two Lloyd iterations must not hurt: recall of the trained index
+    (same nprobe) is at least the sampled-centroid index's recall."""
+    from salesdata_engineering_spark.ext.similarity import (
+        ivf_ann_topk,
+        ivf_train_centroids,
+    )
+
+    queries = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    sampled = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(embs, queries, k=5, stride=50, nprobe=4).collect()
+    }
+    cents = ivf_train_centroids(embs, stride=50, iters=2)
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(
+            embs, queries, k=5, stride=50, nprobe=4, centroids=cents
+        ).collect()
+    }
+    r_sampled = len(sampled & exact) / len(exact)
+    r_trained = len(trained & exact) / len(exact)
+    assert r_trained >= r_sampled - 0.05, (
+        f"training degraded recall: {r_trained:.2f} vs {r_sampled:.2f}"
+    )
