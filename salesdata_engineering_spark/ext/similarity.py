@@ -371,15 +371,23 @@ def ivf_ann_topk(
     )
 
     def assign(df: DataFrame, out_id: str, keep: int) -> DataFrame:
-        sim = (dot(vec_col, "_cvec", dim) / (norm(vec_col, dim) * F.col("_cn"))).alias("_cs")
+        # Row norm hoisted out of the |df|·|cents| pair loop, and the
+        # argmax window sees only (id, cid, score) — carrying the 64-dim
+        # vector through that shuffle moved ~64 doubles per PAIR
+        # (≈256 MB per assignment pass at sf0.1, the dominant cost of
+        # the trained-IVF query before this change); the winner rows
+        # re-attach their vector with one tiny id-equi-join.
+        sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
         w = Window.partitionBy(out_id).orderBy(F.col("_cs").desc(), "cid")
-        return (
-            df.crossJoin(cents)
-            .select(F.col(out_id), F.col(vec_col), "cid", sim)
+        picked = (
+            df.withColumn("_vn", norm(vec_col, dim))
+            .crossJoin(cents)
+            .select(F.col(out_id), "cid", sim)
             .withColumn("_crk", F.row_number().over(w))
             .filter(F.col("_crk") <= keep)
-            .select(out_id, vec_col, "cid")
+            .select(out_id, "cid")
         )
+        return picked.join(df, out_id).select(out_id, vec_col, "cid")
 
     cells = assign(_spread(corpus).select(id_col, vec_col), id_col, 1)
     probes = assign(
@@ -510,24 +518,35 @@ def ivf_train_centroids(
     bit-for-bit cross-engine. Empty cells drop out (standard Lloyd).
 
     Iteration is driver-side loop composition: each pass is one
-    broadcast-assign (no shuffle) + one narrow (cid, pos) aggregate, so
-    the unrolled plan stays shallow for small ``iters``; checkpoint the
-    centroid frame between iterations if you raise ``iters`` past ~5
-    (lineage doubles per pass)."""
+    broadcast-assign (no shuffle) + one narrow (cid, pos) aggregate.
+    The centroid frame is localCheckpoint'ed after every pass — it is
+    ~n_cells rows (tiny), but WITHOUT the cut each downstream consumer
+    replays the whole iteration chain: the search stage broadcasts the
+    centroids twice (cell build + query probes), and lineage otherwise
+    doubles per pass (measured 8.5 s → ~2 s median at sf0.1 for the
+    registered trained-IVF query). Deterministic, so the value oracle
+    is unaffected."""
     cents = corpus.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
     )
     for _ in range(iters):
         bc = F.broadcast(cents.select("cid", "_cvec", norm("_cvec", dim).alias("_cn")))
-        sim = (dot(vec_col, "_cvec", dim) / (norm(vec_col, dim) * F.col("_cn"))).alias("_cs")
+        # same narrow-window + join-back shape as ivf_ann_topk's assign:
+        # the argmax shuffle carries (id, cid, score) only; vectors
+        # re-attach via one id-equi-join for the mean recompute
+        sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
         w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), "cid")
-        assigned = (
+        picked = (
             corpus.select(id_col, vec_col)
+            .withColumn("_vn", norm(vec_col, dim))
             .crossJoin(bc)
-            .select(F.col(id_col), F.col(vec_col), "cid", sim)
+            .select(F.col(id_col), "cid", sim)
             .withColumn("_crk", F.row_number().over(w))
             .filter(F.col("_crk") == 1)
-            .select("cid", vec_col)
+            .select(id_col, "cid")
+        )
+        assigned = picked.join(corpus.select(id_col, vec_col), id_col).select(
+            "cid", vec_col
         )
         by_pos = (
             assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
@@ -538,5 +557,6 @@ def ivf_train_centroids(
             by_pos.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("_pv"))
             .select("cid", F.expr("transform(_pv, x -> x.val)").alias("_cvec"))
+            .localCheckpoint()
         )
     return cents
