@@ -147,3 +147,35 @@ def compact_parquet(
         raise
     shutil.rmtree(old)
     return n_files
+
+
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Format-generic sink over Spark's native columnar/row sources.
+
+    parquet and orc carry types and column stats (both prune and push
+    down); json/csv are interchange edges — csv needs header=true to
+    round-trip column names, and neither pushes filters, so they belong
+    at the boundary of a pipeline, never in the middle of one."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_table(spark, path: str, fmt: str = "parquet", schema: str | None = None) -> DataFrame:
+    """Format-generic scan; pass ``schema`` (DDL) for json/csv so types
+    survive the round trip — inference is a convenience for exploration,
+    not a contract (and costs an extra pass over the data)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    r = spark.read.format(fmt)
+    if schema:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)

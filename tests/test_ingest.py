@@ -206,3 +206,21 @@ def test_read_rows_validated_splits_good_and_bad(spark, tmp_path):
     assert len(bad_rows) == 1
     assert bad_rows[0].raw_line == "oops,not-a-store,free"
     assert bad_rows[0].src_file.endswith("mixed.csv")
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+def test_format_roundtrip_preserves_rows(spark, tmp_path, fmt, sf_dir):
+    """S4-family breadth: documents survive a write/read round trip in
+    each native format with schema pinned (json/csv carry no types)."""
+    from salesdata_engineering_spark.datasets import load_tables
+    from salesdata_engineering_spark.io import read_table, write_table
+
+    src = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / f"docs_{fmt}")
+    write_table(src, path, fmt=fmt)
+    back = read_table(
+        spark, path, fmt=fmt, schema="doc_id BIGINT, lang STRING, n_chars BIGINT"
+    )
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
