@@ -79,31 +79,10 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition the pair-scan stream side when the source yields
-    fewer partitions than cores (single small parquet locally). A
-    broadcast nested-loop over a 1-partition stream runs in ONE task —
-    this is the difference between 1 and 32 cores on the O(|Q|·|C|)
-    scan. No-op cost at scale: an explicit numPartitions repartition is
-    never AQE-coalesced, so only call when under-partitioned.
-
-    Probe is driver-only: ``df.rdd.getNumPartitions()`` would CONVERT the
-    plan to an RDD and run a job (~1.1 s even on a 1-file scan — measured);
-    instead estimate scan splits from the leaf file list and plan-stat
-    bytes / ``files.maxPartitionBytes`` (a single huge file still splits,
-    so it must not trigger the repartition)."""
-    sess = df.sparkSession
-    par = sess.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-        if not files or len(files) >= par:
-            return df
-        max_pb = int(sess._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        est = max(len(files), -(-size // max(max_pb, 1)))
-        return df.repartition(par) if est < par else df
-    except Exception:  # non-file sources / internal API drift: spread is safe
-        return df.repartition(par)
+# Shared with the relational operators (ops/partitioning.py): the
+# pair-scan stream side of the ANN kernels needs the same guard — a
+# broadcast nested-loop over a 1-partition stream runs in ONE task.
+from ..ops.partitioning import spread as _spread  # noqa: E402
 
 
 def cosine_topk(
