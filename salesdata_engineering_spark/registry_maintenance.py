@@ -239,3 +239,120 @@ def q_layout_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("min_custkey", "min_orderkey")
     )
     return per_file
+
+
+# ---------------------------------------------------------------------------
+# Profiling / data-quality surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_price_histogram",
+    """
+    WITH b AS (
+        SELECT CASE WHEN o_totalprice >= 600000 THEN 12
+                    ELSE CAST(floor(o_totalprice / 50000) AS INTEGER) END AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 50000 AS DOUBLE) AS lo,
+           CAST(CASE WHEN bucket = 12 THEN 'Infinity'::DOUBLE
+                     ELSE (bucket + 1) * 50000 END AS DOUBLE) AS hi,
+           count(*) AS n
+    FROM b GROUP BY bucket
+    """,
+    doc="Numeric profiling: fixed-width histogram of o_totalprice "
+    "(50k-wide buckets, open-ended top bucket). One map-side-combined "
+    "hash aggregate on a derived int key — the profile never moves raw "
+    "rows, so it costs one scan at any scale.",
+)
+def q_profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    width, top = 50000, 12
+    bucket = F.when(F.col("o_totalprice") >= width * top, F.lit(top)).otherwise(
+        F.floor(F.col("o_totalprice") / width).cast("int")
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * width).cast("double").alias("lo"),
+            F.when(F.col("bucket") == top, F.lit(float("inf")))
+            .otherwise((F.col("bucket") + 1) * width)
+            .cast("double")
+            .alias("hi"),
+            "n",
+        )
+    )
+
+
+@register(
+    "dq_expectations_orders",
+    """
+    SELECT 'o_orderkey_not_null' AS expectation,
+           count(*) FILTER (WHERE o_orderkey IS NULL) AS violations,
+           count(*) AS checked
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           (SELECT count(*) FROM (
+                SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           count(*) FILTER (WHERE o_totalprice <= 0), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_in_range',
+           count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                               OR o_orderdate > TIMESTAMP '2030-01-01'),
+           count(*)
+    FROM orders
+    """,
+    doc="Expectations-style data-quality summary over orders: null "
+    "check, key uniqueness, value range, date sanity — one row per "
+    "expectation with violation and row counts. The scalar checks fold "
+    "into ONE scan via conditional aggregation; uniqueness is the only "
+    "one needing a key-grouped pass. The pipeline gate pattern: assert "
+    "violations == 0 before publishing a mart.",
+)
+def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    n = F.count("*")
+    scalars = o.agg(
+        n.alias("checked"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("v_null"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_price"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("v_date"),
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("v_dup"))
+    )
+    j = scalars.crossJoin(F.broadcast(dups))
+    rows = [
+        ("o_orderkey_not_null", "v_null"),
+        ("o_orderkey_unique", "v_dup"),
+        ("o_totalprice_positive", "v_price"),
+        ("o_orderdate_in_range", "v_date"),
+    ]
+    out = None
+    for name, col in rows:
+        piece = j.select(
+            F.lit(name).alias("expectation"),
+            F.col(col).alias("violations"),
+            F.col("checked"),
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
