@@ -58,3 +58,28 @@ def stratified_sample(
         .filter(F.col("_srk") <= n_per_stratum)
         .drop("_srk")
     )
+
+
+def split_assignment(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` column.
+
+    The hash gate partitions the id space into contiguous bucket
+    ranges sized by the split fractions — a row's split is a pure
+    function of (salt, id), so the SAME document lands in the SAME
+    split across reruns, engines, cluster sizes, and even dataset
+    versions (adding documents never moves an existing one between
+    splits — the property that keeps eval sets uncontaminated as a
+    corpus grows). Pure projection: no shuffle at any scale."""
+    gate = _gate(F.col(id_col), salt)
+    expr = None
+    acc = 0
+    for name, frac in splits:
+        acc += int(frac * _BUCKETS)
+        cond = gate < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(splits[-1][0]))

@@ -1054,3 +1054,24 @@ def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, _queries_subset(corpus), k=5, stride=_IVF_STRIDE,
         nprobe=_IVF_NPROBE, centroids=cents,
     )
+
+
+@register(
+    "sample_split_assignment",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_GATE_SQL.format(salt='split')} < 9000 THEN 'train'
+                WHEN {_GATE_SQL.format(salt='split')} < 9500 THEN 'val'
+                WHEN {_GATE_SQL.format(salt='split')} < 10000 THEN 'test'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic 90/5/5 train/val/test assignment: contiguous "
+    "hash-bucket ranges make the split a pure function of (salt, id) — "
+    "stable across reruns, engines, and corpus growth (new docs never "
+    "move old ones between splits). Pure projection, zero shuffle.",
+)
+def q_sample_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.sampling import split_assignment
+
+    return split_assignment(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")

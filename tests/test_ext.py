@@ -345,3 +345,24 @@ def test_trained_ivf_recall_not_worse_than_sampled(embs):
     assert r_trained >= r_sampled - 0.05, (
         f"training degraded recall: {r_trained:.2f} vs {r_sampled:.2f}"
     )
+
+
+def test_split_assignment_stable_under_corpus_growth(docs, spark):
+    """A document's split must not change when the corpus grows — the
+    property that keeps eval sets uncontaminated across versions."""
+    from salesdata_engineering_spark.ext.sampling import split_assignment
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_assign = {
+        r.doc_id: r.split for r in split_assignment(docs, "doc_id").collect()
+    }
+    half_assign = {
+        r.doc_id: r.split for r in split_assignment(half, "doc_id").collect()
+    }
+    assert all(full_assign[d] == s for d, s in half_assign.items())
+    counts = {}
+    for s in full_assign.values():
+        counts[s] = counts.get(s, 0) + 1
+    n = len(full_assign)
+    assert 0.85 <= counts.get("train", 0) / n <= 0.95, counts
+    assert set(counts) <= {"train", "val", "test"}
