@@ -335,3 +335,46 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         "purchase_ts",
     )
+
+
+@register(
+    "stream_static_enrich",
+    f"""
+    SELECT make_timestamp((floor(epoch(ts)/600)::BIGINT * 600) * 1000000) AS window_start,
+           c_mktsegment AS segment,
+           count(*) AS n,
+           round(CAST(SUM({_VAL}) AS DOUBLE), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join: the streaming events source enriched by the "
+    "STATIC customer dimension (joined per micro-batch — no state, no "
+    "watermark needed on the static side; at scale the dim broadcasts "
+    "or bucket-joins exactly like a batch star join), then a tumbling "
+    "per-segment count/sum drained with AvailableNow. Unified batch/"
+    "stream semantics make the memory-sink result equal the plain "
+    "join+GROUP BY oracle.",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes"), "segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec_val()).alias("_tv"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n",
+            F.round(F.col("_tv").cast("double"), 2).alias("total_value"),
+        )
+    )
+    return run_to_completion(agg, output_mode="complete")
