@@ -646,3 +646,45 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("n_chars"),
     )
     return h.unionByName(s)
+
+
+@register(
+    "udtf_sentence_split",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.i) - 1 AS INTEGER)
+               AS chunk_id,
+           u.s AS sentence
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(parts)),
+                                     i -> struct_pack(i := i, s := trim(parts[i])))) AS u
+        FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents)
+    )
+    WHERE u.s <> ''
+    """,
+    doc="§2.10 Python UDTF surface (Spark 4 table function): sentence "
+    "split as a LATERAL-joined generator class — one input row yields N "
+    "output rows with a typed schema. Row-at-a-time Python is the slow "
+    "path by design; the registered query exists to pin the API surface "
+    "and its exact semantics (chunk ids number the NON-empty trimmed "
+    "segments), not as the scale recipe — ext/text.py chunk_documents "
+    "is the codegen equivalent for production splitting.",
+)
+def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id INT, sentence STRING")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(
+                t.strip() for t in (text or "").split(".") if t.strip()
+            ):
+                yield i, s
+
+    spark.udtf.register("engine_split_sentences", SplitSentences)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, s.chunk_id, s.sentence "
+        "FROM documents, LATERAL engine_split_sentences(text) s"
+    )
