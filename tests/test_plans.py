@@ -245,3 +245,25 @@ def test_q5_pushdown_and_no_cross(spark, sf_dir):
     plan = plan_of(QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_spread_guard_is_noop_when_splits_cover_cores(spark, sf_dir, tmp_path):
+    """spread() must add a repartition ONLY for under-partitioned scans:
+    with files.maxPartitionBytes shrunk so the same file estimates >=
+    cores worth of splits, the plan must come back without an added
+    exchange — the guard is what makes spread safe to leave in
+    canonical_sales at cluster scale."""
+    from salesdata_engineering_spark.ops.partitioning import spread
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert "RoundRobinPartitioning" in plan_of(spread(df)), "small file must spread"
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        df2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        assert "RoundRobinPartitioning" not in plan_of(spread(df2)), (
+            "well-split scan must NOT get an extra exchange"
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
