@@ -13,32 +13,64 @@ repartition (and no shuffle) is added.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
+
+_SIZE_SUFFIXES = (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+                  ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+                  ("b", 1))
+
+
+def _parse_size(text: str) -> int:
+    """Parse a Spark byte-size conf string ('128MB', '134217728b', '1g')."""
+    s = str(text).strip().lower()
+    for suffix, mult in _SIZE_SUFFIXES:
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
 
 
 def spread(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to default parallelism ONLY when its file scan
     would yield fewer partitions than cores.
 
-    The probe is driver-only: ``df.rdd.getNumPartitions()`` would
-    convert the plan to an RDD and run a job (~1.1 s even on a 1-file
-    scan — measured); instead estimate scan splits from the leaf file
-    list and plan-stat bytes / ``files.maxPartitionBytes``. A single
-    huge file still splits on its own, so it must not trigger the
-    repartition. Parquet row-group granularity means extra splits of a
-    small single-row-group file cannot parallelize the SCAN itself —
-    the repartition exchange after the scan is what fans the fused
-    downstream work (joins, expressions, partial aggs) out to all
-    cores, at the cost of shuffling the scanned rows once."""
+    The probe is driver-only and uses only public API: ``df.inputFiles()``
+    for the leaf file list, ``spark.conf.get`` for
+    ``spark.sql.files.maxPartitionBytes``, and ``os.path.getsize`` for
+    local file sizes. (``df.rdd.getNumPartitions()`` would convert the
+    plan to an RDD and run a job — ~1.1 s even on a 1-file scan,
+    measured.) A single huge file still splits on its own, so it must
+    not trigger the repartition. Parquet row-group granularity means
+    extra splits of a small single-row-group file cannot parallelize the
+    SCAN itself — the repartition exchange after the scan is what fans
+    the fused downstream work (joins, expressions, partial aggs) out to
+    all cores, at the cost of shuffling the scanned rows once.
+
+    Every uncertain path degrades to a NO-OP, never to an added
+    exchange: in-memory sources (no input files), non-local URI schemes
+    we cannot cheaply stat (an object-store scan with fewer files than
+    cores is a tiny read not worth a shuffle), unstatable paths, and any
+    probe failure all return ``df`` unchanged — adding a blind full
+    round-robin shuffle of a fact table is the opposite of this guard's
+    no-op-at-scale contract."""
     sess = df.sparkSession
     par = sess.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
         if not files or len(files) >= par:
             return df
-        max_pb = int(sess._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        max_pb = _parse_size(
+            sess.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        size = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("file", ""):
+                return df
+            size += os.path.getsize(unquote(parsed.path))
         est = max(len(files), -(-size // max(max_pb, 1)))
         return df.repartition(par) if est < par else df
-    except Exception:  # non-file sources / internal API drift: spread is safe
-        return df.repartition(par)
+    except Exception:  # probe failure: degrade to no-op, never add a shuffle
+        return df

@@ -34,12 +34,34 @@ def read_events_stream(
     minutes). Probe the actual schema with a batch footer read instead,
     then reuse the same dtype-conditional nanos restore as the batch path
     so both paths agree by construction.
+
+    Session confs are NOT blindly mutated (a leak flagged in review: a
+    later batch read of nanos-typed parquet in the same session would
+    silently change dtype). The footer is probed WITHOUT the legacy
+    nanos flag first; only if that read rejects INT64 TIMESTAMP(NANOS)
+    is ``spark.sql.legacy.parquet.nanosAsLong`` enabled — and then it
+    must STAY enabled, because the streaming scan re-reads the files on
+    every micro-batch after this function returns; that conditional pin
+    is the same documented contract as the batch path
+    (``datasets.load_tables``). On micros-typed data (the current
+    testdata) the conf is never touched. The UTC session timezone IS
+    pinned unconditionally — identical to ``load_tables`` — because
+    event-time rendering (and the ntz→timestamp cast below) must agree
+    with the UTC-rendering DuckDB oracle regardless of which session the
+    caller hands us; that pin is part of the engine's documented session
+    contract (session.py), not a per-call side effect.
     """
     from ..datasets import _restore_timestamps
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events_path = f"{sf_dir}/events.parquet"
+    try:
+        raw_schema = spark.read.parquet(events_path).schema
+    except Exception:
+        # footer carries INT64 TIMESTAMP(NANOS): the legacy conf is a hard
+        # requirement for the lifetime of the stream, not a probe artifact
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = spark.read.parquet(events_path).schema
     reader = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

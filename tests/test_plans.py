@@ -267,3 +267,37 @@ def test_spread_guard_is_noop_when_splits_cover_cores(spark, sf_dir, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_spread_inmemory_source_is_noop(spark):
+    """A non-file (in-memory) DataFrame through spread() must come back
+    unchanged — the guard's fallback for unprobe-able sources is a no-op,
+    never an added full round-robin shuffle (review round 4, item 3)."""
+    from salesdata_engineering_spark.ops.partitioning import spread
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = spread(df)
+    assert out is df
+    assert "RoundRobinPartitioning" not in plan_of(out)
+
+
+def test_spread_probe_failure_is_noop(spark, sf_dir):
+    """If the split-estimate probe blows up (API drift, unstatable
+    paths), spread() must degrade to returning df unchanged."""
+    from salesdata_engineering_spark.ops.partitioning import spread
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df.inputFiles = lambda: (_ for _ in ()).throw(RuntimeError("probe drift"))
+    assert spread(df) is df
+
+
+def test_spread_size_conf_parsing():
+    """maxPartitionBytes arrives as a size string via the public conf
+    API; every spelling Spark accepts must parse."""
+    from salesdata_engineering_spark.ops.partitioning import _parse_size
+
+    assert _parse_size("128MB") == 128 << 20
+    assert _parse_size("134217728b") == 128 << 20
+    assert _parse_size("1g") == 1 << 30
+    assert _parse_size(" 512k ") == 512 << 10
+    assert _parse_size("1024") == 1024

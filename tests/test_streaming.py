@@ -232,3 +232,49 @@ def test_write_stream_parquet_partitioned_layout(spark, tmp_path):
         "user_id=1",
         "user_id=2",
     ]
+
+
+def test_read_events_stream_does_not_flip_nanos_conf(spark, tmp_path):
+    """read_events_stream must not leak spark.sql.legacy.parquet.nanosAsLong
+    into the session (review round 4, item 4): on micros-typed events (the
+    current testdata) the conf stays exactly as the caller left it, so a
+    later batch read of nanos-typed parquet in the same session keeps its
+    prior dtype contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from salesdata_engineering_spark.streaming.runner import read_events_stream
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        for val in ("false", "true"):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", val)
+            stream = read_events_stream(spark, sf_dir)
+            assert stream.isStreaming
+            assert (
+                spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == val
+            ), "conf leaked"
+
+        # prove the later-batch-read contract concretely: with the conf OFF,
+        # a genuinely nanos-typed parquet must behave exactly as it would
+        # have before read_events_stream ran (same dtype or same rejection)
+        nanos_path = str(tmp_path / "nanos.parquet")
+        tbl = pa.table({"ts": pa.array([1_700_000_000_000_000_123], pa.timestamp("ns"))})
+        pq.write_table(tbl, nanos_path, version="2.6", coerce_timestamps=None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+        def nanos_dtype():
+            try:
+                return dict(spark.read.parquet(nanos_path).dtypes)["ts"]
+            except Exception:
+                return "<rejected>"
+
+        before = nanos_dtype()
+        read_events_stream(spark, sf_dir)
+        assert nanos_dtype() == before
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
