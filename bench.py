@@ -91,6 +91,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # methodology markers: medians exclude one untimed per-query
+                # warmup run (Catalyst/Janino first-compile cost), a change
+                # introduced in round 4 — without this marker, cross-round
+                # deltas vs warmup-free rounds 1-3 would be misread (ADVICE r4)
+                "warmup_runs": 1,
+                "timed_runs": runs,
+                "stat": "median",
             }
         )
     )

@@ -74,12 +74,25 @@ def split_assignment(
     split across reruns, engines, cluster sizes, and even dataset
     versions (adding documents never moves an existing one between
     splits — the property that keeps eval sets uncontaminated as a
-    corpus grows). Pure projection: no shuffle at any scale."""
+    corpus grows). Pure projection: no shuffle at any scale.
+
+    Fractions must sum to ~1.0 (validated): bucket edges are rounded
+    CUMULATIVE fractions, so per-split float error never compounds
+    (``int(0.29 * 10_000) == 2899`` truncation undersized a split by a
+    whole bucket — review round 4). Any sub-bucket remainder from
+    rounding folds into the LAST split — that is the documented
+    remainder rule, pinned by the ``otherwise`` branch."""
+    total = sum(frac for _, frac in splits)
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"split fractions must sum to 1.0 (got {total!r}): "
+            f"{[(n, f) for n, f in splits]}"
+        )
     gate = _gate(F.col(id_col), salt)
     expr = None
-    acc = 0
+    acc_frac = 0.0
     for name, frac in splits:
-        acc += int(frac * _BUCKETS)
-        cond = gate < acc
+        acc_frac += frac
+        cond = gate < round(acc_frac * _BUCKETS)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(splits[-1][0]))

@@ -677,8 +677,11 @@ def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_id INT, sentence STRING")
     class SplitSentences:
         def eval(self, text: str):
+            # strip SPACES only: the DuckDB oracle's trim() removes ' '
+            # alone, while Python's bare strip() would also eat \t/\n and
+            # shift chunk numbering on non-space whitespace (review nit)
             for i, s in enumerate(
-                t.strip() for t in (text or "").split(".") if t.strip()
+                t.strip(" ") for t in (text or "").split(".") if t.strip(" ")
             ):
                 yield i, s
 

@@ -366,3 +366,28 @@ def test_split_assignment_stable_under_corpus_growth(docs, spark):
     n = len(full_assign)
     assert 0.85 <= counts.get("train", 0) / n <= 0.95, counts
     assert set(counts) <= {"train", "val", "test"}
+
+
+def test_split_assignment_rounds_buckets_and_validates_fractions(docs, spark):
+    """Bucket edges are ROUNDED cumulative fractions (int truncation of
+    0.29*10000 -> 2899 undersized a split by a bucket — ADVICE r4), and
+    fractions that do not sum to ~1.0 are rejected loudly instead of
+    silently folding the gap into the last split."""
+    import pytest as _pytest
+
+    from salesdata_engineering_spark.ext.sampling import _BUCKETS, split_assignment
+
+    # 0.29 is the canonical truncation trap: 0.29 * 10000 = 2899.9999...
+    out = split_assignment(
+        docs, "doc_id", splits=(("a", 0.29), ("b", 0.31), ("c", 0.40))
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count()
+              .withColumnRenamed("count", "n").collect()}
+    n = sum(counts.values())
+    # with rounded edges the 'a' share can only deviate by sampling noise,
+    # not by a systematically-missing bucket
+    assert abs(counts.get("a", 0) / n - 0.29) < 0.05, counts
+    assert round(0.29 * _BUCKETS) == 2900  # the edge the fix guarantees
+
+    with _pytest.raises(ValueError, match="sum to 1.0"):
+        split_assignment(docs, "doc_id", splits=(("train", 0.5), ("val", 0.3)))
