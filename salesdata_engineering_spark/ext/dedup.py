@@ -95,6 +95,50 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
+def gram_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    distinct: bool = True,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Word n-gram 60-bit hashes per document: (id, g).
+
+    Same tokenize-once + window-lead construction (and identical edge
+    semantics) as :func:`word_shingles`, but the md5 hash is computed IN
+    the lead projection, so for consumers that only need gram IDENTITY
+    (contamination scans) the shingle string never exists as a shuffled
+    or deduplicated column — the distinct runs on (id, 8-byte long)
+    instead of (id, ~n-word string), and the downstream join/aggregate
+    carry longs only. The hash equals md5 of the exact shingle string,
+    so DuckDB oracles built on ``SQL_HASH60(shingle)`` match value-for-
+    value, not just count-for-count.
+
+    ``distinct=False`` skips the per-side dedup shuffle entirely for
+    consumers whose aggregate absorbs duplicates (``countDistinct``) —
+    at 100 TB that removes a full shuffle of the largest intermediate.
+    ``carry`` names extra per-document columns to thread through
+    (constant within a doc, e.g. a held-out membership flag).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry],
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = toks.select(
+        "id",
+        *carry,
+        "pos",
+        md5_long(F.concat_ws(" ", F.col("tok"), *leads)).alias("g"),
+        leads[-1].isNotNull().alias("_full"),
+    )
+    out = sh.filter(F.col("_full") | (F.col("pos") == 0)).select("id", *carry, "g")
+    return out.distinct() if distinct else out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -393,13 +437,62 @@ def contamination_overlap(
 
     Returns one row per contaminated training doc: distinct shared
     grams + how many held-out docs it touches.
+
+    The train side is NOT pre-deduplicated (``distinct=False``): the
+    final ``countDistinct`` absorbs within-doc repeats, so skipping the
+    distinct removes a full shuffle of the largest intermediate — the
+    train gram stream — at the cost of a few duplicate hit rows through
+    the join. Gram hashes are built directly in the lead projection
+    (:func:`gram_hashes`): the shingle STRING never materializes as a
+    shuffled column, only 8-byte longs move.
     """
-    tg = word_shingles(train, text_col, id_col, n).select(
-        "id", md5_long(F.col("shingle")).alias("g")
+    tg = gram_hashes(train, text_col, id_col, n, distinct=False)
+    hg = gram_hashes(heldout, text_col, id_col, n).withColumnRenamed(
+        "id", "held_id"
     )
-    hg = word_shingles(heldout, text_col, id_col, n).select(
-        F.col("id").alias("held_id"), md5_long(F.col("shingle")).alias("g")
-    )
+    return _contamination_hits(tg, hg, id_col, df_cap)
+
+
+def contamination_overlap_split(
+    docs: DataFrame,
+    held_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """:func:`contamination_overlap` when train and held-out are two
+    slices of ONE corpus (``held_pred`` over ``docs`` marks the held-out
+    rows): tokenize + window + hash run ONCE over the whole corpus and
+    the narrow (id, g, held) stream is persisted, instead of two full
+    tokenize/window passes whose subtrees Catalyst cannot share across
+    the join (differently-pruned children — the same reason the MinHash
+    pipeline persists its signature frame). Persisted rows are two longs
+    + a boolean per gram occurrence (~17 B); MEMORY_AND_DISK spills
+    rather than recomputes, and a corpus too big even for disk cache
+    falls back to the two-frame :func:`contamination_overlap`, trading
+    the cache for a second scan."""
+    grams = gram_hashes(
+        docs.withColumn("_held", held_pred),
+        text_col,
+        id_col,
+        n,
+        distinct=False,
+        carry=("_held",),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hg = grams.filter(F.col("_held")).select(
+        F.col("id").alias("held_id"), "g"
+    ).distinct()
+    tg = grams.filter(~F.col("_held")).select("id", "g")
+    return _contamination_hits(tg, hg, id_col, df_cap)
+
+
+def _contamination_hits(
+    tg: DataFrame, hg: DataFrame, id_col: str, df_cap: int | None
+) -> DataFrame:
+    """Join train grams (id, g) to distinct held-out grams (held_id, g)
+    and aggregate per training doc. ``df_cap`` drops grams present in
+    more than that many held-out docs before the join."""
     if df_cap is not None:
         keep = hg.groupBy("g").agg(F.count("*").alias("_df")).filter(
             F.col("_df") <= df_cap

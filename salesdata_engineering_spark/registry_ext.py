@@ -842,20 +842,60 @@ def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tsh JOIN hsh ON tsh.g = hsh.g
     GROUP BY 1
     """,
-    doc="Benchmark-contamination scan (ext/dedup.py contamination_overlap): "
-    "training docs (doc_id % 20 != 0) sharing any word 5-gram with the "
-    "held-out slice (doc_id % 20 = 0). Inverted-index equi-join on the "
-    "60-bit gram hash — never all-pairs; at 100 TB the held-out side "
-    "(benchmarks) is tiny, AQE broadcasts it, and the train side never "
-    "shuffles. df_cap drops stop-phrases when the held-out set is large.",
+    doc="Benchmark-contamination scan (ext/dedup.py "
+    "contamination_overlap_split): training docs (doc_id % 20 != 0) "
+    "sharing any word 5-gram with the held-out slice (doc_id % 20 = 0). "
+    "Inverted-index equi-join on the 60-bit gram hash — never all-pairs; "
+    "both sides come from ONE persisted tokenize+window+hash pass (gram "
+    "hashes built in the lead projection, no shingle strings shuffled, "
+    "train side never pre-deduplicated — countDistinct absorbs repeats). "
+    "At 100 TB the held-out side (benchmarks) is tiny, AQE broadcasts "
+    "it. df_cap drops stop-phrases when the held-out set is large.",
 )
 def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .ext.dedup import contamination_overlap
+    from .ext.dedup import contamination_overlap_split
 
     docs = _docs(spark, sf_dir)
-    heldout = docs.filter(F.col("doc_id") % 20 == 0)
-    train = docs.filter(F.col("doc_id") % 20 != 0)
-    return contamination_overlap(train, heldout, n=5)
+    return contamination_overlap_split(docs, F.col("doc_id") % 20 == 0, n=5)
+
+
+@register(
+    "contamination_ngram_overlap_capped",
+    f"""
+    WITH sp AS (SELECT doc_id AS id, {SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                              i -> array_to_string(t[i:i+1], ' ')))) AS shingle
+           FROM sp),
+    hsh AS (SELECT id AS held_id, {SQL_HASH60.format(x='shingle')} AS g
+            FROM sh WHERE id % 20 = 0),
+    keep AS (SELECT g FROM hsh GROUP BY g HAVING count(*) <= 3),
+    tsh AS (SELECT id, {SQL_HASH60.format(x='shingle')} AS g
+            FROM sh WHERE id % 20 <> 0)
+    SELECT tsh.id AS doc_id,
+           count(DISTINCT tsh.g) AS n_shared_grams,
+           count(DISTINCT hsh.held_id) AS n_held_docs
+    FROM tsh
+    JOIN hsh  ON tsh.g = hsh.g
+    JOIN keep ON hsh.g = keep.g
+    GROUP BY 1
+    """,
+    doc="Contamination scan with the df_cap stop-gram guard LIVE "
+    "(ext/dedup.py _contamination_hits): word 2-grams, grams present in "
+    "more than 3 held-out docs dropped before the join — the skew guard "
+    "that keeps a stop-phrase ('what is the name of') from matching the "
+    "whole corpus at 100 TB. Bigrams are used precisely because this "
+    "corpus has no high-frequency 5-grams: at sf0.01 the cap prunes ~52 "
+    "grams with held-df 4..6, so the oracle genuinely checks the capped "
+    "semantics, not a no-op.",
+)
+def q_contamination_ngram_overlap_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import contamination_overlap_split
+
+    docs = _docs(spark, sf_dir)
+    return contamination_overlap_split(
+        docs, F.col("doc_id") % 20 == 0, n=2, df_cap=3
+    )
 
 
 @register(

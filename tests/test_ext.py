@@ -391,3 +391,48 @@ def test_split_assignment_rounds_buckets_and_validates_fractions(docs, spark):
 
     with _pytest.raises(ValueError, match="sum to 1.0"):
         split_assignment(docs, "doc_id", splits=(("train", 0.5), ("val", 0.3)))
+
+
+def test_contamination_df_cap_drops_only_stop_grams(spark):
+    """The df_cap stop-gram guard (the 100 TB skew story: grams like
+    'what is the name of' match everything and only add noise) must drop
+    exactly the grams above the held-doc-frequency cap and nothing else
+    — previously a dead-until-needed code path with no coverage
+    (VERDICT r4 item 5)."""
+    from salesdata_engineering_spark.ext.dedup import (
+        contamination_overlap,
+        contamination_overlap_split,
+    )
+
+    held = [
+        (100, "what is the name of alpha"),   # stop gram in 3 held docs
+        (102, "what is the name of beta"),
+        (104, "what is the name of gamma"),
+        (106, "zephyr quill ember unique phrase"),  # rare gram, 1 held doc
+    ]
+    train = [
+        (1, "what is the name of nothing else here"),  # stop grams only
+        (3, "ask zephyr quill ember unique phrase today"),  # rare gram
+    ]
+    docs = spark.createDataFrame(held + train, ["doc_id", "text"])
+    heldout = docs.filter(F.col("doc_id") >= 100)
+    train_df = docs.filter(F.col("doc_id") < 100)
+
+    def rows(df):
+        return {r.doc_id: (r.n_shared_grams, r.n_held_docs) for r in df.collect()}
+
+    uncapped = rows(contamination_overlap(train_df, heldout, n=5))
+    # doc 1 shares 'what is the name of' (3 held docs); doc 3 shares the
+    # 5-gram 'zephyr quill ember unique phrase' (1 held doc)
+    assert uncapped == {1: (1, 3), 3: (1, 1)}
+
+    capped = rows(contamination_overlap(train_df, heldout, n=5, df_cap=2))
+    # the stop gram (held-doc frequency 3 > cap 2) is dropped, taking doc 1
+    # with it; the rare gram (frequency 1) must be untouched
+    assert capped == {3: (1, 1)}
+
+    # the single-corpus fast path must honor the cap identically
+    capped_split = rows(
+        contamination_overlap_split(docs, F.col("doc_id") >= 100, n=5, df_cap=2)
+    )
+    assert capped_split == capped
