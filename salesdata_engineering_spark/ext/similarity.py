@@ -437,7 +437,8 @@ def quantized_topk(
 
     Shuffles: one narrow (query_id, vec_id, qcos) stream into the
     stage-1 window; candidates (|Q|·m rows) join back to the corpus for
-    re-rank. Combine with IVF cells for sublinear scan at 100 TB."""
+    re-rank. :func:`ivf_quantized_topk` is the composed sublinear form:
+    the same quantized scan restricted to IVF-probed cells."""
     q = quantize_cols(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")), "_qvec", dim, "_q"
     )
@@ -459,6 +460,114 @@ def quantized_topk(
         cand.join(corpus.select(id_col, vec_col), id_col)
         .join(
             F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))),
+            query_id_col,
+        )
+        .select(query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    return (
+        rr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "rk",
+            F.round("_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    stride: int = 50,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The composed sublinear ANN both halves promise: IVF cell pruning
+    (:func:`ivf_ann_topk`) feeding the int8-quantized scan + exact
+    re-rank (:func:`quantized_topk`).
+
+    Stage 0 assigns the corpus to inverted cells and each query to its
+    ``nprobe`` nearest cells (broadcast centroids, codegen'd dots — no
+    shuffle). Stage 1 scores ONLY the probed cells' vectors on the
+    quantized representation: the scoring join is an equi-join on
+    ``cid``, so the scan touches ~nprobe/n_cells of the corpus — and
+    what it reads is int8-quantized (4× less memory traffic than
+    float32) — where :func:`quantized_topk` alone still cross-joins
+    every (query, corpus) pair. Stage 2 re-scores the surviving |Q|·m
+    candidates at full precision.
+
+    No candidate dedup is needed: every corpus vector lives in exactly
+    ONE cell (keep=1), so a (query, id) pair can match on at most one
+    of the query's nprobe probes.
+
+    Cross-engine determinism is inherited from the two halves: the
+    cell/probe boundary uses the same float-cosine + cid tie rule as
+    the IVF oracle, and the stage-1 candidate boundary is integer-exact
+    (quantized values are small integers in doubles). At 100 TB this is
+    the serving shape: centroids trained once (:func:`ivf_train_centroids`),
+    corpus stored quantized and clustered by cell, full-precision
+    vectors fetched only for the |Q|·m re-rank."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
+        )
+    cents = F.broadcast(
+        centroids.select("cid", "_cvec", norm("_cvec", dim).alias("_cn"))
+    )
+
+    def assign(df: DataFrame, out_id: str, keep: int) -> DataFrame:
+        # same narrow argmax-window + join-back shape as ivf_ann_topk:
+        # the rank shuffle carries (id, cid, score) only
+        sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
+        w = Window.partitionBy(out_id).orderBy(F.col("_cs").desc(), "cid")
+        picked = (
+            df.withColumn("_vn", norm(vec_col, dim))
+            .crossJoin(cents)
+            .select(F.col(out_id), "cid", sim)
+            .withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") <= keep)
+            .select(out_id, "cid")
+        )
+        return picked.join(df, out_id).select(out_id, vec_col, "cid")
+
+    cells = assign(_spread(corpus).select(id_col, vec_col), id_col, 1)
+    probes = assign(
+        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col, nprobe
+    ).select(query_id_col, "cid")
+
+    cq = quantize_cols(cells, vec_col, dim, "_c")
+    qq = quantize_cols(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+        "_qvec", dim, "_q",
+    )
+    pq = probes.join(qq.drop("_qvec"), query_id_col)
+    qdot = " + ".join(f"_cqv[{i}] * _qqv[{i}]" for i in range(dim))
+    scored = (
+        cq.drop(vec_col)
+        .join(F.broadcast(pq), "cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .selectExpr(query_id_col, id_col, f"({qdot}) / (_cqn * _qqn) AS _qcos")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_qcos").desc(), F.col(id_col))
+    cand = (
+        scored.withColumn("_qrk", F.row_number().over(wq))
+        .filter(F.col("_qrk") <= m)
+        .select(query_id_col, id_col)
+    )
+    rr = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+            ),
             query_id_col,
         )
         .select(query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim"))

@@ -1020,6 +1020,80 @@ def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(corpus, _queries_subset(corpus), k=5, m=20)
 
 
+@register(
+    "sim_ivf_quantized_topk",
+    f"""
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_IVF_STRIDE} = 0),
+    cells AS (
+        SELECT vec_id, cid
+        FROM (SELECT c0.vec_id, cents.cid,
+                     {_SQL_COSINE.format(a="c0.v", b="cents.cv")} AS cs
+              FROM c0, cents
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid) = 1)
+    ),
+    probes AS (
+        SELECT query_id, cid
+        FROM (SELECT c0.vec_id AS query_id, cents.cid,
+                     {_SQL_COSINE.format(a="c0.v", b="cents.cv")} AS cs
+              FROM c0, cents WHERE c0.vec_id < 10
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
+                      <= {_IVF_NPROBE})
+    ),
+    qz AS (SELECT vec_id, v, {_SQL_QUANT.format(v="v")} AS qv FROM c0),
+    qn AS (SELECT vec_id, v, qv, sqrt(list_dot_product(qv, qv)) AS qnorm FROM qz),
+    cqz AS (SELECT qn.vec_id, cells.cid, qn.qv, qn.qnorm
+            FROM cells JOIN qn ON cells.vec_id = qn.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv_full, qv AS qqv, qnorm AS qqn
+          FROM qn WHERE vec_id < 10),
+    scored AS (
+        SELECT p.query_id, c.vec_id,
+               list_dot_product(c.qv, q.qqv) / (c.qnorm * q.qqn) AS qcos
+        FROM cqz c JOIN probes p USING (cid)
+                   JOIN q ON p.query_id = q.query_id
+        WHERE c.vec_id <> p.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, vec_id) AS qrk
+            FROM scored) WHERE qrk <= 20
+    ),
+    rr AS (
+        SELECT cand.query_id, cand.vec_id,
+               {_SQL_COSINE.format(a="c.v", b="q.qv_full")} AS s
+        FROM cand JOIN c0 c ON cand.vec_id = c.vec_id
+                  JOIN q ON cand.query_id = q.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rk, round(s, 6) AS cosine_sim
+    FROM (SELECT query_id, vec_id, s,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= 5
+    """,
+    doc="X2 composed sublinear ANN (ext/similarity.py ivf_quantized_topk) "
+    "— the combination the two halves promise: IVF cells prune the scan "
+    "to ~nprobe/n_cells of the corpus, the pruned candidates are scored "
+    "on int8-quantized vectors (4x less memory traffic), and only |Q|*m "
+    "survivors are re-ranked at full precision. The stage-1 scoring join "
+    "is an equi-join on cid (plan-asserted: the only nested-loop pair "
+    "scans are the tiny broadcast-centroid assignments), and candidate "
+    "boundaries are integer-exact cross-engine.",
+    bench=True,
+)
+def q_sim_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import ivf_quantized_topk
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return ivf_quantized_topk(
+        corpus, _queries_subset(corpus), k=5, m=20,
+        stride=_IVF_STRIDE, nprobe=_IVF_NPROBE,
+    )
+
+
 def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
     """One unrolled Lloyd iteration: assign to nearest centroid by
     cosine (tie on cid), recompute elementwise means rounded to 6dp —

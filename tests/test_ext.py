@@ -436,3 +436,32 @@ def test_contamination_df_cap_drops_only_stop_grams(spark):
         contamination_overlap_split(docs, F.col("doc_id") >= 100, n=5, df_cap=2)
     )
     assert capped_split == capped
+
+
+def test_ivf_quantized_recall_close_to_ivf(spark, sf_dir):
+    """Composing the quantized scan with IVF pruning may only lose
+    recall through the quantized stage-1 boundary (m=20 candidates), so
+    its recall vs brute force must stay close to plain IVF's."""
+    from salesdata_engineering_spark.ext.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_quantized_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb, qs, k=5))
+    ivf = pairs(ivf_ann_topk(emb, qs, k=5))
+    composed = pairs(ivf_quantized_topk(emb, qs, k=5, m=20))
+    r_ivf = len(ivf & exact) / len(exact)
+    r_comp = len(composed & exact) / len(exact)
+    assert r_comp >= r_ivf - 0.05, f"composed {r_comp:.2f} vs ivf {r_ivf:.2f}"

@@ -301,3 +301,14 @@ def test_spread_size_conf_parsing():
     assert _parse_size("1g") == 1 << 30
     assert _parse_size(" 512k ") == 512 << 10
     assert _parse_size("1024") == 1024
+
+
+def test_ivf_quantized_scan_touches_cells_not_corpus(spark, sf_dir):
+    """The composed sublinear ANN's stage-1 scoring must be an equi-join
+    on cid (probed cells only) — the ONLY nested-loop pair scans allowed
+    are the two tiny broadcast-centroid assignments; a third would mean
+    the quantized scan regressed to the full |Q| x |C| cross product."""
+    plan = plan_of(QUERIES["sim_ivf_quantized_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "BroadcastHashJoin [cid#" in plan, plan
