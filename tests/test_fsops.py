@@ -1,0 +1,126 @@
+"""S8 object-lifecycle over the Hadoop FileSystem API, plus the
+env-flag-gated real-backend integration paths (VERDICT r4 item 8).
+
+The fsops suite runs twice: always over ``file://`` (Hadoop's
+LocalFileSystem — the same code path an object store takes, minus the
+connector), and, when ``SPARK_GRAFT_REMOTE_FS_DIR`` is exported (e.g.
+``s3a://bucket/tmp`` with credentials in the Hadoop conf), against that
+real endpoint. The JDBC roundtrip runs only when ``SPARK_GRAFT_JDBC_URL``
+is exported (driver jar on the session classpath) — the sandbox bakes in
+no driver jar, so it skips cleanly here."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from salesdata_engineering_spark.fsops import (
+    fs_delete,
+    fs_exists,
+    fs_list,
+    fs_mkdirs,
+    fs_move,
+    route_rejected_fs,
+)
+
+REMOTE = os.environ.get("SPARK_GRAFT_REMOTE_FS_DIR")
+
+BACKENDS = ["local"] + (["remote"] if REMOTE else [])
+
+
+@pytest.fixture(params=BACKENDS)
+def fs_root(request, spark, tmp_path):
+    if request.param == "local":
+        yield f"file://{tmp_path}"
+    else:
+        root = f"{REMOTE.rstrip('/')}/fsops_test_{tmp_path.name}"
+        yield root
+        fs_delete(spark, root, recursive=True)
+
+
+def _put(spark, uri: str, text: str) -> None:
+    # write through the same FileSystem the ops use — works on any scheme
+    from salesdata_engineering_spark.fsops import _fs_and_path
+
+    fs, path = _fs_and_path(spark, uri)
+    out = fs.create(path, True)
+    out.write(bytearray(text, "utf-8"))
+    out.close()
+
+
+def test_fs_lifecycle_list_move_delete(spark, fs_root):
+    """The reference's landing-zone lifecycle (list -> route bad files
+    to error/ -> move processed) over the Hadoop FS API."""
+    landing, errors, done = (
+        f"{fs_root}/sales_data",
+        f"{fs_root}/sales_data_error",
+        f"{fs_root}/sales_data_processed",
+    )
+    fs_mkdirs(spark, landing)
+    _put(spark, f"{landing}/sales_1.csv", "customer_id,price\n1,2.0\n")
+    _put(spark, f"{landing}/sales_2.csv", "bad_header\nx\n")
+    _put(spark, f"{landing}/notes.txt", "ignore me")
+
+    listed = fs_list(spark, landing, suffix=".csv")
+    assert [u.rsplit("/", 1)[1] for u in listed] == ["sales_1.csv", "sales_2.csv"]
+
+    moved = route_rejected_fs(spark, {listed[1]: ["customer_id"]}, errors)
+    assert [u.rsplit("/", 1)[1] for u in moved] == ["sales_2.csv"]
+    assert fs_exists(spark, moved[0])
+    assert not fs_exists(spark, listed[1])
+
+    done_uri = fs_move(spark, listed[0], done)
+    assert fs_exists(spark, done_uri)
+    assert fs_list(spark, landing, suffix=".csv") == []
+
+    assert fs_delete(spark, done_uri)
+    assert not fs_exists(spark, done_uri)
+
+
+def test_fs_roundtrip_is_spark_readable(spark, fs_root):
+    """Files managed through fsops stay readable by spark.read on the
+    same URI — the whole point of dropping the download step."""
+    fs_mkdirs(spark, f"{fs_root}/zone")
+    _put(spark, f"{fs_root}/zone/a.csv", "k,v\n1,x\n2,y\n")
+    df = spark.read.csv(f"{fs_root}/zone/a.csv", header=True)
+    assert df.count() == 2 and df.columns == ["k", "v"]
+
+
+JDBC_URL = os.environ.get("SPARK_GRAFT_JDBC_URL")
+
+
+@pytest.mark.skipif(
+    not JDBC_URL, reason="SPARK_GRAFT_JDBC_URL not set (no JDBC endpoint/driver here)"
+)
+def test_jdbc_roundtrip_plain_and_partitioned(spark):
+    """write_jdbc -> read_jdbc equality, plus the stride-partitioned
+    parallel read the reference's single-connection reader lacks.
+    Gate-to-run: export SPARK_GRAFT_JDBC_URL (and optionally
+    SPARK_GRAFT_JDBC_USER/PASSWORD/DRIVER) with the driver jar on the
+    session classpath (spark.jars / SPARK_CLASSPATH)."""
+    from salesdata_engineering_spark.io import read_jdbc, write_jdbc
+
+    props = {
+        k: v
+        for k, v in {
+            "user": os.environ.get("SPARK_GRAFT_JDBC_USER"),
+            "password": os.environ.get("SPARK_GRAFT_JDBC_PASSWORD"),
+            "driver": os.environ.get("SPARK_GRAFT_JDBC_DRIVER"),
+        }.items()
+        if v
+    }
+    table = os.environ.get("SPARK_GRAFT_JDBC_TABLE", "spark_graft_roundtrip")
+    src = spark.range(0, 100).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    write_jdbc(src, JDBC_URL, table, props, mode="overwrite")
+
+    plain = read_jdbc(spark, JDBC_URL, table, props)
+    assert plain.count() == 100
+    assert {r.id for r in plain.collect()} == set(range(100))
+
+    par = read_jdbc(
+        spark, JDBC_URL, table, props,
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert sorted(r.id for r in par.collect()) == list(range(100))
