@@ -317,6 +317,48 @@ def embedding_near_dup_lsh(
     )
 
 
+def _assign_cells(
+    df: DataFrame,
+    cents: Column,
+    out_id: str,
+    keep: int,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Assign each vector to its ``keep`` nearest centroids:
+    (out_id, vec, cid). Shared by the IVF build/search/train paths.
+
+    The argmax shuffle carries (id, cid, score) only — carrying the
+    64-dim vector through it moved ~64 doubles per PAIR (≈256 MB per
+    assignment pass at sf0.1, measured); winners re-attach their vector
+    with one tiny id-equi-join. For ``keep=1`` (the corpus-side
+    assignment — the BIG side) the argmax is a ``max_by`` over a
+    (score, −cid) struct: a partial+final hash aggregate whose map-side
+    combine collapses each id's |cells| candidate rows to ONE before the
+    exchange, where the row_number window form shuffled and SORTED the
+    whole |df|·|cells| pair stream (measured: the sort dominated the
+    assignment stage). Identical argmax semantics: highest score, ties
+    to the lowest cid — the same ORDER BY cs DESC, cid the oracle uses."""
+    sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
+    scored = (
+        df.withColumn("_vn", norm(vec_col, dim))
+        .crossJoin(cents)
+        .select(F.col(out_id), "cid", sim)
+    )
+    if keep == 1:
+        picked = scored.groupBy(out_id).agg(
+            F.max_by("cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))).alias("cid")
+        )
+    else:
+        w = Window.partitionBy(out_id).orderBy(F.col("_cs").desc(), "cid")
+        picked = (
+            scored.withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") <= keep)
+            .select(out_id, "cid")
+        )
+    return picked.join(df, out_id).select(out_id, vec_col, "cid")
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -349,28 +391,12 @@ def ivf_ann_topk(
         centroids.select("cid", "_cvec", norm("_cvec", dim).alias("_cn"))
     )
 
-    def assign(df: DataFrame, out_id: str, keep: int) -> DataFrame:
-        # Row norm hoisted out of the |df|·|cents| pair loop, and the
-        # argmax window sees only (id, cid, score) — carrying the 64-dim
-        # vector through that shuffle moved ~64 doubles per PAIR
-        # (≈256 MB per assignment pass at sf0.1, the dominant cost of
-        # the trained-IVF query before this change); the winner rows
-        # re-attach their vector with one tiny id-equi-join.
-        sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
-        w = Window.partitionBy(out_id).orderBy(F.col("_cs").desc(), "cid")
-        picked = (
-            df.withColumn("_vn", norm(vec_col, dim))
-            .crossJoin(cents)
-            .select(F.col(out_id), "cid", sim)
-            .withColumn("_crk", F.row_number().over(w))
-            .filter(F.col("_crk") <= keep)
-            .select(out_id, "cid")
-        )
-        return picked.join(df, out_id).select(out_id, vec_col, "cid")
-
-    cells = assign(_spread(corpus).select(id_col, vec_col), id_col, 1)
-    probes = assign(
-        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col, nprobe
+    cells = _assign_cells(
+        _spread(corpus).select(id_col, vec_col), cents, id_col, 1, vec_col, dim
+    )
+    probes = _assign_cells(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        cents, query_id_col, nprobe, vec_col, dim,
     ).select(query_id_col, F.col(vec_col).alias("_qvec"), "cid")
     cand = (
         cells.join(probes, "cid")
@@ -523,24 +549,12 @@ def ivf_quantized_topk(
         centroids.select("cid", "_cvec", norm("_cvec", dim).alias("_cn"))
     )
 
-    def assign(df: DataFrame, out_id: str, keep: int) -> DataFrame:
-        # same narrow argmax-window + join-back shape as ivf_ann_topk:
-        # the rank shuffle carries (id, cid, score) only
-        sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
-        w = Window.partitionBy(out_id).orderBy(F.col("_cs").desc(), "cid")
-        picked = (
-            df.withColumn("_vn", norm(vec_col, dim))
-            .crossJoin(cents)
-            .select(F.col(out_id), "cid", sim)
-            .withColumn("_crk", F.row_number().over(w))
-            .filter(F.col("_crk") <= keep)
-            .select(out_id, "cid")
-        )
-        return picked.join(df, out_id).select(out_id, vec_col, "cid")
-
-    cells = assign(_spread(corpus).select(id_col, vec_col), id_col, 1)
-    probes = assign(
-        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col, nprobe
+    cells = _assign_cells(
+        _spread(corpus).select(id_col, vec_col), cents, id_col, 1, vec_col, dim
+    )
+    probes = _assign_cells(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        cents, query_id_col, nprobe, vec_col, dim,
     ).select(query_id_col, "cid")
 
     cq = quantize_cols(cells, vec_col, dim, "_c")
@@ -619,23 +633,11 @@ def ivf_train_centroids(
     )
     for _ in range(iters):
         bc = F.broadcast(cents.select("cid", "_cvec", norm("_cvec", dim).alias("_cn")))
-        # same narrow-window + join-back shape as ivf_ann_topk's assign:
-        # the argmax shuffle carries (id, cid, score) only; vectors
-        # re-attach via one id-equi-join for the mean recompute
-        sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
-        w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), "cid")
-        picked = (
-            corpus.select(id_col, vec_col)
-            .withColumn("_vn", norm(vec_col, dim))
-            .crossJoin(bc)
-            .select(F.col(id_col), "cid", sim)
-            .withColumn("_crk", F.row_number().over(w))
-            .filter(F.col("_crk") == 1)
-            .select(id_col, "cid")
-        )
-        assigned = picked.join(corpus.select(id_col, vec_col), id_col).select(
-            "cid", vec_col
-        )
+        # shared keep=1 assignment: max_by hash-agg, map-side combine —
+        # see _assign_cells for the shape and the window-sort it replaces
+        assigned = _assign_cells(
+            corpus.select(id_col, vec_col), bc, id_col, 1, vec_col, dim
+        ).select("cid", vec_col)
         by_pos = (
             assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
             .groupBy("cid", "pos")
