@@ -96,3 +96,75 @@ def split_assignment(
         cond = gate < round(acc_frac * _BUCKETS)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(splits[-1][0]))
+
+
+def rebalance_sources(
+    df: DataFrame,
+    targets: dict[str, int],
+    id_col: str,
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source-mix rebalancing: down-sample each source to
+    ~its target row count (the data-mixture step of a training
+    pipeline — cap the over-represented crawl, keep the curated set).
+
+    Per-source keep rate = min(1, target / count); membership is the
+    same hash gate as :func:`hash_sample` (pure function of (salt, id),
+    so the subset is stable across reruns/engines/layout and a source's
+    kept rows never change when OTHER sources grow). Sources absent
+    from ``targets`` are dropped — the mixture is a whitelist. Expected
+    (not exact) target counts: the gate quantizes to 1/10000ths — the
+    shuffle-free trade; for exact-n use rank-based
+    :func:`stratified_sample`.
+
+    Scale shape: one tiny counts aggregate broadcast back onto the
+    corpus; the corpus itself never shuffles (filter + broadcast join
+    only), so this runs at 100 TB for the cost of one scan."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    tgt = tmap[F.col(source_col)]
+    # guard the whitelist drop explicitly: least() SKIPS nulls (a missing
+    # source would silently get rate 1.0 and survive the mixture)
+    rates = counts.select(
+        source_col,
+        F.when(
+            tgt.isNotNull(), F.least(F.lit(1.0), tgt / F.col("_n"))
+        ).alias("_rate"),
+    ).filter(F.col("_rate").isNotNull())
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(_gate(F.col(id_col), salt) < F.col("_rate") * _BUCKETS)
+        .drop("_rate")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: (id, shard, pos) where ``shard`` is a uniform hash bucket
+    and ``pos`` is the row's position within its shard in hash order —
+    the reproducible twin of 'shuffle the corpus and split into N
+    files' (an epoch-0 training order any engine can re-derive; no RNG
+    state, no layout dependence).
+
+    Scale shape: one shuffle keyed by shard (uniform by construction —
+    no skew), then a within-shard sort for positions; pick ``n_shards``
+    so one shard's keys sort in executor memory (at 100 TB that is
+    simply more shards, not more machinery). The downstream writer maps
+    one shard to one output file: ``df.repartition('shard')`` +
+    ``partitionBy('shard')`` or ``bucketBy``."""
+    key = md5_long(F.col(id_col).cast("string"), salt)
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("_k"))
+        .withColumn("shard", F.pmod(F.col("_k"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -1189,3 +1189,62 @@ def q_sample_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.sampling import split_assignment
 
     return split_assignment(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
+
+
+_MIX_TARGETS = {"src0": 10, "src1": 25, "src2": 100, "src3": 5}
+_MIX_VALUES = ", ".join(f"('{s}', {t})" for s, t in _MIX_TARGETS.items())
+
+
+@register(
+    "sample_rebalance_sources",
+    f"""
+    WITH cnt AS (SELECT source, count(*) AS _n FROM documents GROUP BY 1),
+    t(source, tgt) AS (VALUES {_MIX_VALUES}),
+    r AS (SELECT c.source, least(1.0, CAST(t.tgt AS DOUBLE) / c._n) AS _rate
+          FROM cnt c JOIN t USING (source))
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN r USING (source)
+    WHERE ({SQL_HASH60.format(x="'mix:' || CAST(d.doc_id AS VARCHAR)")} % 10000)
+          < _rate * 10000
+    """,
+    doc="Deterministic source-mix rebalancing (ext/sampling.py "
+    "rebalance_sources): down-sample each source toward its target row "
+    "count (cap the over-represented crawl, keep the curated set) via "
+    "the per-source hash gate rate = min(1, target/count). Sources "
+    "outside the mixture are dropped (whitelist). Shuffle-free at any "
+    "scale: one tiny counts aggregate broadcast back onto the corpus; "
+    "the targets here exercise down-sample (10/25 of src0, 5/25 of "
+    "src3), keep-all (src1), and shortfall-capped (100>25, src2).",
+)
+def q_sample_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.sampling import rebalance_sources
+
+    return rebalance_sources(_docs(spark, sf_dir), _MIX_TARGETS, "doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
+@register(
+    "sample_shuffle_shards",
+    f"""
+    WITH k AS (SELECT doc_id,
+                      {SQL_HASH60.format(x="'shuffle:' || CAST(doc_id AS VARCHAR)")}
+                          AS _k
+               FROM documents)
+    SELECT doc_id,
+           CAST(_k % 16 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY _k % 16 ORDER BY _k, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM k
+    """,
+    doc="Deterministic global shuffle + shard assignment for training "
+    "export (ext/sampling.py shuffle_shards): (doc, shard, pos) with "
+    "shard a uniform hash bucket and pos the hash-order position within "
+    "the shard — a reproducible epoch-0 training order with no RNG "
+    "state. One uniform shuffle keyed by shard + a within-shard sort; "
+    "at 100 TB scale by adding shards, not machinery.",
+)
+def q_sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.sampling import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), 16, "doc_id")

@@ -312,3 +312,14 @@ def test_ivf_quantized_scan_touches_cells_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan
     assert "BroadcastHashJoin [cid#" in plan, plan
+
+
+def test_rebalance_sources_never_shuffles_corpus(spark, sf_dir):
+    """The source-mix gate's scale contract: the corpus rows flow
+    scan -> broadcast-join -> filter with NO exchange (only the tiny
+    per-source counts aggregate shuffles)."""
+    plan = plan_of(QUERIES["sample_rebalance_sources"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side, corpus_side
