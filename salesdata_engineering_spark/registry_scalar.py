@@ -1160,3 +1160,208 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n_name").agg(
         F.round(F.sum(rev), 2).cast("double").alias("revenue")
     )
+
+
+def _drev() -> F.Column:
+    # built lazily: module import happens before any SparkContext exists,
+    # and Column construction needs the JVM
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q4 shape (late-shipment priority census): a correlated "
+    "EXISTS whose predicate mixes the equi-key with a non-equi date "
+    "comparison, decorrelated by Catalyst into a LEFT SEMI join with the "
+    "range condition as join residual — the date window still pushes to "
+    "the orders scan, and the semi-join keeps only the first match per "
+    "order instead of exploding lineitems.",
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(SUM(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               {_REV} AS volume
+        FROM lineitem
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): the "
+    "two-sided nation-pair disjunction over a five-table join. The tiny "
+    "nation dim broadcasts TWICE under different aliases; the pair "
+    "filter prunes most rows right at the broadcast joins (before the "
+    "aggregate), and year(l_shipdate) is cast to INT on both engines "
+    "(DuckDB year() is BIGINT).",
+)
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _drev().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                            THEN {_REV} ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM({_REV}) AS DOUBLE), 6) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    doc="TPC-H Q14 shape (promo revenue share): conditional aggregation "
+    "— one pass computes both the CASE-gated and the total revenue sum, "
+    "no self-join. Sums stay exact DECIMAL; the single lossy step is the "
+    "final double division + round, identical IEEE ops in both engines. "
+    "The ship-date window pushes to the lineitem scan; part broadcasts.",
+)
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    j = li.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _drev()).otherwise(F.lit(0).cast("decimal(12,2)"))
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / F.sum(_drev()).cast("double"), 6
+        )
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 16, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 shape (supplier census with exclusion list): "
+    "count(DISTINCT) per group above a NOT IN subquery. The exclusion "
+    "becomes a broadcast LEFT ANTI join (null-safe trivially: s_suppkey "
+    "is a key), the brand/size predicates push into the part scan "
+    "before its broadcast, and the distinct-aggregate expands to the "
+    "standard two-level partial agg.",
+)
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t["lineitem"].join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+    doc="TPC-H Q19 shape (OR-of-ANDs over a join): Catalyst splits the "
+    "disjunction into per-side conjunctions it can push — the common "
+    "l_quantity range (1..40) and brand/size union reach the scans as "
+    "pushed filters while the exact cross-side pairing evaluates as the "
+    "join residual; the whole predicate never forces a nested loop "
+    "(part stays a broadcast equi-join on p_partkey).",
+)
+def q_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_drev()), 2).cast("double").alias("revenue")
+    )

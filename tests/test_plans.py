@@ -323,3 +323,21 @@ def test_rebalance_sources_never_shuffles_corpus(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     corpus_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in corpus_side, corpus_side
+
+
+def test_q4_exists_is_semi_join_with_pushed_dates(spark, sf_dir):
+    """Q4's correlated EXISTS must execute as a LEFT SEMI join (no
+    lineitem explosion) with the order-date window pushed to the scan."""
+    plan = plan_of(QUERIES["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf_dir):
+    """Q19's OR-of-ANDs predicate must stay a broadcast equi-join on
+    p_partkey with the disjunction as a filter/residual — never a
+    nested-loop pair scan."""
+    plan = plan_of(QUERIES["q19_disjunctive_predicates"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
