@@ -648,7 +648,10 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
-    "sim_ivf_ann_topk",
+    # composed IVF+quantized supersedes plain IVF as the X7 window rep
+    # (same cell machinery plus the quantized scan; plain IVF stays
+    # registered in the tail, pytest-oracle-checked)
+    "sim_ivf_quantized_topk",
     "sim_embedding_near_dup",
     "multimodal_featurize",
     "sample_deterministic",

@@ -465,3 +465,48 @@ def test_ivf_quantized_recall_close_to_ivf(spark, sf_dir):
     r_ivf = len(ivf & exact) / len(exact)
     r_comp = len(composed & exact) / len(exact)
     assert r_comp >= r_ivf - 0.05, f"composed {r_comp:.2f} vs ivf {r_ivf:.2f}"
+
+
+def test_rebalance_sources_stable_under_other_source_growth(docs, spark):
+    """A source's kept rows depend only on ITS OWN count/target — adding
+    or removing documents in other sources must not move them (the
+    property that makes the mixture reproducible while the crawl
+    grows)."""
+    from salesdata_engineering_spark.ext.sampling import rebalance_sources
+
+    targets = {"src0": 10, "src1": 25}
+    full = {
+        r.doc_id
+        for r in rebalance_sources(docs, targets, "doc_id").collect()
+        if r.source == "src0"
+    }
+    shrunk_corpus = docs.filter(
+        (F.col("source") != "src1") | (F.col("doc_id") % 2 == 0)
+    )
+    shrunk = {
+        r.doc_id
+        for r in rebalance_sources(shrunk_corpus, targets, "doc_id").collect()
+        if r.source == "src0"
+    }
+    assert full == shrunk and full, "src0 membership moved with src1's size"
+
+
+def test_shuffle_shards_positions_are_contiguous_and_stable(docs, spark):
+    """pos must be a 0..n-1 permutation within each shard, and a doc's
+    (shard, relative order) must be layout-independent: recomputing
+    after a repartition yields the identical assignment."""
+    from salesdata_engineering_spark.ext.sampling import shuffle_shards
+
+    out = shuffle_shards(docs, 8, "doc_id").collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} has gaps"
+
+    again = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in shuffle_shards(docs.repartition(7), 8, "doc_id").collect()
+    }
+    assert again == {r.doc_id: (r.shard, r.pos) for r in out}

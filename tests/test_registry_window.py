@@ -67,7 +67,7 @@ REQUIRED_IN_WINDOW = {
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
-    "sim_ivf_ann_topk",
+    "sim_ivf_quantized_topk",
     "sim_embedding_near_dup",
     "multimodal_featurize",
     "sample_deterministic",
