@@ -292,6 +292,31 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Bounded-state streaming dedup (dropDuplicatesWithinWatermark, "
+    "Spark 3.5+): unlike dropDuplicates — whose state grows with ALL "
+    "keys ever seen — state here is evicted once the watermark passes a "
+    "key's event time, bounding the store to the late-data horizon; the "
+    "guarantee narrows to 'duplicates arriving within the delay of each "
+    "other are dropped'. Drained as ONE AvailableNow batch (the events "
+    "source is a single file), eviction cannot fire mid-drain, so the "
+    "result deterministically equals the global SELECT DISTINCT oracle; "
+    "multi-batch replay semantics are exercised in "
+    "tests/test_streaming.py for the plain-dropDuplicates twin.",
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = run_to_completion(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
+    return out.distinct()  # sink may replay across drains; keys are the contract
+
+
+@register(
     "stream_stream_join",
     """
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
