@@ -416,3 +416,52 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "rk", "score")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the LM-perplexity
+    proxy quality gate (the cheap stand-in for a KenLM score): documents
+    whose tokens are improbable under the corpus unigram distribution
+    (garbled text, wrong language, boilerplate soup) score low and get
+    filtered before training.
+
+    p(tok) = (c+1) / (T+V) with add-one smoothing over the corpus
+    unigram table (c = corpus count, T = total tokens, V = vocab size);
+    score = mean ln p over the document's tokens.
+
+    Cross-engine determinism: a float SUM over rows is order-dependent,
+    so per-token ln values are quantized to integer micro-nats
+    (round(ln·1e6) as BIGINT — round is half-away-from-zero in both
+    engines) and summed exactly; the mean divides the exact integer sum.
+    Same integer-in-double pattern as the moments/stats family.
+
+    Scale shape: one explode + one (term) hash-agg builds the unigram
+    table; the score join is a standard hash join against that table
+    (vocab-sized side — broadcast when it fits, AQE skew-split handles
+    the stop-word-heavy partitions when it doesn't), then one (doc)
+    aggregate. Document text never shuffles; at 100 TB floor the vocab
+    with a min-count and fold the tail into an OOV row to keep the
+    table broadcastable."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    stats = counts.agg(F.sum("c").alias("t"), F.count("*").alias("v"))
+    scored = (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.round(
+                F.log((F.col("c") + 1) / (F.col("t") + F.col("v"))) * 1000000
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("s") / F.lit(1000000.0) / F.count("*"), 6).alias(
+            "mean_logprob"
+        ),
+    )

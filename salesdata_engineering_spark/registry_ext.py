@@ -1248,3 +1248,34 @@ def q_sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.sampling import shuffle_shards
 
     return shuffle_shards(_docs(spark, sf_dir), 16, "doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+    ),
+    tkf AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+    cnt AS (SELECT term, count(*) AS c FROM tkf GROUP BY 1),
+    st AS (SELECT SUM(c) AS t, count(*) AS v FROM cnt),
+    sc AS (SELECT doc_id,
+                  CAST(round(ln((c + 1) / (t + v)) * 1000000) AS BIGINT) AS s
+           FROM tkf JOIN cnt USING (term) CROSS JOIN st)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(SUM(s) / 1000000.0 / count(*), 6) AS mean_logprob
+    FROM sc GROUP BY 1
+    """,
+    doc="LM-perplexity-proxy quality gate (ext/text.py unigram_logprob): "
+    "per-doc mean unigram log-probability under the corpus distribution "
+    "with add-one smoothing — the cheap KenLM stand-in that catches "
+    "garbled/boilerplate documents before training. Per-token ln values "
+    "quantized to integer micro-nats and summed exactly (float sums are "
+    "order-dependent; integers are not), the same integer-in-double "
+    "trick the moments family uses. One explode, one term hash-agg, one "
+    "hash join against the vocab-sized table, one doc aggregate.",
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
