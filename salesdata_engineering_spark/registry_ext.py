@@ -1279,3 +1279,68 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import unigram_logprob
 
     return unigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "sim_ann_recall_eval",
+    f"""
+    WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
+    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+           FROM embeddings, p),
+    c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
+          FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
+    q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
+          FROM (SELECT vec_id, unnest(buckets) AS u FROM c0 WHERE vec_id < 10)),
+    cand AS (
+        SELECT DISTINCT query_id, vec_id
+        FROM c JOIN q USING (tbl, bucket) WHERE vec_id <> query_id
+    ),
+    lsims AS (
+        SELECT cand.query_id, cand.vec_id,
+               {_SQL_COSINE.format(a="cv.v", b="qv.v")} AS s
+        FROM cand JOIN c0 cv ON cand.vec_id = cv.vec_id
+                  JOIN c0 qv ON cand.query_id = qv.vec_id
+    ),
+    lsh AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rk
+                FROM lsims) WHERE rk <= 5),
+    bsims AS (
+        SELECT bq.query_id, bc.vec_id,
+               {_SQL_COSINE.format(a="bc.v", b="bq.v")} AS s
+        FROM c0 bc, (SELECT vec_id AS query_id, v FROM c0 WHERE vec_id < 10) bq
+        WHERE bc.vec_id <> bq.query_id
+    ),
+    exact AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, vec_id) AS rk
+                  FROM bsims) WHERE rk <= 5)
+    SELECT e.query_id,
+           count(l.vec_id) AS n_matched,
+           round(count(l.vec_id) / 5.0, 6) AS recall_at_5
+    FROM exact e LEFT JOIN lsh l USING (query_id, vec_id)
+    GROUP BY 1
+    """,
+    doc="ANN evaluation harness: per-query recall@5 of the LSH path "
+    "against the exact brute-force top-5 — the measurement a pipeline "
+    "runs before trusting an index (tune n_tables/bits/nprobe on a "
+    "sample, then deploy). Both rankings share the deterministic "
+    "constructions of their standalone queries, so the whole evaluation "
+    "is value-oracle-checked; the aggregate recall over all queries is "
+    "asserted >= the OR-amplification bound in tests/test_ext.py.",
+)
+def q_sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qs = _queries_subset(corpus)
+    exact = cosine_topk(corpus, qs, k=5).select("query_id", "neighbor_id")
+    approx = lsh_ann_topk(
+        corpus, qs, k=5, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("_hit").alias("n_matched"),
+        F.round(F.count("_hit") / F.lit(5.0), 6).alias("recall_at_5"),
+    )
