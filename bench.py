@@ -83,16 +83,22 @@ def _split_layout_dir(spark, sf_dir: str, table: str = "lineitem") -> str:
     layout exercises the no-op path end-to-end — a realistic multi-file
     fact layout — so the split datapoint should land within noise of the
     spread-guarded one (VERDICT r4 item 7)."""
+    import shutil
     import tempfile
 
+    sf_dir = os.path.abspath(sf_dir)  # relative targets would dangle from /tmp
     root = tempfile.mkdtemp(prefix="bench_split_")
-    for f in os.listdir(sf_dir):
-        if f.endswith(".parquet") and f != f"{table}.parquet":
-            os.symlink(os.path.join(sf_dir, f), os.path.join(root, f))
-    par = spark.sparkContext.defaultParallelism
-    spark.read.parquet(f"{sf_dir}/{table}.parquet").repartition(par).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/{table}.parquet")
+    try:
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet") and f != f"{table}.parquet":
+                os.symlink(os.path.join(sf_dir, f), os.path.join(root, f))
+        par = spark.sparkContext.defaultParallelism
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").repartition(par).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{table}.parquet")
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
     return root
 
 
@@ -130,14 +136,21 @@ def main() -> None:
 
     from salesdata_engineering_spark.pipeline import run_full_pipeline
 
-    def run_pipeline():
-        out = tempfile.mkdtemp(prefix="bench_pipeline_")
-        try:
-            run_full_pipeline(spark, sf_dir, out)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
+    pipeline_outs: list[str] = []
 
-    extras["pipeline_full"] = _measure(spark, runs, run_pipeline)
+    def run_pipeline():
+        # cleanup happens AFTER timing: rmtree of a ~2,000-directory mart
+        # tree is filesystem noise, not pipeline cost, and must not
+        # pollute the timed region
+        out = tempfile.mkdtemp(prefix="bench_pipeline_")
+        pipeline_outs.append(out)
+        run_full_pipeline(spark, sf_dir, out)
+
+    try:
+        extras["pipeline_full"] = _measure(spark, runs, run_pipeline)
+    finally:
+        for out in pipeline_outs:
+            shutil.rmtree(out, ignore_errors=True)
 
     # sales_team_mart over a pre-split fact layout (spread() no-op path)
     split_dir = _split_layout_dir(spark, sf_dir)

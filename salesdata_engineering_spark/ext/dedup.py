@@ -28,8 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
+from .caching import swap_persist
 from .hashing import MINHASH_P, md5_long, perm_hash
 from .text import tokens
 
@@ -80,6 +79,8 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
+    if n < 2:  # unigrams: every token IS a full shingle, no leads exist
+        return toks.select("id", F.col("tok").alias("shingle")).distinct()
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
     sh = toks.select(
@@ -126,6 +127,9 @@ def gram_hashes(
         *[F.col(c) for c in carry],
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
+    if n < 2:  # unigrams: every token IS a full gram, no leads exist
+        out = toks.select("id", *carry, md5_long(F.col("tok")).alias("g"))
+        return out.distinct() if distinct else out
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
     sh = toks.select(
@@ -270,8 +274,10 @@ def minhash_lsh_pairs(
             F.collect_set("shingle").alias("sh"),
             *[F.min(perm_hash(F.col("hv"), h)).alias(f"sig_{h}") for h in range(k)],
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # bounded persist: repeated invocations in one session (driver loops,
+    # check_all) must not accumulate cache entries — see ext/caching.py
+    docs = swap_persist("minhash_docs", docs)
     band_keys = F.array(
         *[
             F.md5(F.concat_ws(",", *[F.col(f"sig_{t * r + j}").cast("string") for j in range(r)]))
@@ -472,14 +478,17 @@ def contamination_overlap_split(
     rather than recomputes, and a corpus too big even for disk cache
     falls back to the two-frame :func:`contamination_overlap`, trading
     the cache for a second scan."""
-    grams = gram_hashes(
-        docs.withColumn("_held", held_pred),
-        text_col,
-        id_col,
-        n,
-        distinct=False,
-        carry=("_held",),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = swap_persist(
+        "contamination_grams",
+        gram_hashes(
+            docs.withColumn("_held", held_pred),
+            text_col,
+            id_col,
+            n,
+            distinct=False,
+            carry=("_held",),
+        ),
+    )
     hg = grams.filter(F.col("_held")).select(
         F.col("id").alias("held_id"), "g"
     ).distinct()

@@ -437,16 +437,23 @@ def unigram_logprob(
     engines) and summed exactly; the mean divides the exact integer sum.
     Same integer-in-double pattern as the moments/stats family.
 
-    Scale shape: one explode + one (term) hash-agg builds the unigram
-    table; the score join is a standard hash join against that table
-    (vocab-sized side — broadcast when it fits, AQE skew-split handles
-    the stop-word-heavy partitions when it doesn't), then one (doc)
-    aggregate. Document text never shuffles; at 100 TB floor the vocab
-    with a min-count and fold the tail into an OOV row to keep the
-    table broadcastable."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    ).filter(F.col("term") != "")
+    Scale shape: the exploded token stream feeds BOTH the unigram
+    aggregate and the scoring join — differently-pruned subtrees
+    Catalyst cannot share — so it is persisted once (bounded via
+    swap_persist) instead of tokenizing the corpus twice. The score
+    join is a standard hash join against the vocab-sized counts table
+    (broadcast when it fits, AQE skew-split handles the stop-word-heavy
+    partitions when it doesn't), then one (doc) aggregate. Document
+    text never shuffles; at 100 TB floor the vocab with a min-count and
+    fold the tail into an OOV row to keep the table broadcastable."""
+    from .caching import swap_persist
+
+    toks = swap_persist(
+        "unigram_toks",
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+        ).filter(F.col("term") != ""),
+    )
     counts = toks.groupBy("term").agg(F.count("*").alias("c"))
     stats = counts.agg(F.sum("c").alias("t"), F.count("*").alias("v"))
     scored = (

@@ -75,17 +75,26 @@ def fs_delete(spark: SparkSession, uri: str, recursive: bool = False) -> bool:
 def fs_move(spark: SparkSession, src_uri: str, dst_dir_uri: str) -> str:
     """Move one file into ``dst_dir_uri`` (created if missing), keeping
     its basename; returns the destination URI. Parity with the
-    reference's move_s3_to_s3 (move_files.py:26-62) — on object stores
-    Hadoop's rename degrades to copy+delete exactly like the
-    reference's copy_object+delete_object."""
+    reference's move_s3_to_s3 (move_files.py:26-62): within one
+    FileSystem Hadoop's rename applies (itself copy+delete on object
+    stores); ACROSS filesystems (bucket A → bucket B, file:// → s3a://)
+    rename is refused by contract, so we fall back to
+    ``FileUtil.copy(deleteSource=true)`` — the same copy-then-delete
+    the reference's copy_object+delete_object performs."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs, src = _fs_and_path(spark, src_uri)
     jvm = spark.sparkContext._jvm
     dst_dir = jvm.org.apache.hadoop.fs.Path(dst_dir_uri)
-    dst_fs = dst_dir.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    dst_fs = dst_dir.getFileSystem(conf)
     dst_fs.mkdirs(dst_dir)
     dst = jvm.org.apache.hadoop.fs.Path(dst_dir, src.getName())
-    if not fs.rename(src, dst):
-        raise IOError(f"rename failed: {src_uri} -> {dst}")
+    same_fs = fs.getUri().toString() == dst_fs.getUri().toString()
+    if same_fs:
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed: {src_uri} -> {dst}")
+    else:
+        if not jvm.org.apache.hadoop.fs.FileUtil.copy(fs, src, dst_fs, dst, True, conf):
+            raise IOError(f"cross-fs move failed: {src_uri} -> {dst}")
     return dst.toString()
 
 

@@ -58,10 +58,23 @@ def read_events_stream(
     try:
         raw_schema = spark.read.parquet(events_path).schema
     except Exception:
-        # footer carries INT64 TIMESTAMP(NANOS): the legacy conf is a hard
-        # requirement for the lifetime of the stream, not a probe artifact
+        # Retry under the legacy flag — but if the failure was NOT the
+        # nanos rejection (missing path, corrupt footer, permissions) the
+        # retry fails too, and the conf must be restored before
+        # re-raising: flipping it on arbitrary errors would be the exact
+        # session leak this probe exists to prevent.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = spark.read.parquet(events_path).schema
+        try:
+            raw_schema = spark.read.parquet(events_path).schema
+        except Exception:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            raise
+        # retry succeeded: the footer really is nanos-typed, and the conf
+        # must STAY set for the lifetime of the stream (documented above)
     reader = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

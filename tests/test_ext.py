@@ -510,3 +510,15 @@ def test_shuffle_shards_positions_are_contiguous_and_stable(docs, spark):
         for r in shuffle_shards(docs.repartition(7), 8, "doc_id").collect()
     }
     assert again == {r.doc_id: (r.shard, r.pos) for r in out}
+
+
+def test_shingles_and_gram_hashes_handle_unigrams(spark):
+    """n=1 must degrade to per-token shingles/hashes instead of the
+    IndexError the window-lead construction raised (review round 5)."""
+    from salesdata_engineering_spark.ext.dedup import gram_hashes, word_shingles
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "c")], ["doc_id", "text"])
+    sh = {(r.id, r.shingle) for r in word_shingles(df, "text", "doc_id", 1).collect()}
+    assert sh == {(1, "a"), (1, "b"), (2, "c")}
+    g = gram_hashes(df, "text", "doc_id", 1).groupBy("id").count().collect()
+    assert {r.id: r["count"] for r in g} == {1: 2, 2: 1}

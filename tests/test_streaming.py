@@ -300,3 +300,21 @@ def test_transform_with_state_v2_matches_group_by(spark, tmp_path):
     out = run_to_completion(running_user_totals_v2(stream), output_mode="update")
     rows = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
     assert rows == {10: (2, 4.0), 20: (1, 4.0)}
+
+
+def test_read_events_stream_bad_path_restores_conf(spark):
+    """A probe failure that is NOT a nanos rejection (missing path) must
+    not leave the legacy nanos conf flipped (review round 5)."""
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        from salesdata_engineering_spark.streaming.runner import read_events_stream
+
+        with pytest.raises(Exception):
+            read_events_stream(spark, "/definitely/not/a/dir")
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
