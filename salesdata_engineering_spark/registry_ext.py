@@ -813,15 +813,16 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Within-document repetition score (ext/text.py repetition_score): "
     "duplicate 2-gram / 3-gram fractions per doc — the Gopher-style "
-    "repetitious-text quality gate. One tokenize + one (doc,pos) window "
-    "building both gram widths + one groupBy sharing the same shuffle "
-    "key; no UDF, no re-tokenization per gram (the transform-over-split "
-    "array form re-runs the regex per element).",
+    "repetitious-text quality gate. Strictly per-document, so computed "
+    "partition-local over the token array (transform + array_distinct): "
+    "zero shuffles; spread() fans the single-file test scan across "
+    "cores and is a no-op at scale.",
 )
 def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import repetition_score
+    from .ops.partitioning import spread
 
-    return repetition_score(_docs(spark, sf_dir))
+    return repetition_score(spread(_docs(spark, sf_dir)))
 
 
 @register(

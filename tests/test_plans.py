@@ -211,13 +211,20 @@ def test_contamination_no_cross_product(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_repetition_window_and_agg_share_shuffle_key(spark, sf_dir):
-    """Both gram widths come from ONE tokenize pass: exactly one
-    generate (posexplode) in the plan, and the (doc,pos) window feeds
-    the per-doc aggregate without a cross product."""
+def test_repetition_is_shuffle_free(spark, sf_dir):
+    """Repetition is strictly per-document, so the plan must be
+    partition-local: no exchange beyond the spread() fan-out guard
+    (itself a no-op for well-split scans), no token explode, no window
+    sort, no aggregate — the whole metric is array expressions."""
     plan = plan_of(QUERIES["text_repetition_score"].fn(spark, sf_dir))
-    assert plan.count("Generate explode") + plan.count("Generate posexplode") == 1, plan
-    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    # the only allowed exchange is spread()'s RoundRobin fan-out
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e for e in exchanges), plan
 
 
 def test_tfidf_reuses_tf_exchange(spark, sf_dir):
