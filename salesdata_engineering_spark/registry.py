@@ -584,6 +584,7 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import registry_ext  # noqa: E402,F401  (registration side effect)
 from . import registry_events  # noqa: E402,F401  (registration side effect)
 from . import registry_scalar  # noqa: E402,F401  (registration side effect)
+from . import registry_tpch  # noqa: E402,F401  (registration side effect)
 from . import registry_curated  # noqa: E402,F401  (registration side effect)
 from . import registry_maintenance  # noqa: E402,F401  (registration side effect)
 

@@ -348,3 +348,45 @@ def test_q19_disjunction_stays_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q15_reuses_revenue_exchange(spark, sf_dir):
+    """Q15's revenue view is consumed twice (MAX scalar + equality
+    probe): the second consumer must reuse the first's shuffle — one
+    lineitem scan, a ReusedExchange (or AQE stage reuse) in the plan."""
+    df = QUERIES["q15_top_supplier"].fn(spark, sf_dir)
+    df.collect()  # AQE materializes exchange reuse at execution
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_q17_decorrelates_scalar_avg(spark, sf_dir):
+    """The correlated scalar AVG subquery (spark.sql form) must be
+    decorrelated by Catalyst into an aggregate + join — no nested-loop
+    per-row subquery execution, no cartesian."""
+    plan = plan_of(QUERIES["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the decorrelated per-part average shows up as an avg aggregate
+    assert "avg(" in plan, plan
+
+
+def test_q21_exists_chain_is_semi_then_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS double correlation must execute as a
+    LEFT SEMI stacked with a LEFT ANTI join on the order key — the
+    supplier-inequality and lateness bounds ride as join residuals,
+    never a cartesian."""
+    plan = plan_of(QUERIES["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_in_lists_are_semi_joins(spark, sf_dir):
+    """Both of Q20's IN lists must run as LEFT SEMI joins (the parts
+    prefix-LIKE list broadcast), with the half-of-total guard as an
+    equi-join on the part key — no materialized IN list, no cartesian."""
+    plan = plan_of(QUERIES["q20_part_promotion_suppliers"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan
