@@ -486,3 +486,111 @@ def unigram_logprob(
             "mean_logprob"
         ),
     )
+
+
+def vocab_build(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    oov_token: str = "<unk>",
+) -> DataFrame:
+    """Corpus vocabulary with a min-count floor and OOV folding — the
+    table the unigram/bigram LM gates broadcast at 100 TB (the
+    :func:`unigram_logprob` docstring's "floor the vocab and fold the
+    tail" path, materialized).
+
+    Terms seen >= ``min_count`` times get dense ids assigned by
+    (count DESC, term ASC) rank — the frequency-sorted layout every
+    tokenizer vocab file uses; the below-floor tail folds into ONE
+    ``oov_token`` row (id 0) carrying the tail's total count, so
+    downstream lookup joins stay vocab-sized and every corpus token
+    still maps somewhere.
+
+    Scale shape: one explode + one (term) hash-agg (map-side combined);
+    the id assignment is a row_number over a GLOBAL order — a
+    single-partition window, fine because its input is the aggregated
+    vocab (millions of rows), never the token stream. Ties break on the
+    term string, so ids are deterministic cross-engine."""
+    toks = df.select(F.explode(tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    kept = counts.filter(F.col("c") >= min_count)
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    ranked = kept.select(
+        "term", "c", F.row_number().over(w).cast("bigint").alias("term_id")
+    )
+    oov = (
+        counts.filter(F.col("c") < min_count)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("c"))
+        .select(
+            F.lit(oov_token).alias("term"),
+            "c",
+            F.lit(0).cast("bigint").alias("term_id"),
+        )
+    )
+    return ranked.unionByName(oov)
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability — the
+    next-step-up LM-perplexity gate over :func:`unigram_logprob`
+    (CCNet/Gopher filter with a KenLM-style n-gram model; a unigram
+    model can't see scrambled word ORDER, a bigram model can).
+
+    p(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V) with add-one
+    smoothing, where c(prev) counts prev as a CONTEXT (occurrences in
+    the bigram stream) and V = distinct continuation types — the model
+    is self-consistent over transitions, so documents shorter than 2
+    tokens are excluded (nothing to score).
+
+    Cross-engine determinism: per-transition ln values quantized to
+    integer micro-nats and summed exactly, the same pattern as the
+    unigram gate.
+
+    Scale shape: bigram pairs are built PARTITION-LOCAL from the token
+    array (transform over index ranges — no (doc, pos) window shuffle
+    of the token stream) and exploded once; the pair stream feeds three
+    consumers (bigram counts, context counts, scoring join) —
+    differently-pruned subtrees Catalyst cannot share — so it is
+    persisted once via swap_persist. Both count tables join back on
+    hash keys; document text never shuffles."""
+    from .caching import swap_persist
+
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("w"))
+    n = F.size("w")
+    prs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.col("w")[i - 1].alias("prev"), F.col("w")[i].alias("cur")
+        ),
+    )
+    pairs = swap_persist(
+        "bigram_pairs",
+        toked.filter(n >= 2)
+        .select("doc_id", F.explode(prs).alias("p"))
+        .select("doc_id", "p.prev", "p.cur"),
+    )
+    bc = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    cc = pairs.groupBy("prev").agg(F.count("*").alias("cctx"))
+    vv = pairs.agg(F.countDistinct("cur").alias("v"))
+    scored = (
+        pairs.join(bc, ["prev", "cur"])
+        .join(cc, "prev")
+        .crossJoin(F.broadcast(vv))
+        .withColumn(
+            "s",
+            F.round(
+                F.log((F.col("cb") + 1) / (F.col("cctx") + F.col("v"))) * 1000000
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("s") / F.lit(1000000.0) / F.count("*"), 6).alias(
+            "mean_logprob"
+        ),
+    )

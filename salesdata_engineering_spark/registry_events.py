@@ -403,3 +403,102 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(ts) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+    SELECT * FROM (
+        SELECT 1 AS step_no, 'view' AS step, count(*) AS users FROM v
+        UNION ALL SELECT 2, 'click', count(*) FROM c
+        UNION ALL SELECT 3, 'purchase', count(*) FROM p
+    )
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase): each step "
+    "counts users whose FIRST qualifying event strictly follows their "
+    "previous step's timestamp — the product-analytics conversion "
+    "funnel, an operator family the reference lacks entirely. Scale "
+    "shape: all three aggregates and both joins key on user_id, so the "
+    "whole funnel is ONE shuffle key; the per-step frames are "
+    "|users|-sized and join as broadcasts at real scale. Deepening the "
+    "funnel adds joins on the same key, never a new shuffle key.",
+)
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(no).alias("step_no"), F.lit(name).alias("step"), "users"
+        )
+
+    return step(v, 1, "view").unionAll(step(c, 2, "click")).unionAll(
+        step(p, 3, "purchase")
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_no,
+           count(*) AS active_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly retention cohorts: users bucketed by the week of their "
+    "first event, counted once per (cohort, activity-week) — the "
+    "classic retention triangle. Scale shape: the first-seen aggregate "
+    "and the per-user-week DISTINCT both shuffle on user_id (shared "
+    "key), the cohort join is |users|-sized, and the final (cohort, "
+    "week) aggregate is tiny. Spark datediff(wk, cohort)/7 == DuckDB "
+    "date_diff('day', ...) / 7 — integer division on exact day counts, "
+    "and both engines' date_trunc('week') is Monday-based.",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = e.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_no"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

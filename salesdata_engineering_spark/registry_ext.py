@@ -1345,3 +1345,68 @@ def q_sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_hit").alias("n_matched"),
         F.round(F.count("_hit") / F.lit(5.0), 6).alias("recall_at_5"),
     )
+
+
+@register(
+    "text_vocab_build",
+    f"""
+    WITH tk AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+    tkf AS (SELECT term FROM tk WHERE term <> ''),
+    cnt AS (SELECT term, count(*) AS c FROM tkf GROUP BY 1),
+    kept AS (SELECT term, c,
+                    CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+                        AS term_id
+             FROM cnt WHERE c >= 2),
+    oov AS (SELECT '<unk>' AS term,
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT) AS c,
+                   CAST(0 AS BIGINT) AS term_id
+            FROM cnt WHERE c < 2)
+    SELECT term, c, term_id FROM kept
+    UNION ALL SELECT term, c, term_id FROM oov
+    """,
+    doc="Vocabulary build with min-count floor and OOV folding "
+    "(ext/text.py vocab_build): frequency-ranked dense ids for terms "
+    "seen >= 2 times, below-floor tail folded into one <unk> row (id "
+    "0) carrying the tail's total count — the broadcastable lookup "
+    "table the LM gates' 100 TB path calls for. One explode + one "
+    "term hash-agg; the global-rank window runs over the AGGREGATED "
+    "vocab only, never the token stream.",
+)
+def q_text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import vocab_build
+
+    return vocab_build(_docs(spark, sf_dir))
+
+
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    pairs AS (
+        SELECT doc_id, unnest(w[1:len(w)-1]) AS prev, unnest(w[2:len(w)]) AS cur
+        FROM t WHERE len(w) >= 2
+    ),
+    bc AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY 1, 2),
+    cc AS (SELECT prev, count(*) AS cctx FROM pairs GROUP BY 1),
+    vv AS (SELECT count(DISTINCT cur) AS v FROM pairs),
+    sc AS (SELECT doc_id,
+                  CAST(round(ln((cb + 1) / (cctx + v)) * 1000000) AS BIGINT) AS s
+           FROM pairs JOIN bc USING (prev, cur)
+                      JOIN cc USING (prev) CROSS JOIN vv)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(SUM(s) / 1000000.0 / count(*), 6) AS mean_logprob
+    FROM sc GROUP BY 1
+    """,
+    doc="Bigram-LM perplexity gate (ext/text.py bigram_logprob): per-doc "
+    "mean conditional log-probability p(cur|prev) with add-one "
+    "smoothing — one model step past the unigram gate (catches "
+    "scrambled word order a unigram model can't see). Pairs built "
+    "partition-local from the token array (no (doc,pos) window "
+    "shuffle), exploded once, persisted once for the three count/score "
+    "consumers; per-transition ln values quantized to integer "
+    "micro-nats so the sums are order-independent cross-engine.",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))

@@ -356,3 +356,43 @@ def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type AS last_op,
+           CAST(value AS DOUBLE) AS last_value, ts AS last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC apply-changes: materialize the current snapshot from a "
+    "change log with last-writer-wins semantics and tombstones — the "
+    "events feed read as upserts keyed by user_id ('error' = DELETE: a "
+    "key whose LATEST op is a tombstone leaves the snapshot). Scale "
+    "shape: ONE hash aggregate — max_by over the (ts, event_id) "
+    "ordering struct — whose map-side combine collapses each key's "
+    "change history to one row BEFORE the exchange, where the "
+    "row_number-window form (the oracle's spelling) would shuffle and "
+    "sort the full log. This is the Delta/Hudi snapshot-compaction "
+    "kernel; deletes filter AFTER the argmax so a delete-then-nothing "
+    "key stays deleted.",
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    latest = e.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")
+        ).alias("_s")
+    )
+    return latest.filter(F.col("_s.event_type") != "error").select(
+        "user_id",
+        F.col("_s.event_type").alias("last_op"),
+        F.col("_s.value").cast("double").alias("last_value"),
+        F.col("_s.ts").alias("last_ts"),
+    )
