@@ -430,6 +430,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whole funnel is ONE shuffle key; the per-step frames are "
     "|users|-sized and join as broadcasts at real scale. Deepening the "
     "funnel adds joins on the same key, never a new shuffle key.",
+    bench=True,
 )
 def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)

@@ -1405,6 +1405,7 @@ def q_text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle), exploded once, persisted once for the three count/score "
     "consumers; per-transition ln values quantized to integer "
     "micro-nats so the sums are order-independent cross-engine.",
+    bench=True,
 )
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import bigram_logprob

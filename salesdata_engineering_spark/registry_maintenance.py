@@ -382,6 +382,7 @@ def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort the full log. This is the Delta/Hudi snapshot-compaction "
     "kernel; deletes filter AFTER the argmax so a delete-then-nothing "
     "key stays deleted.",
+    bench=True,
 )
 def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]

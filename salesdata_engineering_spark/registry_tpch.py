@@ -232,6 +232,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "schema has no ps_supplycost). The '%red%' contains-LIKE cannot "
     "push as a range but still prunes the broadcast side before the "
     "join; year extraction casts to INT for cross-engine schema parity.",
+    bench=True,
 )
 def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -570,6 +571,7 @@ def q_q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     "carries the outer o_orderdate lateness bound — receiptdate/"
     "commitdate stand-in). The order-status and nation gates prune "
     "before the correlation joins.",
+    bench=True,
 )
 def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
