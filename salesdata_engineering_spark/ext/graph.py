@@ -1,0 +1,87 @@
+"""Graph analytics over relational edge lists (engine extension).
+
+Complements the dedup family's connected components (ext/dedup.py) with
+PageRank — the canonical iterative-propagation workload. The reference
+has no graph surface; this demonstrates the Spark-first shape for
+fixed-point algorithms: each iteration is one join + one aggregate on
+the edge list, lineage cut between iterations where rounds grow deep.
+
+Cross-engine determinism (the interesting part): float SUMS are
+order-dependent, so a naive double PageRank diverges between engines in
+the last ulp and the drift compounds per iteration. Ranks are therefore
+carried as integer PICORANKS (r · 1e12 as BIGINT): per-edge
+contributions are integer floor-divisions (exact in any engine), their
+sums are exact integer sums (order-independent), and only the damping
+step touches doubles — a fixed sequence of individually
+correctly-rounded IEEE ops (one multiply, one add, one round) that is
+bit-identical everywhere. Same quench idea as the k-means trained IVF
+(round per iteration) and the micro-nat LM gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank scale: 1.0 of rank mass == 1e12 picoranks
+_SCALE = 1_000_000_000_000.0
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list, ``iters`` exact iterations.
+
+    r_{k+1}(v) = (1-d)/N + d · Σ_{u→v} r_k(u)/outdeg(u), uniform init.
+    Returns (node, rank) with rank rounded to 9 decimals.
+
+    Scale shape: the edge list is the only large frame; every iteration
+    is one equi-join of the (node, rank) table onto edges by src plus
+    one dst hash-aggregate — shuffles stay keyed on node ids
+    throughout, so at 100 TB pre-partitioning/bucketing edges and ranks
+    by node makes every round co-located. Degrees are computed once.
+    Deep iteration counts should localCheckpoint the rank frame every
+    few rounds (same lineage-cut pattern as dedup's label propagation);
+    the registered query unrolls a fixed small ``iters`` so the whole
+    computation stays ONE declarative plan an external oracle can run.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nn = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "n", F.round(F.lit(_SCALE) / F.col("n")).cast("bigint").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select("node", "r"), F.col("src") == F.col("node"))
+            .join(deg, "src")
+            .select("dst", F.expr("r div outdeg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("node") == F.col("dst"), "left_outer")
+            .select(
+                "node",
+                "n",
+                F.round(
+                    F.lit((1.0 - damping) * _SCALE) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return ranks.select(
+        "node", F.round(F.col("r") / F.lit(_SCALE), 9).alias("rank")
+    )

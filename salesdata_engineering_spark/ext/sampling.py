@@ -168,3 +168,49 @@ def shuffle_shards(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def curriculum_sample(
+    df: DataFrame,
+    quality_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Quality-weighted curriculum sampling: bucket documents into
+    ``n_tiles`` quality tiles and keep tile ``k`` at rate ``k/n_tiles``
+    — the top tile survives whole, the bottom tile is decimated. The
+    quality-resampling mix (CCNet buckets / DoReMi-style reweighting)
+    that up-weights high-quality text without hard-dropping the tail.
+
+    Tile boundaries are EXACT interpolated percentiles of the quality
+    column, rounded to 9 decimals: quality scores live on a 6-decimal
+    grid, so the rounded thresholds either coincide with a grid value
+    exactly or sit >= 1e-9 - 1e-6 away from every score — either way
+    the strict ``>`` comparison is unambiguous cross-engine (raw
+    interpolated doubles could differ in the last ulp between engines'
+    interpolation formulas). Membership within a tile is the same
+    hash gate as every sampler here: deterministic, layout-free,
+    composable by salt.
+
+    Scale shape: one aggregate produces the (n_tiles-1)-element
+    threshold array (exact percentile sorts internally — swap in
+    approx_percentile at 100 TB, same plan shape), broadcast to a pure
+    projection+filter over the corpus. No shuffle of document rows at
+    any scale."""
+    probs = ", ".join(str(i / n_tiles) for i in range(1, n_tiles))
+    th = df.agg(
+        F.expr(
+            f"transform(percentile({quality_col}, array({probs})), x -> round(x, 9))"
+        ).alias("_th")
+    )
+    tile = F.lit(1)
+    for i in range(n_tiles - 1):
+        tile = tile + (F.col(quality_col) > F.col("_th")[i]).cast("int")
+    per_tile = _BUCKETS // n_tiles
+    return (
+        df.crossJoin(F.broadcast(th))
+        .withColumn("tile", tile)
+        .filter(_gate(F.col(id_col), salt) < F.col("tile") * per_tile)
+        .drop("_th")
+    )

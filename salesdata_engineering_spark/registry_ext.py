@@ -1411,3 +1411,130 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import bigram_logprob
 
     return bigram_logprob(_docs(spark, sf_dir))
+
+
+_TILE_SQL = " + ".join(f"(quality > t[{i}])::INT" for i in range(1, 10))
+_PROBS_SQL = ", ".join(str(i / 10) for i in range(1, 10))
+
+
+@register(
+    "sample_quality_curriculum",
+    f"""
+    WITH sp AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
+    m AS (SELECT doc_id,
+           len(t) AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1) AS punct_ratio,
+           len(list_filter(t, x -> list_contains([{_EN}], x)))
+             / greatest(len(t), 1) AS stop_ratio,
+           list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
+             / greatest(len(t), 1) AS mean_len
+    FROM sp),
+    q AS (SELECT doc_id,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * least(stop_ratio / 0.1, 1.0)
+                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
+                 6) AS quality
+    FROM m),
+    th AS (SELECT list_transform(quantile_cont(quality, [{_PROBS_SQL}]),
+                                 x -> round(x, 9)) AS t
+           FROM q),
+    b AS (SELECT doc_id, quality, 1 + {_TILE_SQL} AS tile FROM q, th)
+    SELECT doc_id, quality, tile FROM b
+    WHERE {_GATE_SQL.format(salt='curriculum')} < tile * 1000
+    """,
+    doc="Quality-weighted curriculum sample (ext/sampling.py "
+    "curriculum_sample): documents bucketed into exact-percentile "
+    "quality deciles, tile k kept at rate k/10 via the deterministic "
+    "hash gate — up-weights high-quality text without hard-dropping "
+    "the tail (the CCNet-bucket / DoReMi-style mix). Thresholds round "
+    "to 9dp so the 6dp quality grid never straddles an engine-ulp "
+    "boundary; one threshold aggregate broadcasts to a pure "
+    "projection+filter — document rows never shuffle.",
+)
+def q_sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.sampling import curriculum_sample
+    from .ext.text import quality_expr
+
+    d = _docs(spark, sf_dir).select("doc_id", quality_expr().alias("quality"))
+    return curriculum_sample(d, "quality", "doc_id").select(
+        "doc_id", "quality", "tile"
+    )
+
+
+# PageRank constants, spelled so BOTH engines run the identical IEEE op
+# sequence: the teleport constant is the Python-computed double embedded
+# at full precision, and 0.85 is cast to DOUBLE in the oracle (DuckDB
+# would otherwise multiply in exact DECIMAL and drift from Spark's
+# float-double product).
+_PR_SCALE = 1_000_000_000_000.0
+_PR_TELEPORT = repr((1.0 - 0.85) * _PR_SCALE)
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    c_{out} AS (
+        SELECT e.dst AS node, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS contrib
+        FROM edges e JOIN {prev} p ON e.src = p.node
+                     JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    {out} AS (
+        SELECT nodes.node,
+               CAST(round({_PR_TELEPORT} / nn.n
+                          + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0))
+                    AS BIGINT) AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN c_{out} c ON nodes.node = c.node
+    )"""
+
+
+@register(
+    "graph_pagerank_bipartite",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT 'S' || s::VARCHAR AS src, 'C' || c::VARCHAR AS dst FROM pairs
+        UNION ALL
+        SELECT 'C' || c::VARCHAR, 'S' || s::VARCHAR FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(round({_PR_SCALE!r} / nn.n) AS BIGINT) AS r
+           FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql('r0', 'r1')},
+    {_pr_iter_sql('r1', 'r2')}
+    SELECT node, round(r / {_PR_SCALE!r}, 9) AS rank FROM r2
+    """,
+    doc="PageRank, two exact iterations over the supplier-customer "
+    "trade graph (ext/graph.py pagerank) — the iterative-propagation "
+    "workload class (connected components' big sibling). Ranks are "
+    "carried as integer picoranks: per-edge contributions are integer "
+    "floor-divisions and their sums exact integer sums "
+    "(order-independent — a naive double PageRank drifts per engine "
+    "and compounds per iteration), with only the damping step in "
+    "doubles as a fixed sequence of correctly-rounded IEEE ops. Each "
+    "iteration is one src-join + one dst hash-agg, all shuffles keyed "
+    "on node ids — bucketed edges make every round co-located at "
+    "100 TB.",
+)
+def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+    )
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    c = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    edges = pairs.select(s.alias("src"), c.alias("dst")).unionAll(
+        pairs.select(c.alias("src"), s.alias("dst"))
+    )
+    return pagerank(edges, iters=2)

@@ -522,3 +522,44 @@ def test_shingles_and_gram_hashes_handle_unigrams(spark):
     assert sh == {(1, "a"), (1, "b"), (2, "c")}
     g = gram_hashes(df, "text", "doc_id", 1).groupBy("id").count().collect()
     assert {r.id: r["count"] for r in g} == {1: 2, 2: 1}
+
+
+def test_pagerank_mass_conservation_and_determinism(spark):
+    """Rank mass must stay ~1 (symmetric graph, no sinks) and the
+    integer-picorank arithmetic must be layout-invariant: recomputing
+    over a repartitioned edge list gives IDENTICAL ranks (the property
+    the quantization exists for — double sums would drift)."""
+    from salesdata_engineering_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")],
+        ["src", "dst"],
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    again = {
+        r.node: r.rank for r in pagerank(edges.repartition(5), iters=3).collect()
+    }
+    assert out == again
+
+
+def test_curriculum_sample_rates_scale_with_tile(spark):
+    """Higher quality tiles must survive at higher rates, every kept row
+    keeps its tile label, and the gate is deterministic across reruns."""
+    from salesdata_engineering_spark.ext.sampling import curriculum_sample
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 / 100.0).alias("q")
+    )
+    kept = curriculum_sample(df, "q", "doc_id").collect()
+    by_tile = {}
+    for r in kept:
+        by_tile.setdefault(r.tile, []).append(r.doc_id)
+    # ~400 candidates per tile; keep rate k/10 => monotone counts
+    counts = [len(by_tile.get(t, [])) for t in range(1, 11)]
+    assert counts[0] < counts[4] < counts[9], counts
+    assert len(by_tile.get(10, [])) > 350  # top tile keeps ~all
+    again = curriculum_sample(df, "q", "doc_id").collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in kept}
