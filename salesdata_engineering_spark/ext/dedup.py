@@ -514,3 +514,44 @@ def _contamination_hits(
     ).select(
         F.col("id").alias(id_col), "n_shared_grams", "n_held_docs"
     )
+
+
+def substring_dup_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the gram-level
+    approximation of RefinedWeb/Pile exact substring dedup (suffix
+    arrays don't distribute; an inverted index over fixed-width token
+    grams does): for each document, the fraction of its distinct
+    n-token grams that ALSO appear in some other document. High
+    dup_frac = boilerplate spans shared across the corpus (licenses,
+    navigation chrome, templated text) — masked or dropped before
+    training.
+
+    Scale shape: one gram_hashes pass (60-bit longs, never shingle
+    strings), persisted once for its two consumers (corpus
+    document-frequency aggregate and the per-doc score join —
+    differently-pruned subtrees Catalyst cannot share); the df table
+    joins back by an equi-join on the hash. All shuffles carry
+    (id, long) pairs. The gram width trades recall for index size the
+    same way the contamination scan's does."""
+    from .caching import swap_persist
+
+    g = swap_persist(
+        "substring_grams", gram_hashes(df, text_col, id_col, n, distinct=True)
+    )
+    dfreq = g.groupBy("g").agg(F.count("*").alias("doc_freq"))
+    return (
+        g.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_freq") > 1).cast("int")).alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )

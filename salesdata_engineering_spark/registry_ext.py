@@ -1538,3 +1538,36 @@ def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(c.alias("src"), s.alias("dst"))
     )
     return pagerank(edges, iters=2)
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH sp AS (SELECT doc_id AS id, {SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT id, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                              i -> array_to_string(t[i:i+7], ' ')))) AS shingle
+           FROM sp),
+    g AS (SELECT id, {SQL_HASH60.format(x='shingle')} AS g FROM sh),
+    dfreq AS (SELECT g, count(*) AS doc_freq FROM g GROUP BY 1)
+    SELECT g.id AS doc_id,
+           count(*) AS n_grams,
+           CAST(SUM((dfreq.doc_freq > 1)::INT) AS BIGINT) AS n_dup_grams,
+           round(CAST(SUM((dfreq.doc_freq > 1)::INT) AS BIGINT)
+                 / count(*), 6) AS dup_frac
+    FROM g JOIN dfreq USING (g)
+    GROUP BY 1
+    """,
+    doc="Cross-document repeated-substring detection (ext/dedup.py "
+    "substring_dup_spans) — the distributable stand-in for RefinedWeb/"
+    "Pile exact substring dedup (suffix arrays don't shard; an inverted "
+    "index over 8-token gram hashes does): per doc, the fraction of its "
+    "distinct grams also present in ANOTHER document — high dup_frac "
+    "flags shared boilerplate spans (licenses, chrome, templates). One "
+    "gram pass persisted for its two consumers; every shuffle carries "
+    "(id, 60-bit long) pairs, never shingle strings.",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import substring_dup_spans
+
+    return substring_dup_spans(_docs(spark, sf_dir), n=8)
