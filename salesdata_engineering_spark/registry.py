@@ -602,12 +602,12 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     "distinct_pairs",
     "agg_grouping_variants",
-    "stats_advanced",
-    "pivot_status_totals",
+    "events_funnel_conversion",
+    "graph_pagerank_bipartite",
     # joins
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
-    "join_left_outer_order_counts",
+    "q13_customer_order_distribution",
     "q3_shipping_priority",
     # sorts / top-k / windows
     "topk_suppliers_per_nation",
@@ -620,7 +620,7 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # scalar / date / array / json / subqueries / UDF surface
     "scalar_string_functions",
     "date_null_predicates",
-    "array_functions",
+    "text_bigram_logprob",
     "json_functions",
     "subqueries_combined",
     "udf_surface",

@@ -19,13 +19,13 @@ REQUIRED_IN_WINDOW = {
     "distinct_pairs",
     # grouping variants + stats + pivot
     "agg_grouping_variants",
-    "stats_advanced",
-    "pivot_status_totals",
+    "events_funnel_conversion",
+    "graph_pagerank_bipartite",
     # join family (full-outer rep lives in the tail; semi/anti/left cover
     # the §2 row inside the window)
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
-    "join_left_outer_order_counts",
+    "q13_customer_order_distribution",
     "q3_shipping_priority",
     # sorts / topk / windows
     "topk_suppliers_per_nation",
@@ -38,7 +38,7 @@ REQUIRED_IN_WINDOW = {
     # scalar families / subqueries / UDFs / skew
     "scalar_string_functions",
     "date_null_predicates",
-    "array_functions",
+    "text_bigram_logprob",
     "json_functions",
     "subqueries_combined",
     "udf_surface",
