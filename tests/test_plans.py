@@ -390,3 +390,51 @@ def test_q20_in_lists_are_semi_joins(spark, sf_dir):
     plan = plan_of(QUERIES["q20_part_promotion_suppliers"].fn(spark, sf_dir))
     assert plan.count("LeftSemi") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_is_one_partial_aggregate(spark, sf_dir):
+    """CDC apply must be ONE hash aggregate with a map-side partial
+    max_by (the change log collapses per key BEFORE the exchange) and a
+    single user_id hash exchange — never a window sort of the log."""
+    plan = plan_of(QUERIES["cdc_apply_changes"].fn(spark, sf_dir))
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([\w#]+)", plan)
+    assert hashes and all(h.startswith("user_id") for h in hashes), hashes
+
+
+def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
+    """Every hash exchange in the funnel must key on user_id — the
+    whole multi-step funnel reuses one shuffle key (step frames are
+    SinglePartition count scalars / broadcasts)."""
+    plan = plan_of(QUERIES["events_funnel_conversion"].fn(spark, sf_dir))
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([\w#]+)", plan)
+    assert hashes and all(h.startswith("user_id") for h in hashes), hashes
+
+
+def test_curriculum_document_rows_never_shuffle(spark, sf_dir):
+    """The curriculum gate is threshold-aggregate + broadcast +
+    filter: document rows must cross NO hash exchange (the only
+    exchanges are the 1-row threshold aggregate and its broadcast)."""
+    plan = plan_of(QUERIES["sample_quality_curriculum"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_shuffles_stay_on_node_keys(spark, sf_dir):
+    """PageRank iterations must shuffle on node/edge keys only (node
+    id or the distinct pair key). The broadcast of the 1-row N
+    aggregate legitimately plans as a BroadcastNestedLoopJoin Cross —
+    a 1-row build side is how Spark spells a broadcast scalar, not a
+    pair blowup — so only an un-broadcast CartesianProduct is banned."""
+    plan = plan_of(QUERIES["graph_pagerank_bipartite"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([\w#]+)", plan)
+    allowed = ("node", "src", "dst", "l_suppkey", "o_custkey")
+    assert hashes and all(h.startswith(allowed) for h in hashes), hashes
