@@ -503,3 +503,132 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+    c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS sv
+          FROM events GROUP BY 1)
+    SELECT spine.hour, COALESCE(c.n, 0) AS n,
+           CAST(COALESCE(round(c.sv, 2), 0.0) AS DOUBLE) AS sum_value
+    FROM spine LEFT JOIN c USING (hour)
+    """,
+    doc="Time-series resample + gap fill: an hourly spine generated "
+    "from the corpus min/max (sequence-explode of a 1-row aggregate) "
+    "left-joined to hourly counts, missing hours filled with zero "
+    "rows — the resampling primitive dashboards and downstream window "
+    "models need (a groupBy alone silently DROPS empty buckets). "
+    "Scale shape: the spine is tiny (hours, not events) and "
+    "broadcast-joins to the single hash-aggregated counts frame; event "
+    "rows shuffle once.",
+)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"), F.sum(_dec_val()).alias("sv")
+    )
+    return spine.join(counts, "hour", "left_outer").select(
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.round(F.col("sv"), 2), F.lit(0.0)).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "events_hourly_anomalies",
+    """
+    WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+               FROM events GROUP BY 1),
+    st AS (SELECT CAST(SUM(n) AS BIGINT) AS s,
+                  CAST(SUM(n * n) AS BIGINT) AS s2,
+                  count(*) AS cnt
+           FROM c)
+    SELECT hour, n,
+           round((n - CAST(s AS DOUBLE) / cnt)
+                 / sqrt(CAST(s2 AS DOUBLE) / cnt
+                        - (CAST(s AS DOUBLE) / cnt) * (CAST(s AS DOUBLE) / cnt)),
+                 6) AS z,
+           CASE WHEN abs((n - CAST(s AS DOUBLE) / cnt)
+                 / sqrt(CAST(s2 AS DOUBLE) / cnt
+                        - (CAST(s AS DOUBLE) / cnt) * (CAST(s AS DOUBLE) / cnt)))
+                > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+    FROM c CROSS JOIN st
+    """,
+    doc="Hourly volume anomaly flags: population z-score of per-hour "
+    "event counts, |z| > 2 flagged — the ops-observability gate over "
+    "the same integer-exact moment sums the stats family uses (S and "
+    "S2 are exact BIGINT sums, so mean/variance are order-independent "
+    "and the z boundary is bit-identical cross-engine; only the final "
+    "fixed IEEE divide/sqrt sequence touches doubles). One hash "
+    "aggregate + a broadcast 1-row moment frame; event rows shuffle "
+    "once.",
+)
+def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    st = c.agg(
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count("*").alias("cnt"),
+    )
+    mean = F.col("s").cast("double") / F.col("cnt")
+    var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return c.crossJoin(F.broadcast(st)).select(
+        "hour",
+        "n",
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
+    )
+
+
+@register(
+    "stream_cdc_latest",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type AS last_op,
+           CAST(value AS DOUBLE) AS last_value, ts AS last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="Streaming CDC apply-changes (streaming/stateful.py "
+    "streaming_cdc_latest): the batch cdc_apply_changes semantics on "
+    "the live runtime — per-key last-writer-wins state folded by max "
+    "(ts, event_id) in applyInPandasWithState, one O(1) tuple per key "
+    "in the managed store, snapshot rows emitted per micro-batch "
+    "(update mode). Drained with AvailableNow the final state equals "
+    "the batch max_by snapshot, which IS the oracle — one semantics, "
+    "two runtimes. Tombstones filter after the drain, same as batch.",
+)
+def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import streaming_cdc_latest
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_completion(streaming_cdc_latest(stream), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("last_seq").desc()
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col("last_op") != "error"))
+        .select("user_id", "last_op", "last_value", "last_ts")
+    )

@@ -119,3 +119,66 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+CDC_OUT_SCHEMA = (
+    "user_id bigint, last_op string, last_value double, "
+    "last_ts timestamp, last_seq bigint"
+)
+CDC_STATE_SCHEMA = "ts_ns bigint, seq bigint, op string, value double"
+
+
+def _update_latest(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's change rows for one key into the persisted
+    last-writer state: keep the row with the max (ts, event_id)."""
+    best = state.get if state.exists else None  # (ts_ns, seq, op, value)
+    for pdf in pdfs:
+        ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+        seq = pdf["event_id"].astype("int64")
+        i = int(
+            pd.DataFrame({"a": ts_ns, "b": seq})
+            .sort_values(["a", "b"])
+            .index[-1]
+        )
+        cand = (
+            int(ts_ns.iloc[i]),
+            int(seq.iloc[i]),
+            str(pdf["event_type"].iloc[i]),
+            float(pdf["value"].iloc[i]),
+        )
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_op": [best[2]],
+            "last_value": [best[3]],
+            "last_ts": [pd.Timestamp(best[0])],
+            "last_seq": [best[1]],
+        }
+    )
+
+
+def streaming_cdc_latest(events: DataFrame) -> DataFrame:
+    """Streaming CDC apply-changes: per-key last-writer-wins state.
+
+    The streaming twin of the batch ``cdc_apply_changes`` operator
+    (registry_maintenance.py) — the SAME snapshot semantics running
+    against a live change feed instead of a compacted log: state holds
+    one (ts, seq, op, value) tuple per key, each micro-batch folds its
+    rows by max (ts, event_id), and every batch emits the key's current
+    snapshot row (update mode). Tombstone filtering happens downstream
+    of the drain, exactly like the batch operator — a key whose latest
+    op is a delete stays out of the final snapshot but still flows as
+    state. State is O(1) per key and hash-partitioned by key; a restart
+    resumes from the checkpointed store."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_latest,
+        outputStructType=CDC_OUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -318,3 +318,48 @@ def test_read_events_stream_bad_path_restores_conf(spark):
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+
+
+def test_streaming_cdc_latest_carries_state_and_tombstones(spark, tmp_path):
+    """streaming_cdc_latest: batch_1's older row must NOT displace
+    batch_0's newer state (last-writer is by event time, not arrival),
+    and a key whose latest op is a tombstone surfaces as 'error' for
+    the downstream filter."""
+    from salesdata_engineering_spark.streaming.stateful import streaming_cdc_latest
+
+    cdc_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = str(tmp_path)
+    rows0 = [
+        (10, _ts(12), 1, "purchase", 5.0),  # newest for user 1 (by ts)
+        (11, _ts(10), 2, "view", 1.0),
+    ]
+    rows1 = [
+        (12, _ts(11), 1, "click", 9.0),   # OLDER than batch_0's state
+        (13, _ts(11), 2, "error", 0.0),   # newest for user 2: tombstone
+    ]
+    for i, rows in enumerate((rows0, rows1)):
+        spark.createDataFrame(rows, cdc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/batch_{i}")
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{root}/batch_*")
+    )
+    out = run_to_completion(
+        streaming_cdc_latest(stream), output_mode="update"
+    ).collect()
+    final = {}
+    for r in sorted(out, key=lambda r: (r.last_ts, r.last_seq)):
+        final[r.user_id] = (r.last_op, r.last_value)
+    assert final[1] == ("purchase", 5.0)  # older batch_1 row ignored
+    assert final[2] == ("error", 0.0)     # tombstone wins for user 2
