@@ -197,7 +197,16 @@ def curriculum_sample(
     threshold array (exact percentile sorts internally — swap in
     approx_percentile at 100 TB, same plan shape), broadcast to a pure
     projection+filter over the corpus. No shuffle of document rows at
-    any scale."""
+    any scale.
+
+    ``n_tiles`` must be >= 2 (one tile has no thresholds to compute)
+    and divide the gate's bucket resolution evenly — otherwise the
+    truncated per-tile rate silently under-keeps the top tile (e.g.
+    n_tiles=3 would keep it at 3·3333/10000 = 99.99%, not 100%)."""
+    if n_tiles < 2 or _BUCKETS % n_tiles != 0:
+        raise ValueError(
+            f"n_tiles must be >= 2 and divide {_BUCKETS} evenly, got {n_tiles}"
+        )
     probs = ", ".join(str(i / n_tiles) for i in range(1, n_tiles))
     th = df.agg(
         F.expr(

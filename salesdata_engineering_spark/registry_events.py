@@ -597,19 +597,12 @@ def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .registry_maintenance import CDC_SNAPSHOT_ORACLE  # noqa: E402
+
+
 @register(
     "stream_cdc_latest",
-    """
-    WITH ranked AS (
-        SELECT user_id, event_type, value, ts,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    )
-    SELECT user_id, event_type AS last_op,
-           CAST(value AS DOUBLE) AS last_value, ts AS last_ts
-    FROM ranked WHERE rn = 1 AND event_type <> 'error'
-    """,
+    CDC_SNAPSHOT_ORACLE,
     doc="Streaming CDC apply-changes (streaming/stateful.py "
     "streaming_cdc_latest): the batch cdc_apply_changes semantics on "
     "the live runtime — per-key last-writer-wins state folded by max "

@@ -358,9 +358,11 @@ def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "cdc_apply_changes",
-    """
+#: The CDC snapshot contract, shared verbatim by the batch operator
+#: below and the streaming twin (registry_events.py stream_cdc_latest) —
+#: "one semantics, two runtimes" holds only while both verify against
+#: the SAME oracle text.
+CDC_SNAPSHOT_ORACLE = """
     WITH ranked AS (
         SELECT user_id, event_type, value, ts,
                row_number() OVER (PARTITION BY user_id
@@ -370,7 +372,12 @@ def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type AS last_op,
            CAST(value AS DOUBLE) AS last_value, ts AS last_ts
     FROM ranked WHERE rn = 1 AND event_type <> 'error'
-    """,
+    """
+
+
+@register(
+    "cdc_apply_changes",
+    CDC_SNAPSHOT_ORACLE,
     doc="CDC apply-changes: materialize the current snapshot from a "
     "change log with last-writer-wins semantics and tombstones — the "
     "events feed read as upserts keyed by user_id ('error' = DELETE: a "

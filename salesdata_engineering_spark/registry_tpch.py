@@ -43,21 +43,17 @@ is part of the beyond-reference relational surface (SURVEY §2.8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datasets import load_tables
 from .registry import register
 
-_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
-
-
-def _rev() -> F.Column:
-    # Column construction needs the JVM, so build lazily (module import
-    # happens before any SparkContext exists).
-    return F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
-    )
+# the load-bearing cross-engine revenue expression is defined ONCE, in
+# registry_scalar (same module the Q3-Q19 family uses) — a second copy
+# here could drift in precision
+from .registry_scalar import _REV
+from .registry_scalar import _drev as _rev
 
 
 # per-(supplier, part) minimum observed unit sell price — the partsupp
@@ -391,6 +387,7 @@ def q_q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataF
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
+          AND l_suppkey IS NOT NULL
         GROUP BY 1
     )
     SELECT s_suppkey, s_name,
@@ -418,7 +415,10 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             # into the probe branch only, and that one-filter difference
             # defeats exchange reuse (the same different-pruning trap as
             # TF-IDF's df aggregate) — hoisting it into the shared frame
-            # makes the two shuffle children canonically equal.
+            # makes the two shuffle children canonically equal. The
+            # oracle carries the same IS NOT NULL so both engines take
+            # the scalar MAX over the same row set (a NULL-suppkey
+            # revenue group would otherwise enter only the oracle's).
             & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
