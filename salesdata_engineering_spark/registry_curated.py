@@ -691,3 +691,112 @@ def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.chunk_id, s.sentence "
         "FROM documents, LATERAL engine_split_sentences(text) s"
     )
+
+
+@register(
+    "json_variant_surface",
+    """
+    SELECT event_id,
+           CAST(props::JSON ->> 'k' AS BIGINT) AS k_int,
+           props::JSON ->> 'k' AS k_str,
+           CAST(CAST(props::JSON ->> 'k' AS BIGINT) % 7 AS BIGINT) AS k_mod7
+    FROM events
+    """,
+    doc="Spark 4 VARIANT surface: parse_json builds the binary-encoded "
+    "semi-structured type once and variant_get extracts typed paths "
+    "from it — the replacement for repeated get_json_object reparses "
+    "(each of which re-tokenizes the string; VARIANT parses once per "
+    "row and every extraction is an O(path) binary probe). Oracle "
+    "extracts the same paths via DuckDB's JSON operators.",
+)
+def q_json_variant_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        (F.variant_get(v, "$.k", "bigint") % 7).alias("k_mod7"),
+    )
+
+
+@register(
+    "arrow_map_batches",
+    """
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 6) AS norm
+    FROM embeddings
+    """,
+    doc="Spark 4 mapInArrow surface: a zero-copy Arrow RecordBatch "
+    "transform (numpy over the Arrow buffers — no pandas "
+    "materialization, no pickling) computing per-vector L2 norms. The "
+    "per-element squares accumulate SEQUENTIALLY (cumsum, matching "
+    "DuckDB's left-to-right list_dot_product fold) — numpy's default "
+    "pairwise-summed np.sum would drift in the last ulp and break the "
+    "value oracle. Completes the Python-integration ladder: pandas_udf "
+    "(§2.10), mapInPandas (multimodal), UDTF, and now raw Arrow.",
+)
+def q_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            vecs = batch.column("embedding")
+            out = []
+            for i in range(batch.num_rows):
+                x = np.asarray(vecs[i].as_py(), dtype="float64")
+                out.append(round(float(np.sqrt(np.cumsum(x * x)[-1])), 6))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64())], ["vec_id", "norm"]
+            )
+
+    return emb.mapInArrow(norms, "vec_id bigint, norm double")
+
+
+@register(
+    "python_datasource_scan",
+    """
+    WITH src AS (
+        SELECT i AS sale_id, i % 25 AS store_id,
+               round((i * 37 % 10000) / 100.0, 2) AS amount
+        FROM generate_series(0, 9999) t(i)
+    )
+    SELECT store_id, count(*) AS n,
+           CAST(round(SUM(CAST(amount AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_amount
+    FROM src GROUP BY 1
+    """,
+    doc="Spark 4 Python DataSource API (sources.py "
+    "SyntheticSalesDataSource): a pure-Python source serving scans "
+    "with real partition planning (one task per range split, state "
+    "never crosses splits, retries regenerate deterministically) — the "
+    "source-side escape hatch for feeds with no built-in reader. Rows "
+    "are a pure function of row id, so the oracle re-derives every "
+    "value from generate_series and the parallel read is "
+    "value-checked.",
+)
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import SyntheticSalesDataSource
+
+    try:
+        spark.dataSource.register(SyntheticSalesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    src = (
+        spark.read.format("synthetic_sales")
+        .option("n", "10000")
+        .option("splits", "8")
+        .load()
+    )
+    return src.groupBy("store_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("amount").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_amount"),
+    )
