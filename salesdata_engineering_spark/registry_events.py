@@ -625,3 +625,38 @@ def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("_rk") == 1) & (F.col("last_op") != "error"))
         .select("user_id", "last_op", "last_value", "last_ts")
     )
+
+
+@register(
+    "stream_upsert_sink_snapshot",
+    CDC_SNAPSHOT_ORACLE,
+    doc="foreachBatch UPSERT sink (streaming/runner.py "
+    "run_foreach_batch_upsert): the third runtime for the ONE CDC "
+    "snapshot semantics - batch max_by (cdc_apply_changes), managed "
+    "state (stream_cdc_latest), and now a durable incremental sink: "
+    "each micro-batch merges into a parquet snapshot by last-writer "
+    "max_by, exactly-once per epoch via the checkpoint, idempotent on "
+    "replay (max_by absorbs duplicates). The final snapshot read back "
+    "from disk verifies against the same shared oracle. At real scale "
+    "the per-batch overwrite becomes MERGE INTO a table format; the "
+    "per-batch plan is identical.",
+)
+def q_stream_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.runner import run_foreach_batch_upsert
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    out_dir = tempfile.mkdtemp(prefix="upsert_sink_")
+    shutil.rmtree(out_dir, ignore_errors=True)  # writer creates it
+    run_foreach_batch_upsert(stream, out_dir, "user_id", ["ts", "event_id"])
+    snap = spark.read.parquet(out_dir)
+    return snap.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").cast("double").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )

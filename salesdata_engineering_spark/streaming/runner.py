@@ -149,3 +149,68 @@ def foreach_batch_pipeline(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    order_cols: list[str],
+) -> None:
+    """Drain a bounded change stream through a foreachBatch UPSERT sink:
+    each micro-batch merges into the parquet snapshot at ``out_dir`` by
+    last-writer-wins on ``order_cols`` — the canonical production sink
+    pattern when the target store has no native streaming writer
+    (foreachBatch hands every micro-batch to arbitrary batch code,
+    exactly-once per epoch via the checkpoint).
+
+    Merge = read current snapshot, union the batch, one max_by hash
+    aggregate per key, write to a scratch dir, atomic swap — the same
+    snapshot kernel as the batch CDC operator applied incrementally,
+    and the same scratch-then-rename discipline as io.compact_parquet
+    (the merge plan READS the dir it replaces, so an in-place lazy
+    overwrite would truncate its own input; a swap also never destroys
+    the snapshot on a failed write, and never pulls it through the
+    driver). Idempotent per batch: replaying a micro-batch after a
+    failure recomputes the same snapshot (max_by is insensitive to
+    duplicates). At real scale the swap becomes a MERGE INTO against a
+    table format (Delta/Iceberg); the per-batch plan is identical."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    schema = stream_df.schema
+    payload = [c for c in stream_df.columns if c != key_col]
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        if os.path.isdir(out_dir):
+            current = spark.read.schema(schema).parquet(out_dir)
+            merged_src = current.unionByName(batch_df)
+        else:  # first batch: no snapshot yet
+            merged_src = batch_df
+        snap = merged_src.groupBy(key_col).agg(
+            F.max_by(
+                F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("_s")
+        )
+        out = snap.select(key_col, *[F.col(f"_s.{c}").alias(c) for c in payload])
+        parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+        tmp = tempfile.mkdtemp(prefix="upsert_swap_", dir=parent)
+        out.write.mode("overwrite").parquet(tmp)
+        old = f"{tmp}.old"
+        if os.path.isdir(out_dir):
+            os.rename(out_dir, old)
+        os.rename(tmp, out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+        .start()
+    )
+    q.awaitTermination()

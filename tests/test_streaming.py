@@ -363,3 +363,25 @@ def test_streaming_cdc_latest_carries_state_and_tombstones(spark, tmp_path):
         final[r.user_id] = (r.last_op, r.last_value)
     assert final[1] == ("purchase", 5.0)  # older batch_1 row ignored
     assert final[2] == ("error", 0.0)     # tombstone wins for user 2
+
+
+def test_foreach_batch_upsert_merges_across_batches(spark, tmp_path):
+    """run_foreach_batch_upsert: the snapshot after draining two
+    micro-batches must equal global last-writer-wins — batch_1's older
+    row must not displace batch_0's newer state, and new keys append."""
+    from salesdata_engineering_spark.streaming.runner import (
+        run_foreach_batch_upsert,
+    )
+
+    root = str(tmp_path / "feed")
+    out = str(tmp_path / "snapshot")
+    rows0 = [(10, _ts(12), 1, 5.0)]
+    rows1 = [(11, _ts(11), 1, 9.0), (12, _ts(11), 2, 7.0)]
+    for i, rows in enumerate((rows0, rows1)):
+        _write_file(spark, rows, f"{root}/batch_{i}")
+    stream = _read_stream(spark, root).select(
+        "user_id", "value", "ts", "event_id"
+    )
+    run_foreach_batch_upsert(stream, out, "user_id", ["ts", "event_id"])
+    snap = {r.user_id: (r.value, r.event_id) for r in spark.read.parquet(out).collect()}
+    assert snap == {1: (5.0, 10), 2: (7.0, 12)}
