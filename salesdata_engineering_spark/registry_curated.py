@@ -800,3 +800,51 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_amount"),
     )
+
+
+@register(
+    "fuzzy_linkage_blocked",
+    """
+    SELECT a.c_nationkey AS block_key,
+           count(*) AS n_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.c_name, b.c_name) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS sum_dist
+    FROM customer a JOIN customer b
+         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY 1
+    """,
+    doc="Fuzzy record linkage with blocking: candidate pairs form ONLY "
+    "within a block (nation), then Levenshtein <= 2 verifies each pair "
+    "- the classic dedupe/entity-resolution shape (blocking turns the "
+    "O(n^2) all-pairs comparison into per-block quadratics sized by "
+    "the blocking key's selectivity; at 100 TB the block key is the "
+    "tuning knob - add char-prefix or length bands to split hot "
+    "blocks, exactly like the LSH banding the near-dup family uses). "
+    "The self-join is a key-partitioned equi-join, never a cross "
+    "product; edit distance is integer-exact in both engines.",
+)
+def q_fuzzy_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    a = c.select(
+        F.col("c_nationkey").alias("block_key"),
+        F.col("c_custkey").alias("_ka"),
+        F.col("c_name").alias("_na"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("block_key"),
+        F.col("c_custkey").alias("_kb"),
+        F.col("c_name").alias("_nb"),
+    )
+    dist = F.levenshtein("_na", "_nb")
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("_ka") < F.col("_kb"))
+        .filter(dist <= 2)
+    )
+    return pairs.groupBy("block_key").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(dist == 0, 1).otherwise(0)).alias("n_exact"),
+        F.sum(dist).alias("sum_dist"),
+    )
