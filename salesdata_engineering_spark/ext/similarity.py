@@ -324,6 +324,7 @@ def _assign_cells(
     keep: int,
     vec_col: str,
     dim: int,
+    tiny: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``keep`` nearest centroids:
     (out_id, vec, cid). Shared by the IVF build/search/train paths.
@@ -338,13 +339,22 @@ def _assign_cells(
     exchange, where the row_number window form shuffled and SORTED the
     whole |df|·|cells| pair stream (measured: the sort dominated the
     assignment stage). Identical argmax semantics: highest score, ties
-    to the lowest cid — the same ORDER BY cs DESC, cid the oracle uses."""
+    to the lowest cid — the same ORDER BY cs DESC, cid the oracle uses.
+
+    ``tiny=True`` (caller's promise that df is a bounded QUERY batch,
+    |df|·|cells| rows small) coalesces the keep>1 window onto one
+    partition — a narrow dependency replacing the window's hash
+    exchange + 32-task sort (measured: composed ANN 2.6 → 2.1 s at
+    sf0.1, pure stage-latency). Never set it for corpus-sized frames:
+    a single partition serializes the sort."""
     sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
     scored = (
         df.withColumn("_vn", norm(vec_col, dim))
         .crossJoin(cents)
         .select(F.col(out_id), "cid", sim)
     )
+    if tiny and keep > 1:
+        scored = scored.coalesce(1)
     if keep == 1:
         picked = scored.groupBy(out_id).agg(
             F.max_by("cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))).alias("cid")
@@ -396,7 +406,7 @@ def ivf_ann_topk(
     )
     probes = _assign_cells(
         queries.select(F.col(query_id_col), F.col(vec_col)),
-        cents, query_id_col, nprobe, vec_col, dim,
+        cents, query_id_col, nprobe, vec_col, dim, tiny=True,
     ).select(query_id_col, F.col(vec_col).alias("_qvec"), "cid")
     cand = (
         cells.join(probes, "cid")
@@ -554,7 +564,7 @@ def ivf_quantized_topk(
     )
     probes = _assign_cells(
         queries.select(F.col(query_id_col), F.col(vec_col)),
-        cents, query_id_col, nprobe, vec_col, dim,
+        cents, query_id_col, nprobe, vec_col, dim, tiny=True,
     ).select(query_id_col, "cid")
 
     cq = quantize_cols(cells, vec_col, dim, "_c")
