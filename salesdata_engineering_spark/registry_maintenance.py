@@ -29,9 +29,7 @@ def _band_col() -> F.Column:
     )
 
 
-@register(
-    "scd2_customer_segments",
-    f"""
+_SCD2_HISTORY_SQL = f"""
     WITH cur AS (
         SELECT c_custkey, c_mktsegment AS segment, {_BAND_SQL} AS acctbal_band,
                '1995-01-01' AS valid_from, '{OPEN_END}' AS valid_to, 1 AS is_current
@@ -68,7 +66,12 @@ def _band_col() -> F.Column:
     FROM upd u LEFT JOIN open_rows o ON o.c_custkey = u.c_custkey
     WHERE o.c_custkey IS NULL
        OR o.segment <> u.segment OR o.acctbal_band <> u.acctbal_band
-    """,
+    """
+
+
+@register(
+    "scd2_customer_segments",
+    _SCD2_HISTORY_SQL,
     doc="SCD type-2 dimension merge (ops/scd.py): close changed open "
     "rows at the effective date, append new versions, pass history "
     "through, no-op on identical re-loads. One open-rows ⋈ updates join "
@@ -403,4 +406,124 @@ def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_s.event_type").alias("last_op"),
         F.col("_s.value").cast("double").alias("last_value"),
         F.col("_s.ts").alias("last_ts"),
+    )
+
+
+@register(
+    "scd2_point_in_time",
+    f"""
+    WITH hist AS ({_SCD2_HISTORY_SQL})
+    SELECT c_custkey, segment, acctbal_band, valid_from, valid_to
+    FROM hist
+    WHERE valid_from <= '1996-06-01' AND valid_to > '1996-06-01'
+    """,
+    doc="Point-in-time dimension snapshot over the SCD2 history: the "
+    "version row whose [valid_from, valid_to) interval contains the "
+    "as-of date — how every time-travel join against a type-2 "
+    "dimension works (fact rows join the version VALID AT their event "
+    "time, not the current one). ISO-date strings compare "
+    "lexicographically = chronologically, so the interval predicate is "
+    "a pure pushed filter; exactly one version per key matches by the "
+    "SCD2 non-overlap invariant (asserted in tests/test_scd.py). At "
+    "100 TB the as-of filter prunes the history BEFORE any fact join.",
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = q_scd2_customer_segments(spark, sf_dir)
+    as_of = "1996-06-01"
+    return hist.filter(
+        (F.col("valid_from") <= as_of) & (F.col("valid_to") > as_of)
+    ).select("c_custkey", "segment", "acctbal_band", "valid_from", "valid_to")
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT * FROM (
+        SELECT 'orders.o_custkey -> customer' AS fk, count(*) AS violations
+        FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey -> orders', count(*)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier', count(*)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    )
+    """,
+    doc="Referential-integrity audit: one LEFT ANTI count per foreign "
+    "key — the DQ gate that catches orphaned facts before they "
+    "silently vanish in inner joins downstream (the reference's "
+    "pipeline would drop them without a trace). Each check is an anti "
+    "join against the (broadcastable) parent key set; a 100 TB audit "
+    "runs all keys in one pass per fact table.",
+)
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def check(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        orphans = child.join(
+            parent.select(pk), F.col(ck) == F.col(pk), "left_anti"
+        )
+        return orphans.agg(F.count("*").alias("violations")).select(
+            F.lit(fk).alias("fk"), "violations"
+        )
+
+    return (
+        check("orders.o_custkey -> customer", t["orders"], "o_custkey",
+              t["customer"], "c_custkey")
+        .unionAll(check("lineitem.l_orderkey -> orders", t["lineitem"],
+                        "l_orderkey", t["orders"], "o_orderkey"))
+        .unionAll(check("lineitem.l_suppkey -> supplier", t["lineitem"],
+                        "l_suppkey", t["supplier"], "s_suppkey"))
+    )
+
+
+@register(
+    "profile_table_stats",
+    """
+    SELECT 'l_quantity' AS col,
+           count(*) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           count(DISTINCT l_quantity) AS ndv,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), CAST(count(l_extendedprice) AS BIGINT),
+           count(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), CAST(count(l_discount) AS BIGINT),
+           count(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+    doc="ANALYZE-style per-column statistics (rows, non-null, exact NDV, "
+    "min/max) — the optimizer-feeding profile a warehouse collects per "
+    "load (Spark's own ANALYZE TABLE ... COMPUTE STATISTICS shape, "
+    "re-expressed as a query so the values are oracle-checkable; the "
+    "100 TB variant swaps exact NDV for approx_count_distinct, covered "
+    "by the HLL family). One aggregate pass per column group over one "
+    "scan each; count(DISTINCT) expands to the standard two-level "
+    "partial aggregate.",
+)
+def q_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    def stats(col: str) -> DataFrame:
+        return li.agg(
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("ndv"),
+            F.min(col).cast("double").alias("min_v"),
+            F.max(col).cast("double").alias("max_v"),
+        ).select(
+            F.lit(col).alias("col"), "n_rows", "n_nonnull", "ndv", "min_v", "max_v"
+        )
+
+    return stats("l_quantity").unionAll(stats("l_extendedprice")).unionAll(
+        stats("l_discount")
     )
