@@ -848,3 +848,44 @@ def q_fuzzy_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(dist == 0, 1).otherwise(0)).alias("n_exact"),
         F.sum(dist).alias("sum_dist"),
     )
+
+
+@register(
+    "filter_above_group_p90",
+    """
+    WITH th AS (
+        SELECT o_orderpriority AS pr,
+               round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, count(*) AS n_above,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS sum_above
+    FROM orders JOIN th ON o_orderpriority = th.pr
+    WHERE o_totalprice > th.p90
+    GROUP BY 1
+    """,
+    doc="Group-relative quantile filter: orders above their OWN "
+    "priority's p90 — the 'outliers per segment' analytics staple. "
+    "Expressed as a per-group exact-percentile aggregate joined back "
+    "(broadcast: |groups| rows), NOT as a percentile window over the "
+    "fact (which would sort every partition to attach a constant). "
+    "Thresholds round to 4dp, same interpolation-parity rule as "
+    "percentile_stats; money sums stay DECIMAL.",
+)
+def q_filter_above_group_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    th = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90")
+    )
+    return (
+        o.join(F.broadcast(th), F.col("o_orderpriority") == F.col("pr"))
+        .filter(F.col("o_totalprice") > F.col("p90"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_above"),
+        )
+    )

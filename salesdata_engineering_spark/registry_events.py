@@ -660,3 +660,41 @@ def q_stream_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("value").cast("double").alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
+
+
+@register(
+    "events_rolling_wau",
+    """
+    WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, count(DISTINCT du.user_id) AS wau
+    FROM days d JOIN du
+         ON du.day <= d.day AND du.day > d.day - INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+    doc="Rolling 7-day active users per day (WAU) — the trailing-window "
+    "distinct-count product metric. Shape: the fact collapses FIRST to "
+    "distinct (day, user) pairs (one hash shuffle over the events), "
+    "then the trailing window is a banded self-join of that tiny frame "
+    "against the day spine with the final distinct count — "
+    "countDistinct cannot run in a RANGE window frame, and exploding "
+    "each event into 7 window copies before deduplication would "
+    "multiply the fact 7x; collapsing first makes the quadratic step "
+    "|days|x|day-users|, independent of event volume at 100 TB.",
+)
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    du = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    return (
+        days.join(
+            du,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
