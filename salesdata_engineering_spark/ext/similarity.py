@@ -380,6 +380,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    small_queries: bool = True,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into inverted cells around
     centroids, search only the ``nprobe`` cells nearest each query.
@@ -406,7 +407,7 @@ def ivf_ann_topk(
     )
     probes = _assign_cells(
         queries.select(F.col(query_id_col), F.col(vec_col)),
-        cents, query_id_col, nprobe, vec_col, dim, tiny=True,
+        cents, query_id_col, nprobe, vec_col, dim, tiny=small_queries,
     ).select(query_id_col, F.col(vec_col).alias("_qvec"), "cid")
     cand = (
         cells.join(probes, "cid")
@@ -525,6 +526,7 @@ def ivf_quantized_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    small_queries: bool = True,
 ) -> DataFrame:
     """The composed sublinear ANN both halves promise: IVF cell pruning
     (:func:`ivf_ann_topk`) feeding the int8-quantized scan + exact
@@ -532,7 +534,10 @@ def ivf_quantized_topk(
 
     Stage 0 assigns the corpus to inverted cells and each query to its
     ``nprobe`` nearest cells (broadcast centroids, codegen'd dots — no
-    shuffle). Stage 1 scores ONLY the probed cells' vectors on the
+    shuffle; ``small_queries=False`` opts the probe ranking out of its
+    single-partition coalesce when the query frame is corpus-sized —
+    e.g. the self-join near-dup shape). Stage 1 scores ONLY the probed
+    cells' vectors on the
     quantized representation: the scoring join is an equi-join on
     ``cid``, so the scan touches ~nprobe/n_cells of the corpus — and
     what it reads is int8-quantized (4× less memory traffic than
@@ -564,7 +569,7 @@ def ivf_quantized_topk(
     )
     probes = _assign_cells(
         queries.select(F.col(query_id_col), F.col(vec_col)),
-        cents, query_id_col, nprobe, vec_col, dim, tiny=True,
+        cents, query_id_col, nprobe, vec_col, dim, tiny=small_queries,
     ).select(query_id_col, "cid")
 
     cq = quantize_cols(cells, vec_col, dim, "_c")

@@ -743,15 +743,46 @@ def q_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
 
     def norms(batches):
+        import math
+
         import numpy as np
 
         for batch in batches:
             ids = batch.column("vec_id")
             vecs = batch.column("embedding")
+            # genuinely zero-copy: one flat values buffer + offsets, no
+            # per-row as_py() materialization; np.add.reduceat folds each
+            # [offset[i], offset[i+1]) segment STRICTLY left-to-right,
+            # matching DuckDB's sequential list_dot_product
+            offs = vecs.offsets.to_numpy().astype("int64")
+            # normalize to the slice window: values/offsets of a sliced
+            # ListArray still reference the full child buffer
+            base, stop = int(offs[0]), int(offs[-1])
+            flat = (
+                vecs.values.to_numpy(zero_copy_only=False)[base:stop]
+                .astype("float64")
+            )
+            starts, ends = offs[:-1] - base, offs[1:] - base
+            sq = flat * flat
+            if len(sq):
+                seg = np.add.reduceat(sq, np.minimum(starts, len(sq) - 1))
+                # reduceat quirk: an empty segment returns sq[start] —
+                # mask those to the true empty-list dot product, 0.0
+                sums = np.where(starts < ends, seg, 0.0)
+            else:
+                sums = np.zeros(len(starts), dtype="float64")
+            nulls = vecs.is_null().to_numpy(zero_copy_only=False)
             out = []
             for i in range(batch.num_rows):
-                x = np.asarray(vecs[i].as_py(), dtype="float64")
-                out.append(round(float(np.sqrt(np.cumsum(x * x)[-1])), 6))
+                if nulls[i]:
+                    out.append(None)  # NULL embedding -> NULL norm (oracle parity)
+                else:
+                    # half-away-from-zero round (norms are >= 0, so
+                    # floor(x*1e6 + 0.5) == HALF_UP == DuckDB round;
+                    # Python's built-in round is banker's and diverges
+                    # on exact 6-decimal ties)
+                    v = math.sqrt(float(sums[i]))
+                    out.append(math.floor(v * 1e6 + 0.5) / 1e6)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(out, type=pa.float64())], ["vec_id", "norm"]
             )
@@ -784,10 +815,10 @@ def q_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import SyntheticSalesDataSource
 
-    try:
-        spark.dataSource.register(SyntheticSalesDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # re-registration silently replaces, so no guard is needed — and a
+    # swallowed real failure (unpicklable class, API absent) would only
+    # resurface later as a misleading DATA_SOURCE_NOT_FOUND
+    spark.dataSource.register(SyntheticSalesDataSource)
     src = (
         spark.read.format("synthetic_sales")
         .option("n", "10000")
@@ -837,16 +868,19 @@ def q_fuzzy_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("_kb"),
         F.col("c_name").alias("_nb"),
     )
-    dist = F.levenshtein("_na", "_nb")
+    # project the distance ONCE: levenshtein is the expensive kernel
+    # here, and repeating the expression in the filter and both
+    # aggregates would evaluate it up to three times per pair
     pairs = (
         a.join(b, "block_key")
         .filter(F.col("_ka") < F.col("_kb"))
-        .filter(dist <= 2)
+        .withColumn("_dist", F.levenshtein("_na", "_nb"))
+        .filter(F.col("_dist") <= 2)
     )
     return pairs.groupBy("block_key").agg(
         F.count("*").alias("n_pairs"),
-        F.sum(F.when(dist == 0, 1).otherwise(0)).alias("n_exact"),
-        F.sum(dist).alias("sum_dist"),
+        F.sum(F.when(F.col("_dist") == 0, 1).otherwise(0)).alias("n_exact"),
+        F.sum("_dist").alias("sum_dist"),
     )
 
 

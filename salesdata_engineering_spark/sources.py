@@ -29,10 +29,14 @@ class _RangePartition(InputPartition):
 
 class SyntheticSalesReader(DataSourceReader):
     def __init__(self, options):
-        self.n = int(options.get("n", 1000))
-        self.splits = int(options.get("splits", 8))
+        self.n = max(0, int(options.get("n", 1000)))
+        self.splits = max(1, int(options.get("splits", 8)))
 
     def partitions(self):
+        # n=0 is a legitimate empty source: one empty split, zero rows —
+        # never a planner crash (range() with step 0 / division by 0)
+        if self.n == 0:
+            return [_RangePartition(0, 0)]
         step = -(-self.n // self.splits)
         return [
             _RangePartition(i, min(i + step, self.n))

@@ -165,16 +165,22 @@ def run_foreach_batch_upsert(
     exactly-once per epoch via the checkpoint).
 
     Merge = read current snapshot, union the batch, one max_by hash
-    aggregate per key, write to a scratch dir, atomic swap — the same
-    snapshot kernel as the batch CDC operator applied incrementally,
-    and the same scratch-then-rename discipline as io.compact_parquet
-    (the merge plan READS the dir it replaces, so an in-place lazy
-    overwrite would truncate its own input; a swap also never destroys
-    the snapshot on a failed write, and never pulls it through the
-    driver). Idempotent per batch: replaying a micro-batch after a
-    failure recomputes the same snapshot (max_by is insensitive to
-    duplicates). At real scale the swap becomes a MERGE INTO against a
-    table format (Delta/Iceberg); the per-batch plan is identical."""
+    aggregate per key, write to a ``.new`` scratch dir, then swap —
+    the same snapshot kernel as the batch CDC operator applied
+    incrementally (the merge plan READS the dir it replaces, so an
+    in-place lazy overwrite would truncate its own input, and the
+    swap never pulls the snapshot through the driver). Two directory
+    renames cannot be atomic together on POSIX, so the swap is made
+    CRASH-RECOVERABLE instead of pretending to be atomic: the scratch
+    dirs use fixed names (``{out_dir}.new`` / ``{out_dir}.old``) and
+    the reader side falls back to ``.old`` when ``out_dir`` is missing
+    — a kill between the two renames strands the previous snapshot in
+    ``.old``, and the replayed micro-batch (durable checkpoint) finds
+    it there and merges on top instead of silently restarting from one
+    batch. Idempotent per batch: replaying a micro-batch recomputes
+    the same snapshot (max_by is insensitive to duplicates). At real
+    scale the swap becomes a MERGE INTO against a table format
+    (Delta/Iceberg); the per-batch plan is identical."""
     import os
     import shutil
     import tempfile
@@ -184,10 +190,16 @@ def run_foreach_batch_upsert(
     spark = stream_df.sparkSession
     schema = stream_df.schema
     payload = [c for c in stream_df.columns if c != key_col]
+    new, old = f"{out_dir}.new", f"{out_dir}.old"
 
     def merge(batch_df: DataFrame, _epoch: int) -> None:
-        if os.path.isdir(out_dir):
-            current = spark.read.schema(schema).parquet(out_dir)
+        current_dir = (
+            out_dir
+            if os.path.isdir(out_dir)
+            else (old if os.path.isdir(old) else None)  # crash between renames
+        )
+        if current_dir is not None:
+            current = spark.read.schema(schema).parquet(current_dir)
             merged_src = current.unionByName(batch_df)
         else:  # first batch: no snapshot yet
             merged_src = batch_df
@@ -197,20 +209,15 @@ def run_foreach_batch_upsert(
             ).alias("_s")
         )
         out = snap.select(key_col, *[F.col(f"_s.{c}").alias(c) for c in payload])
-        parent = os.path.dirname(os.path.abspath(out_dir)) or "."
-        tmp = tempfile.mkdtemp(prefix="upsert_swap_", dir=parent)
-        out.write.mode("overwrite").parquet(tmp)
-        old = f"{tmp}.old"
+        shutil.rmtree(new, ignore_errors=True)  # leftover from a failed write
+        out.write.mode("overwrite").parquet(new)
+        # the write above has fully consumed current_dir; swap
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(out_dir):
             os.rename(out_dir, old)
-        os.rename(tmp, out_dir)
+        os.rename(new, out_dir)
         shutil.rmtree(old, ignore_errors=True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(merge)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
-        .start()
-    )
-    q.awaitTermination()
+    foreach_batch_pipeline(
+        stream_df, merge, tempfile.mkdtemp(prefix="ckpt_upsert_")
+    ).awaitTermination()
