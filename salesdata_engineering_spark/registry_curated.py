@@ -923,3 +923,109 @@ def q_filter_above_group_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_above"),
         )
     )
+
+
+@register(
+    "orders_purchase_streaks",
+    """
+    WITH mo AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)
+                   AS mnum
+        FROM orders
+    ),
+    isl AS (
+        SELECT o_custkey, mnum,
+               mnum - row_number() OVER (PARTITION BY o_custkey ORDER BY mnum)
+                   AS grp
+        FROM mo
+    ),
+    streaks AS (
+        SELECT o_custkey, count(*) AS len
+        FROM isl GROUP BY o_custkey, grp
+    )
+    SELECT o_custkey, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY 1
+    """,
+    doc="Gaps-and-islands: longest run of CONSECUTIVE active months per "
+    "customer via the classic difference trick — a month number minus "
+    "its per-customer row_number is constant exactly within an island, "
+    "so consecutive runs fall out of one window + one groupBy (no "
+    "self-join over the calendar, no iterative chaining). A different "
+    "mechanism from session_window (gap threshold over event time): "
+    "islands are defined on a DERIVED integer grid. All three steps "
+    "share the customer shuffle key.",
+)
+def q_orders_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    mo = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("mnum"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mnum")
+    isl = mo.withColumn("grp", F.col("mnum") - F.row_number().over(w))
+    streaks = isl.groupBy("o_custkey", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+@register(
+    "revenue_share_hierarchy",
+    """
+    WITH nrev AS (
+        SELECT r_name AS region, n_name AS nation,
+               SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+               AS share_of_region,
+           round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+               AS share_of_total
+    FROM nrev
+    """,
+    doc="Ratio-to-report at two hierarchy levels: each nation's revenue "
+    "share within its region and globally — unbounded window sums over "
+    "the AGGREGATED frame (|nations| rows), never over the fact: the "
+    "fact shuffles once into the (region, nation) aggregate and the "
+    "percent-of-total windows are driver-trivial. Revenue stays exact "
+    "DECIMAL through both window sums; only the final divisions are "
+    "double.",
+)
+def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    nrev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return nrev.select(
+        "region",
+        "nation",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wt).cast("double"), 6
+        ).alias("share_of_total"),
+    )
