@@ -94,3 +94,83 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         else:
             assert r.val_matched == exp_val, (r, exp_val)
             assert pd.Timestamp(r.ts_matched) == exp_ts, (r, exp_ts)
+
+
+def test_repetition_score_matches_python_reference(spark):
+    """repetition_score (array-expression form) vs a direct Python
+    computation of the Gopher duplicate-n-gram fractions on seeded
+    random word soup — independent of both DuckDB and the old
+    window-based Spark formulation."""
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(words, size=int(rng.integers(0, 30)))))
+        for i in range(300)
+    ]
+    from salesdata_engineering_spark.ext.text import repetition_score
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in repetition_score(df).collect()}
+
+    import re
+
+    expect = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text)]
+        if len(toks) < 2:
+            continue
+        g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        g3 = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        expect[doc_id] = (len(g2), len(set(g2)), len(g3), len(set(g3)))
+    assert set(got) == set(expect)
+    for doc_id, (n2, u2, n3, u3) in expect.items():
+        r = got[doc_id]
+        assert (r.n_2grams, r.n_unique_2grams, r.n_3grams, r.n_unique_3grams) == (
+            n2, u2, n3, u3,
+        ), doc_id
+        assert r.rep2_frac == round(1.0 - u2 / n2, 6)
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """bigram_logprob vs a direct Python bigram LM with the same add-one
+    smoothing and micro-nat quantization — validates the count tables,
+    the context/continuation definitions, and the exact-integer sum."""
+    import math
+    import re
+
+    rng = np.random.default_rng(31)
+    words = [f"t{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(words, size=int(rng.integers(2, 20)))))
+        for i in range(200)
+    ]
+    from salesdata_engineering_spark.ext.text import bigram_logprob
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.mean_logprob) for r in bigram_logprob(df).collect()}
+
+    pairs = []
+    for doc_id, text in docs:
+        toks = re.split(r"\s+", text)
+        pairs.extend((doc_id, a, b) for a, b in zip(toks, toks[1:]))
+    from collections import Counter
+
+    bc = Counter((a, b) for _, a, b in pairs)
+    cc = Counter(a for _, a, _ in pairs)
+    v = len({b for _, _, b in pairs})
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_up(x: float, exp: str) -> float:
+        # Spark F.round is HALF_UP on the shortest-repr decimal of the
+        # double; Python's built-in round is banker's and differs on ties
+        return float(Decimal(repr(x)).quantize(Decimal(exp), ROUND_HALF_UP))
+
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, a, b in pairs:
+        s = int(half_up(math.log((bc[(a, b)] + 1) / (cc[a] + v)) * 1_000_000, "1"))
+        per_doc.setdefault(doc_id, []).append(s)
+    expect = {
+        d: (len(ss), half_up(sum(ss) / 1_000_000.0 / len(ss), "1e-6"))
+        for d, ss in per_doc.items()
+    }
+    assert got == expect
