@@ -553,11 +553,21 @@ def bigram_logprob(
 
     Scale shape: bigram pairs are built PARTITION-LOCAL from the token
     array (transform over index ranges — no (doc, pos) window shuffle
-    of the token stream) and exploded once; the pair stream feeds three
-    consumers (bigram counts, context counts, scoring join) —
+    of the token stream) and exploded once; the pair stream feeds TWO
+    consumers (the bigram-count aggregate and the scoring join) —
     differently-pruned subtrees Catalyst cannot share — so it is
-    persisted once via swap_persist. Both count tables join back on
-    hash keys; document text never shuffles."""
+    persisted once via swap_persist. The context counts and the
+    continuation-vocabulary size are derived FROM the bigram count
+    table (Σ_cur c(prev,cur) = c(prev); distinct bc.cur = distinct
+    pair.cur) — vocab²-sized aggregations instead of two more full
+    passes over the corpus-sized pair stream (within noise at sf0.1
+    where the pairs sit in memory; at 100 TB it removes two
+    corpus-scale aggregation passes). bc itself stays UNPERSISTED: it
+    is vocab²-small and recomputing it from the persisted pairs costs
+    one in-memory pass per consumer, while persisting it inserted a
+    materialization barrier that measured SLOWER (1.49 vs 1.35 s).
+    Both count tables join back on hash keys; document text never
+    shuffles."""
     from .caching import swap_persist
 
     toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("w"))
@@ -575,8 +585,8 @@ def bigram_logprob(
         .select("doc_id", "p.prev", "p.cur"),
     )
     bc = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
-    cc = pairs.groupBy("prev").agg(F.count("*").alias("cctx"))
-    vv = pairs.agg(F.countDistinct("cur").alias("v"))
+    cc = bc.groupBy("prev").agg(F.sum("cb").alias("cctx"))
+    vv = bc.agg(F.countDistinct("cur").alias("v"))
     scored = (
         pairs.join(bc, ["prev", "cur"])
         .join(cc, "prev")
