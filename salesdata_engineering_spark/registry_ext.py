@@ -1571,3 +1571,83 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.dedup import substring_dup_spans
 
     return substring_dup_spans(_docs(spark, sf_dir), n=8)
+
+
+@register(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE {_sql_shingles(3)},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN sym e ON r.id = e.u
+    ),
+    comp AS (SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY id),
+    tq AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
+    m AS (SELECT doc_id,
+           len(t) AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1) AS punct_ratio,
+           len(list_filter(t, x -> list_contains([{_EN}], x)))
+             / greatest(len(t), 1) AS stop_ratio,
+           list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
+             / greatest(len(t), 1) AS mean_len
+    FROM tq),
+    q AS (SELECT doc_id,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * least(stop_ratio / 0.1, 1.0)
+                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
+                 6) AS quality
+    FROM m)
+    SELECT comp.id AS doc_id, comp.cluster_id, q.quality,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY comp.cluster_id
+                    ORDER BY q.quality DESC, comp.id) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM comp JOIN q ON comp.id = q.doc_id
+    """,
+    doc="Quality-aware canonical selection per near-dup cluster: where "
+    "dedup_cluster_components keeps the MIN-ID doc, production corpora "
+    "keep the BEST one (the cleanest/longest copy of a boilerplate "
+    "family) — keeper = argmax (quality, then min id) within each "
+    "connected component. Composes the components fixpoint with the "
+    "quality heuristic in one plan: the quality join and the keeper "
+    "window both key on cluster/doc ids (|clustered docs| rows, tiny "
+    "next to the corpus at any scale).",
+)
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .ext.dedup import connected_components
+    from .ext.text import quality_expr
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    q = d.select("doc_id", quality_expr().alias("quality"))
+    joined = cc.join(q, F.col("id") == F.col("doc_id"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("id")
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        "quality",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("keep"),
+    )
