@@ -698,3 +698,46 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n,
+           round(count(*) / CAST(SUM(count(*)) OVER (PARTITION BY event_type)
+                                 AS DOUBLE), 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="First-order event transition matrix: per-user event streams "
+    "ordered by (ts, event_id), adjacent pairs counted into "
+    "(from, to) cells with row-normalized probabilities — the Markov "
+    "view behind next-action prediction and anomalous-flow detection. "
+    "One (user) window pass + one tiny (from, to) aggregate; the "
+    "normalizing window runs over the |types|^2 cell frame, never the "
+    "events. The probability denominator is an exact integer sum, so "
+    "p is a single deterministic division.",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 6).alias("p"),
+    )

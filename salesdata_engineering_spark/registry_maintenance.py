@@ -527,3 +527,62 @@ def q_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats("l_quantity").unionAll(stats("l_extendedprice")).unionAll(
         stats("l_discount")
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+    b AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+    SELECT change, count(*) AS n FROM (
+        SELECT CASE
+            WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_orderstatus <> b.o_orderstatus
+              OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS change
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    GROUP BY 1
+    """,
+    doc="Snapshot reconciliation diff: two versions of a table (derived "
+    "deterministically here: overlapping date windows with a mutation "
+    "on open orders) full-outer joined on the key and classified "
+    "added / removed / changed / unchanged — the audit primitive "
+    "behind every incremental-load validation and CDC backfill check. "
+    "One key-partitioned full-outer join + a tiny class aggregate; at "
+    "100 TB pre-bucketing both snapshots by the key makes the join "
+    "zero-exchange (the engine's bucketed-write layout, "
+    "plan-asserted in tests/test_plans.py).",
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")).select(
+        F.col("o_orderkey").alias("_ka"),
+        F.col("o_orderstatus").alias("_sa"),
+        F.col("o_totalprice").alias("_pa"),
+    )
+    b = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")).select(
+        F.col("o_orderkey").alias("_kb"),
+        F.col("o_orderstatus").alias("_sb"),
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("_pb"),
+    )
+    j = a.join(b, F.col("_ka") == F.col("_kb"), "full_outer")
+    change = (
+        F.when(F.col("_ka").isNull(), "added")
+        .when(F.col("_kb").isNull(), "removed")
+        .when(
+            (F.col("_sa") != F.col("_sb")) | (F.col("_pa") != F.col("_pb")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.select(change.alias("change")).groupBy("change").agg(
+        F.count("*").alias("n")
+    )
