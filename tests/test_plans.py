@@ -438,3 +438,25 @@ def test_pagerank_shuffles_stay_on_node_keys(spark, sf_dir):
     hashes = re.findall(r"Exchange hashpartitioning\(([\w#]+)", plan)
     allowed = ("node", "src", "dst", "l_suppkey", "o_custkey")
     assert hashes and all(h.startswith(allowed) for h in hashes), hashes
+
+
+def test_snapshot_diff_is_single_full_outer(spark, sf_dir):
+    """The reconciliation diff must be ONE key-partitioned full-outer
+    join + a tiny class aggregate — no cartesian, no second join."""
+    plan = plan_of(QUERIES["snapshot_diff_orders"].fn(spark, sf_dir))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") - plan.count("JoinSelection") <= 2, plan
+
+
+def test_transition_matrix_single_user_window(spark, sf_dir):
+    """One lead-window pass over (user) ordering; the probability
+    normalization must window over the aggregated cell frame, so the
+    plan carries exactly two Window nodes and one events-sized
+    exchange (user_id)."""
+    plan = plan_of(QUERIES["events_transition_matrix"].fn(spark, sf_dir))
+    assert plan.count("Window") <= 3, plan
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([\w#]+)", plan)
+    assert any(h.startswith("user_id") for h in hashes), hashes
