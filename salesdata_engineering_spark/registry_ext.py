@@ -126,10 +126,16 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
-@register(
-    "text_quality_score",
-    f"""
-    WITH sp AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
+#: the quality score formula over the m-CTE's ratio columns — one copy,
+#: shared by every quality-consuming oracle (weights / bands edited here)
+_SQL_QUALITY_EXPR = """round(0.4 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * least(stop_ratio / 0.1, 1.0)
+                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
+                 6)"""
+
+#: qsp/m CTE chain computing the quality ratio columns per document
+_SQL_QUALITY_M = f"""qsp AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
     m AS (SELECT doc_id,
            len(t) AS n_tokens,
            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
@@ -138,16 +144,25 @@ _EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
              / greatest(len(t), 1) AS stop_ratio,
            list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
              / greatest(len(t), 1) AS mean_len
-    FROM sp)
+    FROM qsp)"""
+
+#: ...extended to q(doc_id, quality)
+_SQL_QUALITY_Q = (
+    _SQL_QUALITY_M
+    + f""",
+    q AS (SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality FROM m)"""
+)
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH {_SQL_QUALITY_M}
     SELECT doc_id, n_tokens,
            round(punct_ratio, 6) AS punct_ratio,
            round(stop_ratio, 6) AS stopword_ratio,
            round(mean_len, 6) AS mean_token_len,
-           round(0.4 * least(n_tokens / 50.0, 1.0)
-                 + 0.3 * (1.0 - punct_ratio)
-                 + 0.2 * least(stop_ratio / 0.1, 1.0)
-                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
-                 6) AS quality
+           {_SQL_QUALITY_EXPR} AS quality
     FROM m
     """,
     doc="X3 quality scoring: length/punctuation/stopword/word-length "
@@ -227,6 +242,35 @@ def _sql_shingles(n: int) -> str:
            FROM sp),
     sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
     """
+
+
+def _sql_components(thr: float = 0.6) -> str:
+    """inter/prs/sym/reach CTE chain over sh/sizes (caller opens WITH
+    RECURSIVE): Jaccard >= thr near-dup pairs -> symmetric edges ->
+    min-label reachability fixpoint. ONE source of truth for every
+    oracle that consumes connected components."""
+    return f"""
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {thr}
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN sym e ON r.id = e.u
+    )"""
+
+
 
 
 @register(
@@ -608,23 +652,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_curation_pipeline",
     f"""
     WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-    sp AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
-    m AS (SELECT doc_id,
-           len(t) AS n_tokens,
-           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-             / greatest(length(text), 1) AS punct_ratio,
-           len(list_filter(t, x -> list_contains([{_EN}], x)))
-             / greatest(len(t), 1) AS stop_ratio,
-           list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
-             / greatest(len(t), 1) AS mean_len
-    FROM sp),
-    q AS (SELECT doc_id,
-           round(0.4 * least(n_tokens / 50.0, 1.0)
-                 + 0.3 * (1.0 - punct_ratio)
-                 + 0.2 * least(stop_ratio / 0.1, 1.0)
-                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
-                 6) AS quality
-    FROM m)
+    {_SQL_QUALITY_Q}
     SELECT d.source,
            count(*) AS n_docs,
            CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
@@ -741,25 +769,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_components",
     f"""
     WITH RECURSIVE {_sql_shingles(3)},
-    inter AS (
-        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT id_a, id_b
-        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
-    ),
-    sym AS (
-        SELECT id_a AS u, id_b AS v FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs
-    ),
-    reach(id, lbl) AS (
-        SELECT DISTINCT u, u FROM sym
-        UNION
-        SELECT e.v, r.lbl FROM reach r JOIN sym e ON r.id = e.u
-    )
+    {_sql_components(0.6)}
     SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
            CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS keep
     FROM reach GROUP BY id
@@ -1420,23 +1430,7 @@ _PROBS_SQL = ", ".join(str(i / 10) for i in range(1, 10))
 @register(
     "sample_quality_curriculum",
     f"""
-    WITH sp AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
-    m AS (SELECT doc_id,
-           len(t) AS n_tokens,
-           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-             / greatest(length(text), 1) AS punct_ratio,
-           len(list_filter(t, x -> list_contains([{_EN}], x)))
-             / greatest(len(t), 1) AS stop_ratio,
-           list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
-             / greatest(len(t), 1) AS mean_len
-    FROM sp),
-    q AS (SELECT doc_id,
-           round(0.4 * least(n_tokens / 50.0, 1.0)
-                 + 0.3 * (1.0 - punct_ratio)
-                 + 0.2 * least(stop_ratio / 0.1, 1.0)
-                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
-                 6) AS quality
-    FROM m),
+    WITH {_SQL_QUALITY_Q},
     th AS (SELECT list_transform(quantile_cont(quality, [{_PROBS_SQL}]),
                                  x -> round(x, 9)) AS t
            FROM q),
@@ -1577,44 +1571,10 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_best_quality",
     f"""
     WITH RECURSIVE {_sql_shingles(3)},
-    inter AS (
-        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        GROUP BY 1, 2
-    ),
-    prs AS (
-        SELECT id_a, id_b
-        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
-    ),
-    sym AS (
-        SELECT id_a AS u, id_b AS v FROM prs
-        UNION ALL SELECT id_b, id_a FROM prs
-    ),
-    reach(id, lbl) AS (
-        SELECT DISTINCT u, u FROM sym
-        UNION
-        SELECT e.v, r.lbl FROM reach r JOIN sym e ON r.id = e.u
-    ),
+    {_sql_components(0.6)},
     comp AS (SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
              FROM reach GROUP BY id),
-    tq AS (SELECT doc_id, {SQL_TOKENS} AS t, text FROM documents),
-    m AS (SELECT doc_id,
-           len(t) AS n_tokens,
-           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-             / greatest(length(text), 1) AS punct_ratio,
-           len(list_filter(t, x -> list_contains([{_EN}], x)))
-             / greatest(len(t), 1) AS stop_ratio,
-           list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)
-             / greatest(len(t), 1) AS mean_len
-    FROM tq),
-    q AS (SELECT doc_id,
-           round(0.4 * least(n_tokens / 50.0, 1.0)
-                 + 0.3 * (1.0 - punct_ratio)
-                 + 0.2 * least(stop_ratio / 0.1, 1.0)
-                 + 0.1 * (CASE WHEN mean_len >= 3 AND mean_len <= 8 THEN 1.0 ELSE 0.0 END),
-                 6) AS quality
-    FROM m)
+    {_SQL_QUALITY_Q}
     SELECT comp.id AS doc_id, comp.cluster_id, q.quality,
            CASE WHEN row_number() OVER (
                     PARTITION BY comp.cluster_id

@@ -128,7 +128,14 @@ def test_repetition_score_matches_python_reference(spark):
         assert (r.n_2grams, r.n_unique_2grams, r.n_3grams, r.n_unique_3grams) == (
             n2, u2, n3, u3,
         ), doc_id
-        assert r.rep2_frac == round(1.0 - u2 / n2, 6)
+        # Spark F.round is HALF_UP; Python's round is banker's — use the
+        # same Decimal HALF_UP reference as the bigram test so a fraction
+        # landing on an exact 6-decimal tie cannot fail spuriously
+        from decimal import ROUND_HALF_UP, Decimal
+
+        assert r.rep2_frac == float(
+            Decimal(repr(1.0 - u2 / n2)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
 
 
 def test_bigram_logprob_matches_python_reference(spark):
