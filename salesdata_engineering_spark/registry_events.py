@@ -741,3 +741,54 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 6).alias("p"),
     )
+
+
+@register(
+    "events_time_rollup",
+    """
+    SELECT * FROM (
+        SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), count(*),
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'week', date_trunc('week', ts), count(*),
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        FROM events GROUP BY 2
+    )
+    """,
+    doc="Multi-granularity time rollup (hour/day/week) in ONE pass: "
+    "Spark GROUPING SETS over the three truncation columns — the scan "
+    "and the partial aggregation run once and Expand fans each row "
+    "into its three grains before the shuffle, where the oracle's "
+    "3-way UNION (and a naive pipeline) scans three times. grouping_id "
+    "picks the surviving trunc per set; decimal sums stay exact "
+    "per grain. The standard pre-aggregation cube a metrics store "
+    "maintains.",
+)
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("hour", "ts").alias("_h"),
+        F.date_trunc("day", "ts").alias("_d"),
+        F.date_trunc("week", "ts").alias("_w"),
+        _dec_val().alias("_v"),
+    )
+    grain = (
+        F.when((F.grouping("_d") == 1) & (F.grouping("_w") == 1), "hour")
+        .when((F.grouping("_h") == 1) & (F.grouping("_w") == 1), "day")
+        .otherwise("week")
+    )
+    return (
+        e.groupingSets([["_h"], ["_d"], ["_w"]], "_h", "_d", "_w")
+        .agg(
+            grain.alias("grain"),
+            F.coalesce("_h", "_d", "_w").alias("bucket"),
+            F.count("*").alias("n"),
+            F.sum("_v").cast("double").alias("sum_value"),
+        )
+        .select("grain", "bucket", "n", "sum_value")
+    )
