@@ -433,15 +433,28 @@ def quantize_cols(df: DataFrame, vec_col: str, dim: int, prefix: str) -> DataFra
     array — integer-valued doubles, exactly representable, so sums over
     them are order-independent and bit-identical cross-engine) and
     ``{prefix}qn`` (its L2 norm). Each derived column lives in its OWN
-    projection below its consumers: scale feeds 2·dim round() terms and
-    the qv array feeds dim norm terms — inlining them would re-evaluate
-    the max/array per term (Catalyst skips collapsing multiply-referenced
-    non-cheap expressions, keeping the hoist intact)."""
+    projection below its consumers: scale feeds the transform and the
+    qv array feeds dim norm terms — inlining them would re-evaluate the
+    max/array per term (Catalyst skips collapsing multiply-referenced
+    non-cheap expressions, keeping the hoist intact).
+
+    The amax/qv steps use HOFs (CodegenFallback, interpreted) ON
+    PURPOSE: quantization is the index-BUILD path — once per corpus
+    vector, never in the per-pair search loop — and the compact lambda
+    keeps the driver-side tree ~dim× smaller, which is real latency on
+    every query CALL (analysis of the unrolled form measured: flat
+    quantized top-k 1.25 → 0.96 s, composed ANN 2.77 → 2.56 s at
+    sf0.1). The NORM stays unrolled: it feeds the codegen'd scoring
+    expressions, and qv[i] element reads are cheap either way."""
     v = f"`{vec_col}`"
-    amax = "greatest(" + ", ".join(f"abs({v}[{i}])" for i in range(dim)) + ")"
-    out = df.selectExpr("*", f"greatest({amax} / 127.0D, 1e-30D) AS {prefix}scale")
-    qv = "array(" + ", ".join(f"round({v}[{i}] / {prefix}scale)" for i in range(dim)) + ")"
-    out = out.selectExpr("*", f"{qv} AS {prefix}qv")
+    out = df.selectExpr(
+        "*",
+        f"greatest(array_max(transform({v}, x -> abs(x))) / 127.0D, 1e-30D)"
+        f" AS {prefix}scale",
+    )
+    out = out.selectExpr(
+        "*", f"transform({v}, x -> round(x / {prefix}scale)) AS {prefix}qv"
+    )
     qn = "sqrt(" + " + ".join(f"{prefix}qv[{i}] * {prefix}qv[{i}]" for i in range(dim)) + ")"
     return out.selectExpr("*", f"{qn} AS {prefix}qn").drop(f"{prefix}scale")
 
