@@ -1029,3 +1029,84 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(wt).cast("double"), 6
         ).alias("share_of_total"),
     )
+
+
+@register(
+    "stats_bivariate_regression",
+    """
+    WITH s AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS sy,
+               SUM(CAST(l_cnt AS DECIMAL(14,2))) AS sx,
+               SUM(CAST(l_cnt AS DECIMAL(14,2))
+                   * CAST(o_totalprice AS DECIMAL(14,2))) AS sxy,
+               SUM(CAST(l_cnt AS DECIMAL(14,2))
+                   * CAST(l_cnt AS DECIMAL(14,2))) AS sxx,
+               SUM(CAST(o_totalprice AS DECIMAL(14,2))
+                   * CAST(o_totalprice AS DECIMAL(14,2))) AS syy
+        FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_orderkey = o_orderkey) AS l_cnt
+              FROM orders)
+        GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n),
+                 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                    * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+                 6) AS corr
+    FROM s
+    """,
+    doc="Bivariate OLS + Pearson correlation per group (order value vs "
+    "line count): built from EXACT DECIMAL power sums (n, Σx, Σy, Σxy, "
+    "Σx², Σy² — order-independent, where the built-in regr_slope/corr "
+    "aggregates fold doubles in partition order and drift cross-engine) "
+    "with slope/intercept/r assembled in a fixed double sequence — the "
+    "same integer-exact-moments discipline as the stats family, "
+    "extended to two variables. One correlated-count subquery "
+    "(decorrelated to an aggregate join) + one group aggregate.",
+)
+def q_stats_bivariate_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cnt = t["lineitem"].groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count("*").alias("l_cnt")
+    )
+    j = t["orders"].join(cnt, F.col("o_orderkey") == F.col("_ok"), "left_outer").select(
+        "o_orderpriority",
+        F.coalesce(F.col("l_cnt"), F.lit(0)).cast("decimal(14,2)").alias("_x"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("_y"),
+    )
+    s = j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("_y").alias("sy"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    n = F.col("n")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    slope = cov / varx
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("corr"),
+    )
