@@ -792,3 +792,99 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("grain", "bucket", "n", "sum_value")
     )
+
+
+@register(
+    "events_session_funnel",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    ),
+    v AS (SELECT user_id, session_id, min(ts) AS t1 FROM sess
+          WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT s.user_id, s.session_id, min(ts) AS t2
+          FROM sess s JOIN v USING (user_id, session_id)
+          WHERE event_type = 'click' AND ts > t1 GROUP BY 1, 2),
+    p AS (SELECT s.user_id, s.session_id, min(ts) AS t3
+          FROM sess s JOIN c USING (user_id, session_id)
+          WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1, 2)
+    SELECT * FROM (
+        SELECT 1 AS step_no, 'view' AS step, count(*) AS sessions FROM v
+        UNION ALL SELECT 2, 'click', count(*) FROM c
+        UNION ALL SELECT 3, 'purchase', count(*) FROM p
+    )
+    """,
+    doc="Sessionized funnel: gap-based session ids (a new session when "
+    "> 30 min elapses — the lag-flag + running-sum islands idiom, the "
+    "batch twin of session_window) then the ordered view -> click -> "
+    "purchase funnel WITHIN each (user, session): every step's first "
+    "qualifying event must follow the previous step inside the same "
+    "session. All windows, joins, and aggregates key on user_id (+ the "
+    "derived session_id) — one shuffle key end-to-end, same contract "
+    "as the global funnel.",
+)
+def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            lag_ts.isNull()
+            | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+        F.col("event_id"),
+    )
+    sess = seq.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    v = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        sess.filter(F.col("event_type") == "click")
+        .join(v, ["user_id", "session_id"])
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(c, ["user_id", "session_id"])
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("sessions")).select(
+            F.lit(no).alias("step_no"), F.lit(name).alias("step"), "sessions"
+        )
+
+    return step(v, 1, "view").unionAll(step(c, 2, "click")).unionAll(
+        step(p, 3, "purchase")
+    )
