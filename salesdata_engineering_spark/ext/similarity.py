@@ -61,8 +61,9 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
 
 def norm(a: Column | str, dim: int | None = None) -> Column:
     if dim is None:
-        return F.sqrt(_fold_sum(F.transform(F.col(a) if isinstance(a, str) else a,
-                                            lambda x: x * x)))
+        if isinstance(a, str):
+            return norm_fold(a)
+        return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
     if isinstance(a, str):
         return F.sqrt(F.expr(" + ".join(f"`{a}`[{i}] * `{a}`[{i}]" for i in range(dim))))
     s = a.getItem(0) * a.getItem(0)
@@ -72,7 +73,7 @@ def norm(a: Column | str, dim: int | None = None) -> Column:
 
 
 
-def norm_fold(a: str) -> Column:
+def norm_fold(a: str, dim: int | None = None) -> Column:
     """L2 norm as a compact HOF fold — for PER-VECTOR norm columns only
     (corpus/query/centroid norms computed once per row and carried as
     columns into the codegen'd pair scoring). The fold is interpreted
@@ -81,11 +82,17 @@ def norm_fold(a: str) -> Column:
     query call (measured: sim_cosine_topk 1.16 → 0.60 s median at
     sf0.1 — the unrolled norms dominated plan build, not execution).
     Sequential left fold ⇒ identical IEEE order as the unrolled form
-    and the DuckDB oracle. Per-PAIR math (``dot``/``cosine``) must stay
-    unrolled: it is the search-time hot loop."""
+    and the DuckDB oracle; ``norm(a)`` with dim omitted delegates here
+    for string inputs so there is ONE fold implementation. ``dim``
+    restricts the norm to the first components — it MUST mirror the
+    paired ``dot``'s dim or the cosine is inconsistent (norms over 64
+    components against a 32-component dot). Per-PAIR math
+    (``dot``/``cosine``) must stay unrolled: it is the search-time hot
+    loop."""
+    src = f"`{a}`" if dim is None else f"slice(`{a}`, 1, {dim})"
     return F.sqrt(
         F.expr(
-            f"aggregate(transform(`{a}`, x -> x * x), 0.0D, (acc, x) -> acc + x)"
+            f"aggregate(transform({src}, x -> x * x), 0.0D, (acc, x) -> acc + x)"
         )
     )
 
@@ -123,9 +130,9 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        norm_fold(vec_col).alias("_qn"),
+        norm_fold(vec_col, dim).alias("_qn"),
     )
-    c = _spread(corpus).select(id_col, vec_col, norm_fold(vec_col).alias("_cn"))
+    c = _spread(corpus).select(id_col, vec_col, norm_fold(vec_col, dim).alias("_cn"))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
     sim = pairs.select(
         query_id_col,
@@ -256,12 +263,12 @@ def embedding_near_dup_pairs(
     a = _spread(corpus).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        norm_fold(vec_col).alias("_na"),
+        norm_fold(vec_col, dim).alias("_na"),
     )
     b = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        norm_fold(vec_col).alias("_nb"),
+        norm_fold(vec_col, dim).alias("_nb"),
     )
     return (
         a.crossJoin(b)
@@ -319,12 +326,12 @@ def embedding_near_dup_lsh(
     va = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        norm_fold(vec_col).alias("_na"),
+        norm_fold(vec_col, dim).alias("_na"),
     )
     vb = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        norm_fold(vec_col).alias("_nb"),
+        norm_fold(vec_col, dim).alias("_nb"),
     )
     sim = (
         cand.join(va, "id_a")
@@ -368,7 +375,7 @@ def _assign_cells(
     a single partition serializes the sort."""
     sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
     scored = (
-        df.withColumn("_vn", norm_fold(vec_col))
+        df.withColumn("_vn", norm_fold(vec_col, dim))
         .crossJoin(cents)
         .select(F.col(out_id), "cid", sim)
     )
@@ -418,7 +425,7 @@ def ivf_ann_topk(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
         )
     cents = F.broadcast(
-        centroids.select("cid", "_cvec", norm_fold("_cvec").alias("_cn"))
+        centroids.select("cid", "_cvec", norm_fold("_cvec", dim).alias("_cn"))
     )
 
     cells = _assign_cells(
@@ -593,7 +600,7 @@ def ivf_quantized_topk(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
         )
     cents = F.broadcast(
-        centroids.select("cid", "_cvec", norm_fold("_cvec").alias("_cn"))
+        centroids.select("cid", "_cvec", norm_fold("_cvec", dim).alias("_cn"))
     )
 
     cells = _assign_cells(
@@ -679,7 +686,7 @@ def ivf_train_centroids(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
     )
     for _ in range(iters):
-        bc = F.broadcast(cents.select("cid", "_cvec", norm_fold("_cvec").alias("_cn")))
+        bc = F.broadcast(cents.select("cid", "_cvec", norm_fold("_cvec", dim).alias("_cn")))
         # shared keep=1 assignment: max_by hash-agg, map-side combine —
         # see _assign_cells for the shape and the window-sort it replaces
         assigned = _assign_cells(

@@ -1052,18 +1052,20 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT o_orderpriority, n,
-           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n),
-                 6) AS slope,
-           round((CAST(sy AS DOUBLE)
-                  - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
-                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
-           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                 / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                    * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
-                 6) AS corr
-    FROM s
+           CASE WHEN varx > 0 THEN round(cov / varx, 6) END AS slope,
+           CASE WHEN varx > 0
+                THEN round((CAST(sy AS DOUBLE) - (cov / varx) * CAST(sx AS DOUBLE)) / n, 6)
+           END AS intercept,
+           CASE WHEN varx > 0 AND vary > 0
+                THEN round(cov / (sqrt(varx) * sqrt(vary)), 6)
+           END AS corr
+    FROM (
+        SELECT o_orderpriority, n, sx, sy,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cov,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS varx,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS vary
+        FROM s
+    )
     """,
     doc="Bivariate OLS + Pearson correlation per group (order value vs "
     "line count): built from EXACT DECIMAL power sums (n, Σx, Σy, Σxy, "
@@ -1099,14 +1101,29 @@ def q_stats_bivariate_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syy").cast("double"),
     )
     n = F.col("n")
-    cov = sxy - sx * sy / n
-    varx = sxx - sx * sx / n
-    vary = syy - sy * sy / n
-    slope = cov / varx
-    return s.select(
+    # degenerate groups (zero or cancellation-negative variance) yield
+    # NULL instead of an ANSI divide-by-zero on the Spark side / sqrt
+    # domain error on the DuckDB side — guarded identically in both
+    m = s.select(
         "o_orderpriority",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("corr"),
+        sx.alias("_sx"),
+        sy.alias("_sy"),
+        (sxy - sx * sy / n).alias("_cov"),
+        (sxx - sx * sx / n).alias("_varx"),
+        (syy - sy * sy / n).alias("_vary"),
+    )
+    cov, varx, vary = F.col("_cov"), F.col("_varx"), F.col("_vary")
+    slope = cov / varx
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.when(varx > 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            varx > 0, F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6)
+        ).alias("intercept"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6),
+        ).alias("corr"),
     )

@@ -405,6 +405,18 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, output_mode="complete")
 
 
+def _funnel_steps(frames: list[tuple[int, str, DataFrame]], alias: str) -> DataFrame:
+    """Stack per-step count scalars into (step_no, step, <alias>) rows —
+    shared by the global and sessionized funnels."""
+    out = None
+    for no, name, df in frames:
+        piece = df.agg(F.count("*").alias(alias)).select(
+            F.lit(no).alias("step_no"), F.lit(name).alias("step"), alias
+        )
+        out = piece if out is None else out.unionAll(piece)
+    return out
+
+
 @register(
     "events_funnel_conversion",
     """
@@ -454,14 +466,7 @@ def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t3"))
     )
 
-    def step(df: DataFrame, no: int, name: str) -> DataFrame:
-        return df.agg(F.count("*").alias("users")).select(
-            F.lit(no).alias("step_no"), F.lit(name).alias("step"), "users"
-        )
-
-    return step(v, 1, "view").unionAll(step(c, 2, "click")).unionAll(
-        step(p, 3, "purchase")
-    )
+    return _funnel_steps([(1, "view", v), (2, "click", c), (3, "purchase", p)], "users")
 
 
 @register(
@@ -852,13 +857,22 @@ def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("new_sess"),
         F.col("event_id"),
     )
-    sess = seq.select(
-        "user_id",
-        "event_type",
-        "ts",
-        F.sum("new_sess")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("session_id"),
+    from .ext.caching import swap_persist
+
+    # the sessionized frame feeds six subtrees (v, and v+c, and v+c+p
+    # lineages) — without a persist the two-window sessionization would
+    # recompute up to six times in one plan (only exchanges get reused,
+    # not window sorts); bounded to one live frame per call-site
+    sess = swap_persist(
+        "session_funnel_sess",
+        seq.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("session_id"),
+        ),
     )
     v = (
         sess.filter(F.col("event_type") == "view")
@@ -880,11 +894,4 @@ def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t3"))
     )
 
-    def step(df: DataFrame, no: int, name: str) -> DataFrame:
-        return df.agg(F.count("*").alias("sessions")).select(
-            F.lit(no).alias("step_no"), F.lit(name).alias("step"), "sessions"
-        )
-
-    return step(v, 1, "view").unionAll(step(c, 2, "click")).unionAll(
-        step(p, 3, "purchase")
-    )
+    return _funnel_steps([(1, "view", v), (2, "click", c), (3, "purchase", p)], "sessions")
