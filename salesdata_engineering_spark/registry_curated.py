@@ -1127,3 +1127,136 @@ def q_stats_bivariate_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6),
         ).alias("corr"),
     )
+
+
+@register(
+    "parts_abc_analysis",
+    """
+    WITH rev AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_partkey, r,
+               SUM(r) OVER (ORDER BY r DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_r,
+               SUM(r) OVER () AS tot_r
+        FROM rev
+    )
+    SELECT l_partkey,
+           CAST(round(r, 2) AS DOUBLE) AS revenue,
+           round(CAST(cum_r AS DOUBLE) / CAST(tot_r AS DOUBLE), 6) AS cum_share,
+           CASE WHEN CAST(cum_r AS DOUBLE) / CAST(tot_r AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN CAST(cum_r AS DOUBLE) / CAST(tot_r AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    doc="ABC / Pareto analysis: parts classified by cumulative revenue "
+    "share (A = first 80%, B = to 95%, C = tail) — the inventory-"
+    "prioritization staple. The cumulative window runs over the "
+    "AGGREGATED per-part frame (|parts| rows), never the fact, with a "
+    "deterministic (revenue DESC, partkey) order; revenue stays exact "
+    "DECIMAL through both window sums so the class boundaries are "
+    "reproducible cross-engine. A global cumulative ordering is "
+    "inherently a single sorted pass — at 100 TB it runs on the "
+    "|parts|-sized rollup, which is the point.",
+)
+def q_parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(14,2)")
+            * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("r")
+    )
+    wc = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    share = F.col("cum_r").cast("double") / F.col("tot_r").cast("double")
+    return (
+        rev.select(
+            "l_partkey",
+            "r",
+            F.sum("r").over(wc).alias("cum_r"),
+            F.sum("r").over(wt).alias("tot_r"),
+        )
+        .select(
+            "l_partkey",
+            F.round("r", 2).cast("double").alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM rfm
+    )
+    SELECT o_custkey, r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN f_score <= 2 THEN 'loyal'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM segmentation: recency/frequency/monetary quintiles (ntile "
+    "over the per-customer aggregate with deterministic custkey "
+    "tie-break — both engines assign identical quintiles for identical "
+    "orderings) folded into the standard champion/recent/loyal/at_risk "
+    "segments. The three global ntile windows sort the |customers| "
+    "aggregate, never the fact — the same rollup-then-rank discipline "
+    "as the ABC analysis; monetary stays exact DECIMAL so orderings "
+    "never drift.",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey", "r_score", "f_score", "m_score", seg.alias("segment")
+    )
