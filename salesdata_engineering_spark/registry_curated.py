@@ -1260,3 +1260,81 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "o_custkey", "r_score", "f_score", "m_score", seg.alias("segment")
     )
+
+
+@register(
+    "basket_brand_affinity",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob),
+    brand_n AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY 1),
+    pair_n AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS c_ab
+        FROM ob a JOIN ob b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, c_ab,
+           round(c_ab / CAST(n AS DOUBLE), 6) AS support,
+           round((c_ab / CAST(n AS DOUBLE))
+                 / ((ca.c / CAST(n AS DOUBLE)) * (cb.c / CAST(n AS DOUBLE))),
+                 6) AS lift
+    FROM pair_n JOIN brand_n ca ON brand_a = ca.p_brand
+                JOIN brand_n cb ON brand_b = cb.p_brand
+                CROSS JOIN n_orders
+    WHERE c_ab >= 50
+    """,
+    doc="Market-basket brand affinity: support and lift for brand pairs "
+    "co-occurring in an order — the association-rules primitive. The "
+    "basket first collapses to DISTINCT (order, brand) rows (bounded "
+    "by |brands| per order, not line items), so the pair self-join is "
+    "per-order quadratic over ~dozens of brands, never line items; "
+    "brand marginals broadcast and lift is a fixed double sequence "
+    "over exact integer counts. The c_ab floor is the standard "
+    "min-support prune — at 100 TB it is what keeps the pair table "
+    "bounded.",
+)
+def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ob = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n"))
+    brand_n = ob.groupBy("p_brand").agg(F.count("*").alias("c"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(
+        F.col("l_orderkey").alias("_okb"), F.col("p_brand").alias("brand_b")
+    )
+    pair_n = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("_okb"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 50)
+    )
+    ca = brand_n.select(F.col("p_brand").alias("_ba"), F.col("c").alias("_ca"))
+    cb = brand_n.select(F.col("p_brand").alias("_bb"), F.col("c").alias("_cb"))
+    n = F.col("n").cast("double")
+    support = F.col("c_ab") / n
+    lift = support / ((F.col("_ca") / n) * (F.col("_cb") / n))
+    return (
+        pair_n.join(F.broadcast(ca), F.col("brand_a") == F.col("_ba"))
+        .join(F.broadcast(cb), F.col("brand_b") == F.col("_bb"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.round(support, 6).alias("support"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
