@@ -958,8 +958,6 @@ def q_filter_above_group_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     "share the customer shuffle key.",
 )
 def q_orders_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_tables(spark, sf_dir)["orders"]
     mo = o.select(
         "o_custkey",
@@ -1005,8 +1003,6 @@ def q_orders_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double.",
 )
 def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     t = load_tables(spark, sf_dir)
     nrev = (
         t["orders"]
@@ -1163,8 +1159,6 @@ def q_stats_bivariate_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|parts|-sized rollup, which is the point.",
 )
 def q_parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_tables(spark, sf_dir)["lineitem"]
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -1230,8 +1224,6 @@ def q_parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never drift.",
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_tables(spark, sf_dir)["orders"]
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1299,11 +1291,18 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    ob = (
+    from .ext.caching import swap_persist
+
+    # the basket feeds FOUR consumers (both self-join sides, the brand
+    # marginals, and the order count) whose differently-pruned subtrees
+    # Catalyst cannot share — without a persist the lineitem⨝part
+    # distinct recomputes 4-5x per invocation (10 FileScans observed)
+    ob = swap_persist(
+        "basket_ob",
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .distinct(),
     )
     n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n"))
     brand_n = ob.groupBy("p_brand").agg(F.count("*").alias("c"))
