@@ -1337,3 +1337,67 @@ def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+@register(
+    "customer_cohort_ltv",
+    """
+    WITH first AS (
+        SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+        FROM orders GROUP BY 1
+    ),
+    rev AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS r
+        FROM orders GROUP BY 1, 2
+    ),
+    cell AS (
+        SELECT cohort,
+               CAST((year(m) * 12 + month(m))
+                    - (year(cohort) * 12 + month(cohort)) AS BIGINT) AS month_no,
+               SUM(r) AS rev
+        FROM rev JOIN first USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT cohort, month_no,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           CAST(round(SUM(rev) OVER (PARTITION BY cohort ORDER BY month_no
+                                     ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+               AS cum_revenue
+    FROM cell
+    """,
+    doc="Cohort LTV curves: customers bucketed by first-order month, "
+    "revenue accumulated by months-since-acquisition — the lifetime-"
+    "value triangle growth teams read. Two hash aggregates share the "
+    "customer shuffle key, the cohort join is |customers|-sized, and "
+    "the cumulative window runs over the tiny (cohort, month) cell "
+    "frame in exact DECIMAL, so the curve is reproducible "
+    "cross-engine. Month arithmetic is integer (y*12+m), immune to "
+    "date_diff dialect drift.",
+)
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    rev = o.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("r"))
+    mno = (
+        (F.year("m") * 12 + F.month("m"))
+        - (F.year("cohort") * 12 + F.month("cohort"))
+    ).cast("bigint")
+    cell = (
+        rev.join(first, "o_custkey")
+        .groupBy("cohort", mno.alias("month_no"))
+        .agg(F.sum("r").alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("month_no").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cell.select(
+        "cohort",
+        "month_no",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("cum_revenue"),
+    )
