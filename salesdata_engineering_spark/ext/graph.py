@@ -36,8 +36,15 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iters`` exact iterations.
 
-    r_{k+1}(v) = (1-d)/N + d · Σ_{u→v} r_k(u)/outdeg(u), uniform init.
-    Returns (node, rank) with rank rounded to 9 decimals.
+    r_{k+1}(v) = (1-d)/N + d · (Σ_{u→v} r_k(u)/outdeg(u) + D_k/N),
+    uniform init, where D_k is the total rank mass held by DANGLING
+    nodes (no out-edges) — the standard redistribution term, so rank
+    mass is conserved (Σ rank ≈ 1) on any graph, sinks included. The
+    dangling mass is an exact integer picorank sum and D_k div N an
+    integer floor-division, so the redistribution preserves the
+    cross-engine bit-exactness of the core recurrence; on sink-free
+    graphs D_k = 0 and the term vanishes exactly. Returns (node, rank)
+    with rank rounded to 9 decimals.
 
     Scale shape: the edge list is the only large frame; every iteration
     is one equi-join of the (node, rank) table onto edges by src plus
@@ -61,6 +68,9 @@ def pagerank(
         "node", "n", F.round(F.lit(_SCALE) / F.col("n")).cast("bigint").alias("r")
     )
     for _ in range(iters):
+        dang = ranks.join(deg, ranks["node"] == deg["src"], "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).alias("dmass")
+        )
         contrib = (
             e.join(ranks.select("node", "r"), F.col("src") == F.col("node"))
             .join(deg, "src")
@@ -70,13 +80,18 @@ def pagerank(
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
             .join(contrib, F.col("node") == F.col("dst"), "left_outer")
             .select(
                 "node",
                 "n",
                 F.round(
                     F.lit((1.0 - damping) * _SCALE) / F.col("n")
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0))
+                        + F.expr("dmass div n")
+                    )
                 )
                 .cast("bigint")
                 .alias("r"),

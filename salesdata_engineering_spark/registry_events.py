@@ -562,11 +562,16 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                   count(*) AS cnt
            FROM c)
     SELECT hour, n,
+           CASE WHEN CAST(s2 AS DOUBLE) / cnt
+                     - (CAST(s AS DOUBLE) / cnt) * (CAST(s AS DOUBLE) / cnt) > 0
+           THEN
            round((n - CAST(s AS DOUBLE) / cnt)
                  / sqrt(CAST(s2 AS DOUBLE) / cnt
                         - (CAST(s AS DOUBLE) / cnt) * (CAST(s AS DOUBLE) / cnt)),
-                 6) AS z,
-           CASE WHEN abs((n - CAST(s AS DOUBLE) / cnt)
+                 6) END AS z,
+           CASE WHEN CAST(s2 AS DOUBLE) / cnt
+                     - (CAST(s AS DOUBLE) / cnt) * (CAST(s AS DOUBLE) / cnt) > 0
+                AND abs((n - CAST(s AS DOUBLE) / cnt)
                  / sqrt(CAST(s2 AS DOUBLE) / cnt
                         - (CAST(s AS DOUBLE) / cnt) * (CAST(s AS DOUBLE) / cnt)))
                 > 2.0 THEN 1 ELSE 0 END AS is_anomaly
@@ -594,11 +599,16 @@ def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("s").cast("double") / F.col("cnt")
     var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
     z = (F.col("n") - mean) / F.sqrt(var)
+    # Zero-variance guard: when every hour bucket has the same count (or
+    # there is a single bucket), var == 0 and Spark's non-ANSI divide
+    # yields NULL while DuckDB's double divide yields NaN/inf — gate the
+    # z-score on the SAME double expression both engines compute so the
+    # boundary agrees bit-for-bit (stats_bivariate_regression convention).
     return c.crossJoin(F.broadcast(st)).select(
         "hour",
         "n",
-        F.round(z, 6).alias("z"),
-        F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+        F.when((var > 0) & (F.abs(z) > 2.0), 1).otherwise(0).alias("is_anomaly"),
     )
 
 
@@ -647,6 +657,8 @@ def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-batch plan is identical.",
 )
 def q_stream_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -655,9 +667,20 @@ def q_stream_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = read_events_stream(spark, sf_dir).select(
         "user_id", "event_type", "value", "ts", "event_id"
     )
-    out_dir = tempfile.mkdtemp(prefix="upsert_sink_")
-    shutil.rmtree(out_dir, ignore_errors=True)  # writer creates it
-    run_foreach_batch_upsert(stream, out_dir, "user_id", ["ts", "event_id"])
+    # FIXED per-(query, sf_dir) paths, cleaned at the start of each
+    # invocation: a driver/check loop re-running this query reuses one
+    # snapshot + checkpoint slot instead of accumulating a fresh
+    # mkdtemp set per run (the same per-invocation-leak bound
+    # swap_persist gives in-memory frames). The dirs must outlive the
+    # return because the result frame lazily reads the snapshot.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"upsert_sink_{tag}")
+    out_dir, ckpt = f"{base}.snap", f"{base}.ckpt"
+    for d in (out_dir, f"{out_dir}.new", f"{out_dir}.old", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    run_foreach_batch_upsert(
+        stream, out_dir, "user_id", ["ts", "event_id"], checkpoint=ckpt
+    )
     snap = spark.read.parquet(out_dir)
     return snap.filter(F.col("event_type") != "error").select(
         "user_id",
@@ -680,13 +703,18 @@ def q_stream_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     doc="Rolling 7-day active users per day (WAU) — the trailing-window "
     "distinct-count product metric. Shape: the fact collapses FIRST to "
-    "distinct (day, user) pairs (one hash shuffle over the events), "
-    "then the trailing window is a banded self-join of that tiny frame "
-    "against the day spine with the final distinct count — "
+    "distinct (day, user) pairs (one hash shuffle over the events) — "
     "countDistinct cannot run in a RANGE window frame, and exploding "
-    "each event into 7 window copies before deduplication would "
-    "multiply the fact 7x; collapsing first makes the quadratic step "
-    "|days|x|day-users|, independent of event volume at 100 TB.",
+    "each raw event into 7 window copies before deduplication would "
+    "multiply the fact 7x. Each collapsed (day, user) row then explodes "
+    "into its <=7 candidate target days and equi-joins the broadcast "
+    "day spine (drops targets with no events) before the final "
+    "distinct count — a pure hash join + hash agg, no "
+    "BroadcastNestedLoopJoin (the r5 banded-join form evaluated "
+    "|days| x |day-users| pairs; this is |day-users| x 7 rows through "
+    "an equi-join, linear in the collapsed frame and still independent "
+    "of raw event volume at 100 TB). Plan-asserted BNLJ-free in "
+    "test_plans.py.",
 )
 def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
@@ -694,12 +722,18 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
     days = du.select(F.col("day").alias("d")).distinct()
+    cand = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+        "user_id",
+    )
     return (
-        days.join(
-            du,
-            (F.col("day") <= F.col("d"))
-            & (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
-        )
+        cand.join(F.broadcast(days), "d")
         .groupBy(F.col("d").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )

@@ -156,6 +156,7 @@ def run_foreach_batch_upsert(
     out_dir: str,
     key_col: str,
     order_cols: list[str],
+    checkpoint: str | None = None,
 ) -> None:
     """Drain a bounded change stream through a foreachBatch UPSERT sink:
     each micro-batch merges into the parquet snapshot at ``out_dir`` by
@@ -219,5 +220,5 @@ def run_foreach_batch_upsert(
         shutil.rmtree(old, ignore_errors=True)
 
     foreach_batch_pipeline(
-        stream_df, merge, tempfile.mkdtemp(prefix="ckpt_upsert_")
+        stream_df, merge, checkpoint or tempfile.mkdtemp(prefix="ckpt_upsert_")
     ).awaitTermination()

@@ -543,6 +543,22 @@ def test_pagerank_mass_conservation_and_determinism(spark):
     assert out == again
 
 
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Graphs WITH sinks must still conserve rank mass: node 'c' has no
+    out-edges, so without the dangling-redistribution term ~1/3 of the
+    mass would leak per iteration (sum would drop toward ~0.5 by three
+    rounds). The sink must also end up strictly ranked above its peers'
+    teleport floor since it receives all of b's mass."""
+    from salesdata_engineering_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )  # c is dangling
+    out = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert out["c"] > out["a"]
+
+
 def test_curriculum_sample_rates_scale_with_tile(spark):
     """Higher quality tiles must survive at higher rates, every kept row
     keeps its tile label, and the gate is deterministic across reruns."""

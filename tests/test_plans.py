@@ -440,6 +440,17 @@ def test_pagerank_shuffles_stay_on_node_keys(spark, sf_dir):
     assert hashes and all(h.startswith(allowed) for h in hashes), hashes
 
 
+def test_rolling_wau_band_is_equi_join(spark, sf_dir):
+    """The trailing 7-day band must plan as explode + broadcast HASH
+    join against the day spine — the r5 range-predicate self-join form
+    planned a BroadcastNestedLoopJoin evaluating |days| x |day,user|
+    pairs, which degrades quadratically as the day span grows."""
+    plan = plan_of(QUERIES["events_rolling_wau"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_snapshot_diff_is_single_full_outer(spark, sf_dir):
     """The reconciliation diff must be ONE key-partitioned full-outer
     join + a tiny class aggregate — no cartesian, no second join (count
