@@ -21,20 +21,17 @@ REQUIRED_IN_WINDOW = {
     "agg_grouping_variants",
     "events_funnel_conversion",
     "graph_pagerank_bipartite",
-    # join family (full-outer rep lives in the tail; semi/anti/left cover
-    # the §2 row inside the window)
+    # join family (full-outer + anti reps live in the tail since r6;
+    # semi/left/q13/q3 cover the §2 row inside the window)
     "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
     "q13_customer_order_distribution",
     "q3_shipping_priority",
-    # sorts / topk / windows
+    # sorts / topk / windows (frames rep in the tail since r6)
     "topk_suppliers_per_nation",
     "global_topk_orders",
     "window_analytics_suite",
-    "window_frames_bounded",
-    # set ops
+    # set ops (multiset rep in the tail since r6)
     "setop_union_compat",
-    "setop_multiset_family",
     # scalar families / subqueries / UDFs / skew
     "scalar_string_functions",
     "date_null_predicates",
@@ -43,14 +40,21 @@ REQUIRED_IN_WINDOW = {
     "subqueries_combined",
     "udf_surface",
     "skew_salted_sum",
-    # events + streaming + temporal joins
+    # events + streaming + temporal joins (session_windows and
+    # stream_stream_join in the tail since r6; sessionization is
+    # represented by events_session_funnel)
     "events_tumbling_counts",
-    "events_session_windows",
     "asof_click_purchase",
     "interval_join_click_error",
     "stream_tumbling_counts",
     "stream_stateful_totals",
-    "stream_stream_join",
+    # r6 rotation: round-5 analytics families now in the hard window
+    "events_session_funnel",
+    "events_transition_matrix",
+    "customer_rfm_segments",
+    "basket_brand_affinity",
+    "cdc_apply_changes",
+    "dedup_substring_spans",
     # dimension maintenance
     "scd2_customer_segments",
     # LLM-pipeline extensions
@@ -64,7 +68,6 @@ REQUIRED_IN_WINDOW = {
     "dedup_cluster_components",
     "contamination_ngram_overlap",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_quantized_topk",
@@ -95,6 +98,12 @@ def test_umbrella_constituents_still_registered():
     for name in (
         # demoted from the window (family already represented there) —
         # must stay registered + pytest-oracle-checked in the tail
+        "join_anti_customers_without_orders",
+        "window_frames_bounded",
+        "setop_multiset_family",
+        "events_session_windows",
+        "stream_stream_join",
+        "dedup_simhash",
         "approx_count_distinct",
         "join_full_outer_balance",
         "global_sort_prices",
