@@ -161,6 +161,48 @@ def main() -> None:
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
 
+    # sf1 scale-ratio section (VERDICT r5 ask #1): rerun the headline set
+    # at ~10x the data (6M lineitem rows, derived from the read-only
+    # driver data by key-shifted decorrelated replication — tools/
+    # gen_sf1.py) and report per-query sf1/base ratios. This separates
+    # the two cost regimes sf0.1 cannot: stage-scheduling-bound queries
+    # should grow sublinearly (ratio << 10), data-bound ones ~linearly;
+    # any ratio > 10 is a superlinear scale bug. One timed run per query
+    # (after warmup): at sf1 per-run compute dominates scheduling noise,
+    # and the section must stay inside the driver's per-round budget.
+    sf1_block = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", os.path.join(repo, ".data", "sf1")
+        )
+        if not os.path.isdir(sf1_dir):
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "gen_sf1", os.path.join(repo, "tools", "gen_sf1.py")
+            )
+            gen = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(gen)
+            gen.generate(spark, "/root/testdata/sf0.1", sf1_dir)
+        sf1_runs = max(1, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1")))
+        sf1_timings: dict[str, float] = {}
+        for name in names:
+            sf1_timings[name] = _measure(
+                spark, sf1_runs, lambda: force(QUERIES[name].fn(spark, sf1_dir))
+            )
+        sf1_block = {
+            "value": round(sum(sf1_timings.values()), 3),
+            "queries": sf1_timings,
+            "ratio_vs_base": {
+                n: round(sf1_timings[n] / timings[n], 2)
+                for n in names
+                if timings.get(n)
+            },
+            "timed_runs": sf1_runs,
+            "lineitem_rows": 6_000_000,
+        }
+
     print(
         json.dumps(
             {
@@ -169,6 +211,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extras": extras,
+                "sf1": sf1_block,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # methodology markers: medians exclude one untimed per-query
                 # warmup run (Catalyst/Janino first-compile cost), a change

@@ -34,42 +34,38 @@ def _fold_sum(arr: Column) -> Column:
 
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
-    """Dot product. With ``dim`` known, unrolls to an explicit
-    a[0]·b[0] + … + a[d−1]·b[d−1] sum: Spark's higher-order functions
-    (aggregate/zip_with) are CodegenFallback — interpreted per row,
-    ~50x slower — while the unrolled form stays in whole-stage codegen.
-    Left-assoc addition keeps the identical IEEE order as the fold and
-    as DuckDB's list_dot_product, so results stay bit-identical.
+    """Dot product as a sequential zip_with/aggregate fold; ``dim``
+    restricts both inputs to their first components (slice — measured
+    free next to the fold itself).
 
-    Pass column NAMES (str) on the fast path: the unrolled sum is then
-    built as ONE SQL string parsed server-side (``F.expr``; SQL ``+`` is
-    left-assoc, identical tree). Building the same 64-term tree with
-    Column operators costs ~1.7 s of py4j round trips PER EXPRESSION on
-    the driver — measured as the dominant cost of the brute-force cosine
-    query (2.9 s build vs 0.6 s execution at sf0.1)."""
-    if dim is None:
-        return _fold_sum(F.zip_with(F.col(a) if isinstance(a, str) else a,
-                                    F.col(b) if isinstance(b, str) else b,
-                                    lambda x, y: x * y))
-    if isinstance(a, str) and isinstance(b, str):
-        return F.expr(" + ".join(f"`{a}`[{i}] * `{b}`[{i}]" for i in range(dim)))
-    s = a.getItem(0) * b.getItem(0)
-    for i in range(1, dim):
-        s = s + a.getItem(i) * b.getItem(i)
-    return s
+    The r5 engine unrolled this to an explicit a[0]·b[0] + … sum on the
+    theory that HOFs are CodegenFallback (interpreted) while the
+    unrolled form stays in whole-stage codegen. Spark 4.1.2 measurement
+    INVERTS that beyond ~32 terms: the giant generated expression lands
+    in one Java method past HotSpot's JIT size threshold, so the whole
+    pair-scan stage runs in the JVM *bytecode interpreter* — 2.8M
+    sf1 pairs × 64-dim took 7.7 s unrolled vs 0.83 s as this fold
+    (synthetic A/B; the cliff sits between 32 and 48 terms, and raising
+    spark.sql.codegen.hugeMethodLimit does not move it). The fold also
+    keeps the driver-side expression tree ~dim× smaller — the r5
+    HOF-quantize change measured that as the dominant plan-ANALYSIS
+    latency on every ANN query call.
+
+    Left-assoc fold addition keeps the identical IEEE order as the
+    unrolled sum and as DuckDB's list_dot_product, so oracle results
+    stay bit-identical."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    if dim is not None:
+        ca, cb = F.slice(ca, 1, dim), F.slice(cb, 1, dim)
+    return _fold_sum(F.zip_with(ca, cb, lambda x, y: x * y))
 
 
 def norm(a: Column | str, dim: int | None = None) -> Column:
-    if dim is None:
-        if isinstance(a, str):
-            return norm_fold(a)
-        return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
     if isinstance(a, str):
-        return F.sqrt(F.expr(" + ".join(f"`{a}`[{i}] * `{a}`[{i}]" for i in range(dim))))
-    s = a.getItem(0) * a.getItem(0)
-    for i in range(1, dim):
-        s = s + a.getItem(i) * a.getItem(i)
-    return F.sqrt(s)
+        return norm_fold(a, dim)
+    ca = F.slice(a, 1, dim) if dim is not None else a
+    return F.sqrt(_fold_sum(F.transform(ca, lambda x: x * x)))
 
 
 
@@ -86,9 +82,10 @@ def norm_fold(a: str, dim: int | None = None) -> Column:
     for string inputs so there is ONE fold implementation. ``dim``
     restricts the norm to the first components — it MUST mirror the
     paired ``dot``'s dim or the cosine is inconsistent (norms over 64
-    components against a 32-component dot). Per-PAIR math
-    (``dot``/``cosine``) must stay unrolled: it is the search-time hot
-    loop."""
+    components against a 32-component dot). Since r6 the per-PAIR math
+    (``dot``/``cosine``) is the same fold: the unrolled form's giant
+    generated method falls out of HotSpot JIT past ~32 terms and the
+    whole pair stage ran bytecode-interpreted (see ``dot``)."""
     src = f"`{a}`" if dim is None else f"slice(`{a}`, 1, {dim})"
     return F.sqrt(
         F.expr(
@@ -123,7 +120,7 @@ def cosine_topk(
     """Exact brute-force top-k: for each query vector, the k nearest
     corpus vectors by cosine (self-matches excluded when ids collide).
 
-    Plan: broadcast(queries) ⨯ corpus → codegen'd unrolled dot per pair
+    Plan: broadcast(queries) ⨯ corpus → sequential-fold dot per pair
     (norms precomputed once per vector, not per pair) → row_number per
     query — the only shuffle is |Q|·|C| narrow rows into the per-query
     sort, and AQE coalesces it."""
@@ -351,47 +348,80 @@ def _assign_cells(
     vec_col: str,
     dim: int,
     tiny: bool = False,
+    with_vec: bool = True,
 ) -> DataFrame:
     """Assign each vector to its ``keep`` nearest centroids:
-    (out_id, vec, cid). Shared by the IVF build/search/train paths.
+    (out_id, vec, cid) — (out_id, cid) when ``with_vec=False``. Shared
+    by the IVF build/search/train paths.
 
-    The argmax shuffle carries (id, cid, score) only — carrying the
-    64-dim vector through it moved ~64 doubles per PAIR (≈256 MB per
-    assignment pass at sf0.1, measured); winners re-attach their vector
-    with one tiny id-equi-join. For ``keep=1`` (the corpus-side
-    assignment — the BIG side) the argmax is a ``max_by`` over a
-    (score, −cid) struct: a partial+final hash aggregate whose map-side
-    combine collapses each id's |cells| candidate rows to ONE before the
-    exchange, where the row_number window form shuffled and SORTED the
-    whole |df|·|cells| pair stream (measured: the sort dominated the
-    assignment stage). Identical argmax semantics: highest score, ties
-    to the lowest cid — the same ORDER BY cs DESC, cid the oracle uses.
+    For ``keep=1`` (the corpus-side assignment — the BIG side) the
+    argmax is a ``max_by`` over a (score, −cid) struct: a partial+final
+    hash aggregate whose map-side combine collapses each id's |cells|
+    candidate rows to ONE before the exchange, where the row_number
+    window form shuffled and SORTED the whole |df|·|cells| pair stream
+    (measured: the sort dominated the assignment stage). Identical
+    argmax semantics: highest score, ties to the lowest cid — the same
+    ORDER BY cs DESC, cid the oracle uses. (The struct ordering key
+    makes max_by a SortAggregate, not a HashAggregate — acceptable on
+    the narrow pair stream, ruinous if the pair rows carry the vector:
+    an r6 experiment rode the winner's vector through the same
+    aggregate via first(vec) and the partition sort moved ~1.4 GB at
+    sf1, 9 s for the bare assignment. Narrow agg + vector re-attach
+    join is the right trade.)
+
+    ``keep>1`` (query probes) keeps the narrow (id, cid, score) window;
+    winners re-attach their vector with one tiny id-equi-join — or skip
+    it entirely with ``with_vec=False`` when the caller re-derives its
+    own query-side columns (the quantized composed ANN joins probes to
+    the quantized query frame anyway, so the join-back was a dead
+    materialization barrier).
 
     ``tiny=True`` (caller's promise that df is a bounded QUERY batch,
     |df|·|cells| rows small) coalesces the keep>1 window onto one
     partition — a narrow dependency replacing the window's hash
     exchange + 32-task sort (measured: composed ANN 2.6 → 2.1 s at
     sf0.1, pure stage-latency). Never set it for corpus-sized frames:
-    a single partition serializes the sort."""
-    sim = (dot(vec_col, "_cvec", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cs")
-    scored = (
-        df.withColumn("_vn", norm_fold(vec_col, dim))
-        .crossJoin(cents)
-        .select(F.col(out_id), "cid", sim)
-    )
-    if tiny and keep > 1:
-        scored = scored.coalesce(1)
+    a single partition serializes the sort.
+
+    The ranking score is ``dot(v, c) / norm(c)`` — NOT the full cosine.
+    The row's own norm is a positive per-row constant, so it scales
+    every candidate's score equally and cancels out of the per-row
+    argmax: the winners (and ties) are identical, while the row-norm
+    HOF disappears from the O(pairs) loop entirely. This is not a
+    micro-opt: the r5 form computed the row norm in a projection below
+    the pair join and Catalyst's project collapsing re-evaluated the
+    interpreted fold PER PAIR — measured 33.6 s for the bare sf1
+    corpus assignment (2.8M pairs), i.e. the whole composed-ANN sf1
+    blowup — where the norm-free scoring stays in whole-stage codegen.
+    The oracles rank by the same ``dot/centroid-norm`` expression, so
+    tie boundaries remain bit-identical cross-engine."""
+    sim = (dot(vec_col, "_cvec", dim) / F.col("_cn")).alias("_cs")
     if keep == 1:
+        # The pair stream stays NARROW (id, cid, score): the struct
+        # ordering key makes max_by a SortAggregate, so whatever the
+        # pair rows carry gets partition-SORTED — carrying the 64-dim
+        # vector through it sorted ~1.4 GB at sf1 (measured 9 s for the
+        # bare assignment) vs ~70 MB narrow. Winners re-attach their
+        # vector with one id-equi-join; AQE broadcasts the tiny winner
+        # side, so the corpus is never re-shuffled.
+        scored = df.crossJoin(cents).select(F.col(out_id), "cid", sim)
         picked = scored.groupBy(out_id).agg(
-            F.max_by("cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))).alias("cid")
+            F.max_by(
+                "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))
+            ).alias("cid")
         )
-    else:
-        w = Window.partitionBy(out_id).orderBy(F.col("_cs").desc(), "cid")
-        picked = (
-            scored.withColumn("_crk", F.row_number().over(w))
-            .filter(F.col("_crk") <= keep)
-            .select(out_id, "cid")
-        )
+        return picked.join(df, out_id).select(out_id, vec_col, "cid")
+    scored = df.crossJoin(cents).select(F.col(out_id), "cid", sim)
+    if tiny:
+        scored = scored.coalesce(1)
+    w = Window.partitionBy(out_id).orderBy(F.col("_cs").desc(), "cid")
+    picked = (
+        scored.withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") <= keep)
+        .select(out_id, "cid")
+    )
+    if not with_vec:
+        return picked
     return picked.join(df, out_id).select(out_id, vec_col, "cid")
 
 
@@ -481,7 +511,12 @@ def quantize_cols(df: DataFrame, vec_col: str, dim: int, prefix: str) -> DataFra
     out = out.selectExpr(
         "*", f"transform({v}, x -> round(x / {prefix}scale)) AS {prefix}qv"
     )
-    qn = "sqrt(" + " + ".join(f"{prefix}qv[{i}] * {prefix}qv[{i}]" for i in range(dim)) + ")"
+    # fold, not an unrolled sum: beyond ~32 terms the unrolled form
+    # knocks its whole generated stage out of HotSpot JIT (see dot())
+    qn = (
+        f"sqrt(aggregate(transform({prefix}qv, x -> x * x), 0.0D,"
+        f" (acc, x) -> acc + x))"
+    )
     return out.selectExpr("*", f"{qn} AS {prefix}qn").drop(f"{prefix}scale")
 
 
@@ -519,7 +554,8 @@ def quantized_topk(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")), "_qvec", dim, "_q"
     )
     c = quantize_cols(_spread(corpus).select(id_col, vec_col), vec_col, dim, "_c")
-    qdot = " + ".join(f"_cqv[{i}] * _qqv[{i}]" for i in range(dim))
+    qdot = ("aggregate(zip_with(_cqv, _qqv, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)")
     scored = (
         c.drop(vec_col)
         .crossJoin(F.broadcast(q.drop("_qvec")))
@@ -608,8 +644,9 @@ def ivf_quantized_topk(
     )
     probes = _assign_cells(
         queries.select(F.col(query_id_col), F.col(vec_col)),
-        cents, query_id_col, nprobe, vec_col, dim, tiny=small_queries,
-    ).select(query_id_col, "cid")
+        cents, query_id_col, nprobe, vec_col, dim,
+        tiny=small_queries, with_vec=False,
+    )
 
     cq = quantize_cols(cells, vec_col, dim, "_c")
     qq = quantize_cols(
@@ -617,7 +654,8 @@ def ivf_quantized_topk(
         "_qvec", dim, "_q",
     )
     pq = probes.join(qq.drop("_qvec"), query_id_col)
-    qdot = " + ".join(f"_cqv[{i}] * _qqv[{i}]" for i in range(dim))
+    qdot = ("aggregate(zip_with(_cqv, _qqv, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)")
     scored = (
         cq.drop(vec_col)
         .join(F.broadcast(pq), "cid")

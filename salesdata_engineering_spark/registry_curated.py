@@ -1288,6 +1288,8 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over exact integer counts. The c_ab floor is the standard "
     "min-support prune — at 100 TB it is what keeps the pair table "
     "bounded.",
+    bench=True,  # the distinct-pair self-join is the most load-bearing
+    # shape of the r5 analytics families (VERDICT r5 ask #6)
 )
 def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

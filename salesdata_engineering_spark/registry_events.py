@@ -873,6 +873,8 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session. All windows, joins, and aggregates key on user_id (+ the "
     "derived session_id) — one shuffle key end-to-end, same contract "
     "as the global funnel.",
+    bench=True,  # stacked-window sessionization + per-session funnel is
+    # the heaviest events-analytics shape (VERDICT r5 ask #6)
 )
 def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)

@@ -393,6 +393,14 @@ _SQL_COSINE = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+#: Centroid-ASSIGNMENT ranking score: dot / centroid-norm. The row's own
+#: norm is a positive per-row constant, so it cancels out of the per-row
+#: argmax — same winners, same tie boundaries — while keeping the row-
+#: norm computation out of the O(pairs) loop (see ext/similarity.py
+#: _assign_cells; the full cosine stays in every FINAL similarity
+#: output).
+_SQL_ASSIGN = "list_dot_product({a}, {b}) / sqrt(list_dot_product({b}, {b}))"
+
 
 def _queries_subset(emb: DataFrame, n: int = 10) -> DataFrame:
     return emb.filter(F.col("vec_id") < n).select(
@@ -557,25 +565,47 @@ def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_STRIDE, _IVF_NPROBE = 50, 4
+_IVF_NPROBE = 4
+
+#: Centroid sampling stride, scaled so n_cells ~ sqrt(N). A FIXED stride
+#: (r5 used 50) makes n_cells = N/50 grow linearly with the corpus, so
+#: the corpus->cell assignment pass costs N * N/50 — quadratic in corpus
+#: size. The r6 sf1 datapoint caught it empirically: sim_ivf_quantized
+#: grew 13.5x on 10x data while every other headline query stayed <=4x.
+#: stride = round(sqrt(N)) gives n_cells ~ sqrt(N): assignment is
+#: N^1.5 and the probed fraction nprobe/sqrt(N) keeps SHRINKING with
+#: scale — the standard IVF sizing. Spark computes it from a metadata
+#: row count; the oracle embeds the identical arithmetic as a scalar
+#: subquery (sqrt of an integer can never land exactly on .5, so
+#: Python's banker-round and DuckDB's half-up round agree).
+_SQL_STRIDE = (
+    "(SELECT greatest(1, CAST(round(sqrt(count(*)), 0) AS BIGINT))"
+    " FROM embeddings)"
+)
+
+
+def _ivf_stride(corpus: DataFrame) -> int:
+    import math
+
+    return max(1, round(math.sqrt(corpus.count())))
 
 
 @register(
     "sim_ivf_ann_topk",
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_IVF_STRIDE} = 0),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
     cells AS (
         SELECT vec_id, v, cid
         FROM (SELECT c0.vec_id, c0.v, cents.cid,
-                     {_SQL_COSINE.format(a="c0.v", b="cents.cv")} AS cs
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
               FROM c0, cents
               QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid) = 1)
     ),
     probes AS (
         SELECT query_id, qv, cid
         FROM (SELECT c0.vec_id AS query_id, c0.v AS qv, cents.cid,
-                     {_SQL_COSINE.format(a="c0.v", b="cents.cv")} AS cs
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
               FROM c0, cents WHERE c0.vec_id < 10
               QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
                       <= {_IVF_NPROBE})
@@ -594,7 +624,8 @@ _IVF_STRIDE, _IVF_NPROBE = 50, 4
     FROM rk WHERE rk <= 5
     """,
     doc="X2 IVF-flat ANN (the scale path next to LSH): deterministic "
-    "sampled centroids (every 50th id — k-means drop-in), cell "
+    "sampled centroids (every round(sqrt(N))-th id, so n_cells ~ "
+    "sqrt(N) — k-means drop-in), cell "
     "assignment by nearest centroid, queries probe the 4 nearest cells, "
     "exact cosine re-rank inside. Search cost ~nprobe/n_cells of the "
     "corpus vs brute-force's full scan.",
@@ -603,7 +634,8 @@ def q_sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return ivf_ann_topk(
-        corpus, _queries_subset(corpus), k=5, stride=_IVF_STRIDE, nprobe=_IVF_NPROBE
+        corpus, _queries_subset(corpus), k=5, stride=_ivf_stride(corpus),
+        nprobe=_IVF_NPROBE
     )
 
 
@@ -1035,18 +1067,18 @@ def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_quantized_topk",
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_IVF_STRIDE} = 0),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
     cells AS (
         SELECT vec_id, cid
         FROM (SELECT c0.vec_id, cents.cid,
-                     {_SQL_COSINE.format(a="c0.v", b="cents.cv")} AS cs
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
               FROM c0, cents
               QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid) = 1)
     ),
     probes AS (
         SELECT query_id, cid
         FROM (SELECT c0.vec_id AS query_id, cents.cid,
-                     {_SQL_COSINE.format(a="c0.v", b="cents.cv")} AS cs
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
               FROM c0, cents WHERE c0.vec_id < 10
               QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
                       <= {_IVF_NPROBE})
@@ -1101,7 +1133,7 @@ def q_sim_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return ivf_quantized_topk(
         corpus, _queries_subset(corpus), k=5, m=20,
-        stride=_IVF_STRIDE, nprobe=_IVF_NPROBE,
+        stride=_ivf_stride(corpus), nprobe=_IVF_NPROBE,
     )
 
 
@@ -1114,7 +1146,7 @@ def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
     a{i} AS (
         SELECT cid, vec_id, v
         FROM (SELECT c0.vec_id, c0.v, {prev}.cid,
-                     {_SQL_COSINE.format(a="c0.v", b=f"{prev}.cv")} AS cs
+                     {_SQL_ASSIGN.format(a="c0.v", b=f"{prev}.cv")} AS cs
               FROM c0, {prev}
               QUALIFY row_number() OVER (PARTITION BY c0.vec_id
                                          ORDER BY cs DESC, cid) = 1)
@@ -1128,20 +1160,20 @@ def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
     "sim_ivf_trained_topk",
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_IVF_STRIDE} = 0),
+    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
     {_sql_lloyd_iter("cents0", "cents1", 1)},
     {_sql_lloyd_iter("cents1", "cents2", 2)},
     cells AS (
         SELECT vec_id, v, cid
         FROM (SELECT c0.vec_id, c0.v, cents2.cid,
-                     {_SQL_COSINE.format(a="c0.v", b="cents2.cv")} AS cs
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents2.cv")} AS cs
               FROM c0, cents2
               QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid) = 1)
     ),
     probes AS (
         SELECT query_id, qv, cid
         FROM (SELECT c0.vec_id AS query_id, c0.v AS qv, cents2.cid,
-                     {_SQL_COSINE.format(a="c0.v", b="cents2.cv")} AS cs
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents2.cv")} AS cs
               FROM c0, cents2 WHERE c0.vec_id < 10
               QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
                       <= {_IVF_NPROBE})
@@ -1174,9 +1206,10 @@ def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _embs(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    cents = ivf_train_centroids(corpus, stride=_IVF_STRIDE, iters=2)
+    stride = _ivf_stride(corpus)
+    cents = ivf_train_centroids(corpus, stride=stride, iters=2)
     return ivf_ann_topk(
-        corpus, _queries_subset(corpus), k=5, stride=_IVF_STRIDE,
+        corpus, _queries_subset(corpus), k=5, stride=stride,
         nprobe=_IVF_NPROBE, centroids=cents,
     )
 
