@@ -587,6 +587,7 @@ from . import registry_scalar  # noqa: E402,F401  (registration side effect)
 from . import registry_tpch  # noqa: E402,F401  (registration side effect)
 from . import registry_curated  # noqa: E402,F401  (registration side effect)
 from . import registry_maintenance  # noqa: E402,F401  (registration side effect)
+from . import registry_modern_sql  # noqa: E402,F401  (registration side effect)
 
 #: The verification driver oracle-checks only the FIRST 50 registered
 #: queries, so this list pins an explicit order where those 50 cover every

@@ -40,3 +40,25 @@ def test_month_substring_equals_date_format(spark, tables):
         F.date_format("o_orderdate", "yyyy-MM").alias("b"),
     )
     assert o.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_hll_sketch_union_equals_direct_estimate(spark, sf_dir, tables):
+    """The point of the sketch over approx_count_distinct: MERGEABILITY.
+    Partial per-priority sketches unioned with hll_union_agg must give
+    the IDENTICAL estimate as sketching the whole column directly (HLL
+    union is lossless over register maxima), and the direct estimate
+    must sit within the default-precision (lgConfigK=12) error bound of
+    the exact count."""
+    o = tables["orders"]
+    direct = o.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("est")
+    ).collect()[0].est
+    partial = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    merged = partial.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0].est
+    assert merged == direct, (merged, direct)
+    exact = o.agg(F.countDistinct("o_custkey").alias("n")).collect()[0].n
+    assert abs(direct - exact) / exact < 0.03, (direct, exact)
