@@ -586,3 +586,113 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(change.alias("change")).groupBy("change").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "agg_incremental_maintenance",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    doc="Incremental aggregate maintenance: the maintained mart is the "
+    "MERGE of yesterday's aggregate and the delta batch's aggregate — "
+    "counts and decimal sums add, avg re-derives from the merged sums "
+    "— and must equal the full recompute (the oracle IS the full "
+    "recompute, so the equality is value-checked, not asserted). This "
+    "is the 100 TB pattern the partial/final HashAggregate split "
+    "already relies on inside one query, lifted to cross-RUN state: "
+    "a day's delta touches the delta partition only; the historical "
+    "fact is never rescanned. Sums stay in exact DECIMAL so the merge "
+    "is associative and order-independent (a double sum would drift "
+    "against the recompute); the single cast to double happens at the "
+    "output boundary, after the merge.",
+)
+def q_agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("_n"), F.sum(money).alias("_s")
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("_n").alias("n_orders"), F.sum("_s").alias("_total"))
+    )
+    total = F.col("_total").cast("double")
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        total.alias("total"),
+        (total / F.col("n_orders")).cast("double").alias("avg_price"),
+    )
+
+
+#: Data-quality rule set for the DQ rule engine: (rule_name, SQL
+#: predicate over orders). Rules are DATA, not code — adding one is a
+#: list entry, and all rules evaluate in ONE scan.
+DQ_RULES: tuple[tuple[str, str], ...] = (
+    ("total_price_positive", "o_totalprice > 0"),
+    ("order_date_present", "o_orderdate IS NOT NULL"),
+    ("status_in_domain", "o_orderstatus IN ('F', 'O', 'P')"),
+    ("priority_prefix_digit", "o_orderpriority RLIKE '^[0-9]-'"),
+)
+
+_DQ_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS rule,
+           count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE NOT ({pred.replace("RLIKE", "SIMILAR TO").replace("'^[0-9]-'", "'[0-9]-.*'")})) AS BIGINT)
+               AS n_violations,
+           round(CAST(count(*) FILTER (WHERE {pred.replace("RLIKE", "SIMILAR TO").replace("'^[0-9]-'", "'[0-9]-.*'")}) AS DOUBLE)
+                 / count(*), 6) AS pass_rate
+    FROM orders
+    """
+    for name, pred in DQ_RULES
+)
+
+
+@register(
+    "dq_rule_engine",
+    _DQ_ORACLE,
+    doc="Declarative data-quality rule engine: rules are (name, SQL "
+    "predicate) DATA (DQ_RULES), evaluated in ONE fact scan as "
+    "conditional-count aggregates, then stacked to a long-form "
+    "(rule, n_rows, n_violations, pass_rate) report — the "
+    "expectations-suite primitive (great-expectations shape) next to "
+    "the structural checks (dq_referential_integrity, "
+    "profile_table_stats). The oracle spells each rule as its own "
+    "UNION ALL scan; the engine's single-pass stack must match it "
+    "value-for-value. One scan regardless of rule count is the 100 TB "
+    "property; pass_rate is a fixed divide over exact counts.",
+)
+def q_dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    aggs = [F.count("*").alias("_n")]
+    for name, pred in DQ_RULES:
+        aggs.append(
+            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(f"_v_{name}")
+        )
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _v_{name}" for name, _ in DQ_RULES
+    )
+    return one.selectExpr(
+        f"stack({len(DQ_RULES)}, {stack_args}) AS (rule, n_violations)", "_n"
+    ).select(
+        "rule",
+        F.col("_n").alias("n_rows"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.round(
+            (F.col("_n") - F.col("n_violations")).cast("double") / F.col("_n"), 6
+        ).alias("pass_rate"),
+    )
