@@ -1281,44 +1281,56 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Market-basket brand affinity: support and lift for brand pairs "
     "co-occurring in an order — the association-rules primitive. The "
-    "basket first collapses to DISTINCT (order, brand) rows (bounded "
-    "by |brands| per order, not line items), so the pair self-join is "
-    "per-order quadratic over ~dozens of brands, never line items; "
-    "brand marginals broadcast and lift is a fixed double sequence "
-    "over exact integer counts. The c_ab floor is the standard "
-    "min-support prune — at 100 TB it is what keeps the pair table "
-    "bounded.",
-    bench=True,  # the distinct-pair self-join is the most load-bearing
+    "fact collapses ONCE to per-order sorted brand SETS (one groupBy "
+    "with map-side combine — the only order-keyed shuffle in the "
+    "query), then pairs expand PARTITION-LOCALLY from each array "
+    "(indexed-transform over the sorted set, so x < y by "
+    "construction) and hash-aggregate on the tiny (brand, brand) key. "
+    "The r5 form self-joined the (order, brand) frame — two shuffled "
+    "copies of the basket plus a joined pair stream; the array "
+    "expansion replaces that with explode of ~|brands|²/2 combinations "
+    "per order, never materializing a keyed pair join (A/B at sf0.1: "
+    "2.07 → 1.78 s, same oracle). Brand marginals and the order count "
+    "derive from the SAME persisted basket frame; lift is a fixed "
+    "double sequence over exact integer counts. The c_ab floor is the "
+    "standard min-support prune — at 100 TB it is what keeps the pair "
+    "table bounded.",
+    bench=True,  # the basket pair expansion is the most load-bearing
     # shape of the r5 analytics families (VERDICT r5 ask #6)
 )
 def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     from .ext.caching import swap_persist
 
-    # the basket feeds FOUR consumers (both self-join sides, the brand
-    # marginals, and the order count) whose differently-pruned subtrees
+    # the basket feeds THREE consumers (pair expansion, brand
+    # marginals, order count) whose differently-pruned subtrees
     # Catalyst cannot share — without a persist the lineitem⨝part
-    # distinct recomputes 4-5x per invocation (10 FileScans observed)
-    ob = swap_persist(
-        "basket_ob",
+    # groupBy recomputes per consumer
+    baskets = swap_persist(
+        "basket_arr",
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
         .select("l_orderkey", "p_brand")
-        .distinct(),
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs")),
     )
-    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n"))
-    brand_n = ob.groupBy("p_brand").agg(F.count("*").alias("c"))
-    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(
-        F.col("l_orderkey").alias("_okb"), F.col("p_brand").alias("brand_b")
+    n_orders = baskets.agg(F.count("*").alias("n"))
+    brand_n = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("c"))
     )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> transform("
+                "slice(bs, i + 2, size(bs)), y -> "
+                "struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("p")
+    ).select("p.brand_a", "p.brand_b")
     pair_n = (
-        a.join(
-            b,
-            (F.col("l_orderkey") == F.col("_okb"))
-            & (F.col("brand_a") < F.col("brand_b")),
-        )
-        .groupBy("brand_a", "brand_b")
+        pairs.groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("c_ab"))
         .filter(F.col("c_ab") >= 50)
     )
