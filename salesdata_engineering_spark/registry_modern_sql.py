@@ -219,3 +219,106 @@ def q_approx_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact) <= 0.05 * exact, 1
         ).otherwise(0).alias("approx_ok"),
     )
+
+
+@register(
+    "stats_median_mode_listagg",
+    """
+    SELECT o_orderpriority,
+           round(CAST(median(o_totalprice) AS DOUBLE), 4) AS med_price,
+           mode(o_orderstatus) AS modal_status,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses
+    FROM orders GROUP BY 1
+    """,
+    doc="Ordered-set / positional aggregates (Spark 3.4+ median & mode, "
+    "Spark 4 listagg): per-priority exact interpolated median, modal "
+    "order status, and the ordered distinct-status roster. median == "
+    "percentile(0.5) == DuckDB median (linear interpolation both "
+    "sides); mode is deterministic here because status frequencies "
+    "are never tied per priority (F/O dominate P by orders of "
+    "magnitude — tie behavior is engine-defined, so never oracle a "
+    "tied mode); listagg pins WITHIN GROUP ordering, matching "
+    "DuckDB's string_agg ORDER BY.",
+)
+def q_stats_median_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("median(o_totalprice)").cast("double"), 4).alias(
+            "med_price"
+        ),
+        F.expr("mode(o_orderstatus)").alias("modal_status"),
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, ',')"
+            " WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+    )
+
+
+@register(
+    "window_rolling_median",
+    """
+    SELECT o_orderkey,
+           round(CAST(median(o_totalprice) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+               AS rolling_med
+    FROM orders
+    """,
+    doc="Percentile as a WINDOW aggregate: trailing 11-row median per "
+    "priority — the robust-smoothing twin of window_moving_sum_3rows "
+    "(an outlier-resistant rolling baseline is what anomaly gates "
+    "at 100 TB actually want; a rolling MEAN is one bad point away "
+    "from useless). Spark computes percentile(0.5) inside a ROWS "
+    "frame; DuckDB computes windowed median over the identical frame "
+    "and (o_orderdate, o_orderkey) gives every row a unique rank, so "
+    "frame membership — and the interpolated value — is deterministic "
+    "cross-engine.",
+)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-10, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.expr("percentile(o_totalprice, 0.5)").over(w).cast("double"), 4
+        ).alias("rolling_med"),
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    """
+    WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_a
+               FROM orders GROUP BY 1),
+    b AS (SELECT nullif(o_orderstatus, 'P') AS k, count(DISTINCT o_custkey) AS n_b
+          FROM orders GROUP BY 1)
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="Null-safe equality join (Spark <=> / SQL IS NOT DISTINCT "
+    "FROM): NULL keys MATCH each other instead of dropping — the "
+    "semantics every dimension join over nullable business keys "
+    "silently needs (a plain equi-join drops the NULL stratum on the "
+    "floor). Keys derived via nullif since the testdata is null-free; "
+    "both sides aggregate first so the null stratum is exactly one "
+    "row per side. Catalyst still plans <=> as a HASH join (null-safe "
+    "keys hash like values) — not a nested loop.",
+)
+def q_join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    k = F.expr("nullif(o_orderstatus, 'P')")
+    a = o.groupBy(k.alias("k")).agg(F.count("*").alias("n_a"))
+    b = o.groupBy(k.alias("_kb")).agg(
+        F.countDistinct("o_custkey").alias("n_b")
+    )
+    return a.join(b, F.col("k").eqNullSafe(F.col("_kb"))).select(
+        "k", "n_a", "n_b"
+    )
