@@ -476,3 +476,38 @@ def test_transition_matrix_single_user_window(spark, sf_dir):
 
     hashes = re.findall(r"Exchange hashpartitioning\(([\w#]+)", plan)
     assert sum(h.startswith("user_id") for h in hashes) == 1, hashes
+
+
+def test_session_funnel_shuffles_stay_user_keyed(spark, sf_dir):
+    """The sessionized funnel's contract: every exchange keys on
+    user_id (alone or with the derived session_id as a secondary key) —
+    sessionization, per-session steps, and the funnel joins all stay
+    co-partitioned by user, never reshuffling on a non-user key."""
+    import re
+
+    plan = plan_of(QUERIES["events_session_funnel"].fn(spark, sf_dir))
+    hashes = re.findall(r"Exchange hashpartitioning\(([\w#]+)", plan)
+    assert hashes and all(h.startswith("user_id") for h in hashes), hashes
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, tables, tmp_path
+):
+    """A fact laid out with partitionBy(join_key) joined to a filtered
+    dim must plan a dynamicpruning subquery in the fact scan's
+    partition filters — the runtime analog of static partition pruning
+    and the mechanism that makes dim-filtered scans of a 100 TB
+    partitioned fact read only the matching directories."""
+    d = str(tmp_path / "orders_by_priority")
+    tables["orders"].write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        tables["orders"]
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority") < "3")
+    )
+    j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    assert "dynamicpruning" in plan_of(j).lower()
