@@ -89,9 +89,9 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_S = 6 * 3600
 
 
-@register(
-    "events_session_windows",
-    f"""
+#: One sessionization semantics, shared by the batch query, the
+#: streaming twin, and (as the proof) this gaps-and-islands oracle.
+_SESSION_ORACLE = f"""
     WITH lagd AS (
         SELECT user_id, ts, value,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
@@ -113,20 +113,50 @@ _GAP_S = 6 * 3600
            count(*) AS n_events,
            CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
     FROM isl GROUP BY user_id, sid
-    """,
+    """
+
+
+def _session_windows(df: DataFrame) -> DataFrame:
+    return session_agg(
+        df,
+        "ts",
+        "6 hours",
+        ["user_id"],
+        n_events=F.count("*"),
+        sum_value=F.sum(_dec_val()).cast("double"),
+    )
+
+
+@register(
+    "events_session_windows",
+    _SESSION_ORACLE,
     doc="Per-user session windows (6h inactivity gap) via native "
     "session_window; the oracle proves equivalence to the gaps-and-islands "
     "rewrite. Session end = last event + gap (half-open: an event exactly "
     "gap later starts a NEW session — hence >= in the oracle).",
 )
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_agg(
-        _events(spark, sf_dir),
-        "ts",
-        "6 hours",
-        ["user_id"],
-        n_events=F.count("*"),
-        sum_value=F.sum(_dec_val()).cast("double"),
+    return _session_windows(_events(spark, sf_dir))
+
+
+@register(
+    "stream_session_windows",
+    _SESSION_ORACLE,
+    doc="STREAMING session windows (new r6): the same 6h-gap "
+    "sessionization on the live runtime — file source -> 1h watermark "
+    "-> native stateful session_window aggregate -> AvailableNow drain "
+    "(complete mode: session aggregates don't support update, and "
+    "append would hold back sessions the final watermark hasn't "
+    "passed). Drained, the session set equals the batch operator's — "
+    "and both equal the ONE gaps-and-islands oracle, the same "
+    "one-semantics-N-runtimes contract as the CDC trio. State scales "
+    "as open sessions per user (merged on gap overlap by the session "
+    "operator), watermark bounds it.",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return run_to_completion(
+        _session_windows(stream), output_mode="complete"
     )
 
 
