@@ -742,3 +742,138 @@ def ivf_train_centroids(
             .localCheckpoint()
         )
     return cents
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_cand: int = 20,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN with an ADC (asymmetric distance
+    computation) scan — the third index family next to LSH buckets and
+    IVF cells, and the memory-bound serving shape at 100 TB: the corpus
+    is stored as ``n_sub`` one-byte codes per vector (here 8 codes for
+    a 64-dim vector — a 64× compression over float64), queries compare
+    against per-subspace lookup tables, and only the top ``m_cand``
+    candidates ever touch the full-precision vectors.
+
+    Construction (everything deterministic so the DuckDB oracle can
+    rebuild the identical index):
+
+    * Codebooks: subspace s (8 dims each) takes its centroids from the
+      corpus itself — code c = the s-th chunk of the vector with id
+      ``c * floor(N / n_codes)`` (the same strided-sample idea as the
+      IVF centroids; swap in per-subspace trained codebooks the way
+      ivf_train_centroids feeds ivf_ann_topk if recall demands it).
+    * Encoding: code_s(v) = argmin_c L2²(chunk_s(v), cent[s,c]). The
+      row's own self-dot is constant per (row, s), so L2² ranking
+      reduces to ``cc − 2·dot`` (cc = centroid self-dot, precomputed
+      once) — the same cancellation the IVF assignment uses; no
+      corpus-side norms in the O(rows·codes) loop.
+    * ADC: dist(q, v) ≈ Σ_s table[s][code_s(v)] where table[s][c] =
+      cc − 2·dot(chunk_s(q), cent[s,c]) (the query self-dot cancels
+      per query). Each term is FLOOR-QUANTIZED to integer picounits
+      (floor(x·1e12 + 0.5) — identical in both engines, unlike
+      round()'s engine-specific half-tie rules) so the Σ_s sum is an
+      exact integer sum, order-independent across Spark's partial
+      aggregates; candidate ranking ties break on id.
+    * Re-rank: the |Q|·m_cand survivors score exact full-precision
+      cosine (PQ's ADC approximates L2; the exact re-rank step is what
+      makes the metric of record cosine, consistent with the rest of
+      the family).
+
+    Shuffles: codebooks broadcast (n_sub·n_codes rows); encoding is one
+    narrow (id, s) aggregate; the ADC scan joins the code table to the
+    broadcast query lookup tables on (s, code) and hash-aggregates on
+    (query, id) — the corpus vectors themselves are read once for
+    encoding and once for the tiny re-rank."""
+    n = corpus.count()
+    step = max(1, n // n_codes)
+    d_sub = dim // n_sub
+    chunks = (
+        f"transform(sequence(0, {n_sub - 1}),"
+        f" s -> slice(`{{v}}`, s * {d_sub} + 1, {d_sub}))"
+    )
+    cents = (
+        corpus.filter(
+            (F.col(id_col) % step == 0) & (F.col(id_col) < n_codes * step)
+        )
+        .select(
+            F.expr(f"CAST(`{id_col}` DIV {step} AS INT)").alias("c"),
+            F.posexplode(F.expr(chunks.format(v=vec_col))).alias("s", "_cchunk"),
+        )
+        .select(
+            "s",
+            "c",
+            "_cchunk",
+            dot("_cchunk", "_cchunk").alias("_cc"),
+        )
+    )
+    cents_b = F.broadcast(cents)
+
+    def _dist_int(vchunk: str):
+        # cc − 2·dot, floor-quantized to integer picounits
+        return F.floor(
+            (F.col("_cc") - 2.0 * dot(vchunk, "_cchunk")) * F.lit(1e12) + 0.5
+        ).cast("bigint")
+
+    corpus_chunks = _spread(corpus).select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks.format(v=vec_col))).alias("s", "_vchunk"),
+    )
+    enc = (
+        corpus_chunks.join(cents_b, "s")
+        .select(id_col, "s", "c", _dist_int("_vchunk").alias("_d"))
+        .groupBy(id_col, "s")
+        .agg(F.min_by("c", F.struct("_d", "c")).alias("code"))
+    )
+    query_chunks = queries.select(
+        F.col(query_id_col),
+        F.posexplode(F.expr(chunks.format(v=vec_col))).alias("s", "_qchunk"),
+    )
+    dt = query_chunks.join(cents_b, "s").select(
+        query_id_col, "s", "c", _dist_int("_qchunk").alias("_qd")
+    )
+    adc = (
+        enc.join(
+            F.broadcast(dt),
+            (enc["s"] == dt["s"]) & (enc["code"] == dt["c"]),
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_qd").alias("_adc"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy("_adc", id_col)
+    cand = (
+        adc.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= m_cand)
+        .select(query_id_col, id_col)
+    )
+    rr = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+            ),
+            query_id_col,
+        )
+        .select(query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    return (
+        rr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "rk",
+            F.round("_sim", 6).alias("cosine_sim"),
+        )
+    )

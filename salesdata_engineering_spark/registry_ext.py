@@ -1644,3 +1644,85 @@ def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("keep"),
     )
+
+
+_PQ_STEP = "(SELECT greatest(1, count(*) // 64) FROM embeddings)"
+
+
+@register(
+    "sim_pq_adc_topk",
+    f"""
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+    cents AS (
+        SELECT CAST(vec_id // {_PQ_STEP} AS INT) AS c, s,
+               v[s*8 + 1 : s*8 + 8] AS cchunk,
+               list_dot_product(v[s*8 + 1 : s*8 + 8],
+                                v[s*8 + 1 : s*8 + 8]) AS cc
+        FROM c0, subs
+        WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < 64 * {_PQ_STEP}
+    ),
+    enc AS (
+        SELECT vec_id, s, c AS code
+        FROM (SELECT c0.vec_id, cents.s, cents.c,
+                     CAST(floor((cents.cc - 2 * list_dot_product(
+                         c0.v[cents.s*8 + 1 : cents.s*8 + 8], cents.cchunk))
+                         * 1e12 + 0.5) AS BIGINT) AS d
+              FROM c0, cents
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id, cents.s
+                                         ORDER BY d, cents.c) = 1)
+    ),
+    dt AS (
+        SELECT c0.vec_id AS query_id, cents.s, cents.c,
+               CAST(floor((cents.cc - 2 * list_dot_product(
+                   c0.v[cents.s*8 + 1 : cents.s*8 + 8], cents.cchunk))
+                   * 1e12 + 0.5) AS BIGINT) AS qd
+        FROM c0, cents WHERE c0.vec_id < 10
+    ),
+    adc AS (
+        SELECT dt.query_id, enc.vec_id, sum(dt.qd) AS dist
+        FROM enc JOIN dt ON enc.s = dt.s AND enc.code = dt.c
+        WHERE enc.vec_id <> dt.query_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist, vec_id) AS rn
+            FROM adc) WHERE rn <= 40
+    ),
+    rr AS (
+        SELECT cand.query_id, cand.vec_id,
+               {{cos}} AS sim
+        FROM cand JOIN c0 c ON cand.vec_id = c.vec_id
+                  JOIN c0 q ON cand.query_id = q.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rk, round(sim, 6) AS cosine_sim
+    FROM (SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= 5
+    """.format(cos=_SQL_COSINE.format(a="c.v", b="q.v")),
+    doc="X2 product-quantization ANN with ADC scan (ext/similarity.py "
+    "pq_adc_topk) — the third index family beside LSH buckets and IVF "
+    "cells, and the memory-bound serving shape at 100 TB: 8 one-byte "
+    "codes per 64-dim vector (8 bytes of 6-bit codes vs 512 bytes of "
+    "float64), queries "
+    "compare via per-subspace lookup tables, and only |Q|*m survivors "
+    "touch full-precision vectors for the exact cosine re-rank. "
+    "Deterministic strided codebooks (the IVF-centroid idea per "
+    "subspace), self-dot-cancelled L2 ranking (cc - 2*dot), and "
+    "floor-quantized integer picounit ADC terms make the index and "
+    "candidate set bit-identical cross-engine — the oracle rebuilds "
+    "the whole index in SQL.",
+)
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import pq_adc_topk
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return pq_adc_topk(
+        corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64
+    )
