@@ -18,7 +18,9 @@ Two paths:
 Embedding-cosine near-dup detection (X1's embedding variant) falls out
 of the same kernel: pairs with cosine ≥ threshold.
 
-No Python UDFs: folds run in codegen; only the final top-k shuffles.
+No Python UDFs anywhere; only the final top-k shuffles. Per-pair
+math is sequential HOF folds — see dot() for why the unrolled
+alternative is a JIT trap in this engine version.
 """
 
 from __future__ import annotations

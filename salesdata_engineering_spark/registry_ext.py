@@ -1717,6 +1717,7 @@ _PQ_STEP = "(SELECT greatest(1, count(*) // 64) FROM embeddings)"
     "floor-quantized integer picounit ADC terms make the index and "
     "candidate set bit-identical cross-engine — the oracle rebuilds "
     "the whole index in SQL.",
+    bench=True,  # the ADC scan is the third ANN family's hot loop
 )
 def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import pq_adc_topk
