@@ -961,3 +961,105 @@ def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _funnel_steps([(1, "view", v), (2, "click", c), (3, "purchase", p)], "sessions")
+
+
+@register(
+    "events_hourly_ewma",
+    """
+    WITH RECURSIVE c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, hour, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i
+        FROM c),
+    r AS (
+        SELECT event_type, hour, i, CAST(n AS DOUBLE) AS ewma
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT idx.event_type, idx.hour, idx.i,
+               CAST(0.25 AS DOUBLE) * CAST(idx.n AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * r.ewma
+        FROM r JOIN idx ON idx.event_type = r.event_type
+                       AND idx.i = r.i + 1)
+    SELECT event_type, hour, round(ewma, 6) AS ewma FROM r
+    """,
+    doc="Exponentially-weighted moving average of hourly event volume "
+    "per type (alpha = 0.25, seeded at the first observation) — the "
+    "time-series smoothing primitive feeding alert baselines, next to "
+    "the z-score gate (events_hourly_anomalies). EWMA is a SEQUENTIAL "
+    "recurrence, the class of computation SQL window frames cannot "
+    "express (the closed-form trick overflows (1/(1-a))^t): the engine "
+    "folds each type's sorted hourly series PARTITION-LOCALLY with an "
+    "array aggregate (series are bounded per type — one collect per "
+    "group, no driver loop), while the oracle runs the identical "
+    "recurrence as a recursive CTE — both engines execute the same "
+    "mul/mul/add IEEE sequence per step, so the smoothed values match "
+    "bit-for-bit. At 100 TB the shuffle key is event_type (+ a time "
+    "bucket to bound series length if hours grow unbounded).",
+)
+def q_events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    series = c.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "n"))).alias("xs")
+    )
+    fold = (
+        "aggregate(xs,"
+        " CAST(array() AS ARRAY<STRUCT<hour: TIMESTAMP, ewma: DOUBLE>>),"
+        " (acc, x) -> concat(acc, array(struct(x.hour AS hour,"
+        "   CASE WHEN size(acc) = 0 THEN CAST(x.n AS DOUBLE)"
+        "        ELSE 0.25D * CAST(x.n AS DOUBLE)"
+        "             + 0.75D * element_at(acc, -1).ewma END AS ewma))))"
+    )
+    return (
+        series.select("event_type", F.explode(F.expr(fold)).alias("p"))
+        .select(
+            "event_type",
+            F.col("p.hour").alias("hour"),
+            F.round("p.ewma", 6).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "events_top_trigram_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS s1,
+               lead(event_type, 1) OVER w AS s2,
+               lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1, s2, s3, count(*) AS n
+    FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, s1, s2, s3
+    LIMIT 20
+    """,
+    doc="Top-20 three-step event paths (sequence mining over the "
+    "per-user event order): two lead() calls over ONE (user_id, ts) "
+    "window spec — one user-keyed shuffle + sort shared by both leads "
+    "— then a hash aggregate on the tiny (s1,s2,s3) path key and "
+    "TakeOrdered for the top paths (ties broken by the full path so "
+    "the LIMIT boundary is deterministic). Generalizes the 1-step "
+    "transition matrix (events_transition_matrix) to path n-grams; at "
+    "100 TB the window is the only event-volume-sized operation.",
+)
+def q_events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+    return (
+        seq.groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(20)
+    )
