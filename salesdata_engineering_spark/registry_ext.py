@@ -1727,3 +1727,52 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, greatest(n_chars - 1, 0), 250))
+               AS frame_ts_ms,
+           md5(unnest(generate_series(0, greatest(n_chars - 1, 0), 250))::VARCHAR
+               || ':' || text) AS frame_digest
+    FROM documents
+    """,
+    doc="Video frame-sampling plumbing (ext/multimodal.py "
+    "frame_sample_plan): one row per sampled frame timestamp (every "
+    "250 ms across meta.duration_ms), exploded BEFORE the per-frame "
+    "decode so frame work parallelizes across tasks and the stubbed "
+    "codec seam receives one (payload, ts) pair per row — the shape a "
+    "real ffmpeg keyframe extractor plugs into. Stand-in media: "
+    "document text as payload, n_chars as duration. The frame digest "
+    "(md5 of ts:payload) is JVM-side and oracle-reproduced; the "
+    "explode arithmetic (inclusive endpoint, 0-length guard) is the "
+    "value-checked part.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.multimodal import frame_sample_plan
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = frame_sample_plan(media, every_ms=250)
+    return frames.select(
+        "media_id",
+        "frame_ts_ms",
+        F.md5(
+            F.concat(
+                F.col("frame_ts_ms").cast("string"),
+                F.lit(":"),
+                F.decode("payload", "utf-8"),
+            )
+        ).alias("frame_digest"),
+    )
