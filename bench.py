@@ -170,38 +170,48 @@ def main() -> None:
     # any ratio > 10 is a superlinear scale bug. One timed run per query
     # (after warmup): at sf1 per-run compute dominates scheduling noise,
     # and the section must stay inside the driver's per-round budget.
+    # The section runs only when the BASE run is the sf1 source scale
+    # (default sf0.1): with a different base, ratio_vs_base would mix
+    # scales (sf0.01 base vs 10x-of-sf0.1 data reads as a false 20-60x
+    # "superlinear bug"). Any sf1-side failure degrades to sf1=null —
+    # the base JSON line must never be lost to the extra section.
     sf1_block = None
-    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        repo = os.path.dirname(os.path.abspath(__file__))
-        sf1_dir = os.environ.get(
-            "SPARK_GRAFT_SF1_DIR", os.path.join(repo, ".data", "sf1")
-        )
-        if not os.path.isdir(sf1_dir):
-            import importlib.util
+    sf1_src = "/root/testdata/sf0.1"
+    base_is_src = os.path.realpath(sf_dir) == os.path.realpath(sf1_src)
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and base_is_src:
+        try:
+            repo = os.path.dirname(os.path.abspath(__file__))
+            sf1_dir = os.environ.get(
+                "SPARK_GRAFT_SF1_DIR", os.path.join(repo, ".data", "sf1")
+            )
+            if not os.path.isdir(sf1_dir):
+                import importlib.util
 
-            spec = importlib.util.spec_from_file_location(
-                "gen_sf1", os.path.join(repo, "tools", "gen_sf1.py")
-            )
-            gen = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(gen)
-            gen.generate(spark, "/root/testdata/sf0.1", sf1_dir)
-        sf1_runs = max(1, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1")))
-        sf1_timings: dict[str, float] = {}
-        for name in names:
-            sf1_timings[name] = _measure(
-                spark, sf1_runs, lambda: force(QUERIES[name].fn(spark, sf1_dir))
-            )
-        sf1_block = {
-            "value": round(sum(sf1_timings.values()), 3),
-            "queries": sf1_timings,
-            "ratio_vs_base": {
-                n: round(sf1_timings[n] / timings[n], 2)
-                for n in names
-                if timings.get(n)
-            },
-            "timed_runs": sf1_runs,
-            "lineitem_rows": 6_000_000,
-        }
+                spec = importlib.util.spec_from_file_location(
+                    "gen_sf1", os.path.join(repo, "tools", "gen_sf1.py")
+                )
+                gen = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(gen)
+                gen.generate(spark, sf1_src, sf1_dir)
+            sf1_runs = max(1, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1")))
+            sf1_timings: dict[str, float] = {}
+            for name in names:
+                sf1_timings[name] = _measure(
+                    spark, sf1_runs, lambda: force(QUERIES[name].fn(spark, sf1_dir))
+                )
+            sf1_block = {
+                "value": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+                "ratio_vs_base": {
+                    n: round(sf1_timings[n] / timings[n], 2)
+                    for n in names
+                    if timings.get(n)
+                },
+                "timed_runs": sf1_runs,
+                "scale_vs_base": 10,
+            }
+        except Exception as exc:  # degrade, never kill the base output
+            sf1_block = {"error": str(exc)[:300]}
 
     print(
         json.dumps(

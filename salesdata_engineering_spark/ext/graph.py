@@ -67,8 +67,14 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", "n", F.round(F.lit(_SCALE) / F.col("n")).cast("bigint").alias("r")
     )
+    # dangling ids are loop-INVARIANT (deg never changes): resolve the
+    # set once; each iteration only semi-joins ranks against it for the
+    # mass sum instead of re-deriving it with a per-round anti-join
+    dangling = nodes.join(deg, nodes["node"] == deg["src"], "left_anti").select(
+        "node"
+    )
     for _ in range(iters):
-        dang = ranks.join(deg, ranks["node"] == deg["src"], "left_anti").agg(
+        dang = ranks.join(dangling, "node", "left_semi").agg(
             F.coalesce(F.sum("r"), F.lit(0)).alias("dmass")
         )
         contrib = (

@@ -697,13 +697,18 @@ def q_stream_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = read_events_stream(spark, sf_dir).select(
         "user_id", "event_type", "value", "ts", "event_id"
     )
-    # FIXED per-(query, sf_dir) paths, cleaned at the start of each
-    # invocation: a driver/check loop re-running this query reuses one
-    # snapshot + checkpoint slot instead of accumulating a fresh
+    # FIXED per-(query, sf_dir, PROCESS) paths, cleaned at the start of
+    # each invocation: a driver/check loop re-running this query reuses
+    # one snapshot + checkpoint slot instead of accumulating a fresh
     # mkdtemp set per run (the same per-invocation-leak bound
-    # swap_persist gives in-memory frames). The dirs must outlive the
-    # return because the result frame lazily reads the snapshot.
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # swap_persist gives in-memory frames). The pid in the tag keeps
+    # CONCURRENT processes (driver loop + a manual check_all) from
+    # rmtree'ing each other's live checkpoint mid-stream; slots are
+    # bounded by distinct pids, and the dirs must outlive the return
+    # because the result frame lazily reads the snapshot.
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"upsert_sink_{tag}")
     out_dir, ckpt = f"{base}.snap", f"{base}.ckpt"
     for d in (out_dir, f"{out_dir}.new", f"{out_dir}.old", ckpt):

@@ -647,11 +647,15 @@ DQ_RULES: tuple[tuple[str, str], ...] = (
     ("priority_prefix_digit", "o_orderpriority RLIKE '^[0-9]-'"),
 )
 
+# NULL rule: a predicate that evaluates to NULL is a VIOLATION (the
+# strict DQ reading — an unknown is not a pass), spelled IS NOT TRUE in
+# the oracle and when(pred, 0).otherwise(1) in the engine so both
+# engines agree on nullable columns, not just the null-free testdata.
 _DQ_ORACLE = " UNION ALL ".join(
     f"""
     SELECT '{name}' AS rule,
            count(*) AS n_rows,
-           CAST(count(*) FILTER (WHERE NOT ({pred.replace("RLIKE", "SIMILAR TO").replace("'^[0-9]-'", "'[0-9]-.*'")})) AS BIGINT)
+           CAST(count(*) FILTER (WHERE ({pred.replace("RLIKE", "SIMILAR TO").replace("'^[0-9]-'", "'[0-9]-.*'")}) IS NOT TRUE) AS BIGINT)
                AS n_violations,
            round(CAST(count(*) FILTER (WHERE {pred.replace("RLIKE", "SIMILAR TO").replace("'^[0-9]-'", "'[0-9]-.*'")}) AS DOUBLE)
                  / count(*), 6) AS pass_rate
@@ -680,7 +684,7 @@ def q_dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count("*").alias("_n")]
     for name, pred in DQ_RULES:
         aggs.append(
-            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(f"_v_{name}")
+            F.sum(F.when(F.expr(pred), 0).otherwise(1)).alias(f"_v_{name}")
         )
     one = o.agg(*aggs)
     stack_args = ", ".join(
