@@ -1068,3 +1068,36 @@ def q_events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "s1", "s2", "s3")
         .limit(20)
     )
+
+
+@register(
+    "stream_sliding_counts",
+    f"""
+    SELECT make_timestamp(((floor(epoch(ts)/300)::BIGINT - k.k) * 300) * 1000000) AS window_start,
+           make_timestamp((((floor(epoch(ts)/300)::BIGINT - k.k) + 2) * 300) * 1000000) AS window_end,
+           count(*) AS n,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1, 2
+    """,
+    doc="STREAMING sliding windows (new r6): the batch "
+    "events_sliding_avg semantics (10-minute window, 5-minute slide — "
+    "every event in exactly 2 windows) on the live runtime: file "
+    "source -> 1h watermark -> overlapping window aggregate -> "
+    "AvailableNow drain in complete mode, sharing the batch twin's "
+    "arithmetic oracle. Completes the window-family streaming pairs: "
+    "tumbling, sliding, and session aggregates now each run in both "
+    "runtimes against one oracle.",
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = sliding_agg(
+        stream,
+        "ts",
+        "10 minutes",
+        "5 minutes",
+        [],
+        n=F.count("*"),
+        sum_value=F.sum(_dec_val()).cast("double"),
+    )
+    return run_to_completion(agg, output_mode="complete")
