@@ -50,6 +50,30 @@ def write_parquet_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def write_partition_overwrite_dynamic(
+    df: DataFrame, path: str, partition_by: Sequence[str], cluster: bool = True
+) -> None:
+    """S5b — INCREMENTAL partitioned overwrite: replace ONLY the
+    partition directories present in ``df``, leaving every other
+    partition untouched (``partitionOverwriteMode=dynamic``). This is
+    the daily-mart reload primitive: a day's delta overwrites that
+    day's directories idempotently where static overwrite mode would
+    silently TRUNCATE the whole table to the delta. The conf is
+    runtime-settable and scoped to this write (restored after), so
+    callers keep Spark's safer static default elsewhere. Same
+    cluster-first small-files guard as write_parquet_partitioned."""
+    if cluster and partition_by:
+        df = df.repartition(*[df[c] for c in partition_by])
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

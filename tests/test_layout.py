@@ -66,3 +66,31 @@ def test_zorder_key_locality(spark):
     assert min(zmap.values()) == 0 and max(zmap.values()) == 255
     # spot-check interleave: a=0b11, b=0b01 -> z = 0b0111
     assert zmap[(3, 1)] == 0b0111
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """write_partition_overwrite_dynamic must replace exactly the
+    partitions present in the incoming frame: an updated 'b' partition
+    changes, the untouched 'a' partition survives byte-for-byte, and
+    static mode's whole-table truncation does NOT happen."""
+    from salesdata_engineering_spark.io import (
+        write_parquet_partitioned,
+        write_partition_overwrite_dynamic,
+    )
+
+    path = str(tmp_path / "mart")
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)], "p string, k int, v double"
+    )
+    write_parquet_partitioned(base, path, ["p"])
+    delta = spark.createDataFrame([("b", 3, 99.0), ("b", 4, 40.0)], "p string, k int, v double")
+    write_partition_overwrite_dynamic(delta, path, ["p"])
+    got = {
+        (r.p, r.k): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("a", 1): 10.0, ("a", 2): 20.0, ("b", 3): 99.0, ("b", 4): 40.0}
+    # conf restored to the caller's default
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
