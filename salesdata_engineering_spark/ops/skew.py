@@ -44,3 +44,33 @@ def salted_sum(
         .agg(F.sum("_v").alias("_partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the FACT side's key, REPLICATE the dim
+    side once per salt value, join on (key, salt).
+
+    A hot fact key sends all its rows to one reducer in a plain
+    shuffled join; salting spreads each key across ``n_salts`` reducers
+    while the dim replication (dim is small — that is why it is a dim)
+    keeps every fact row joinable. The result set is identical to the
+    plain join, so a plain-join oracle verifies it. This is the MANUAL
+    form of what AQE's skew-join split does at runtime — needed when
+    the skewed side is the OUTPUT of another operator in the same stage
+    (AQE only splits shuffle-materialized skew), or on engines/configs
+    without AQE. Deterministic crc32 salt (never rand(): a failed-stage
+    retry with rand() mis-joins rows).
+
+    Dim columns win name collisions; the salt never escapes."""
+    salt = F.pmod(F.crc32(F.col(salt_from).cast("string")), F.lit(n_salts))
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return f.join(d, [key, "_salt"]).drop("_salt")

@@ -1365,3 +1365,40 @@ def q_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         F.round(F.sum(_drev()), 2).cast("double").alias("revenue")
     )
+
+
+@register(
+    "join_skew_salted",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="§4 skew recipe for JOINS (ops/skew.py salted_join): the fact "
+    "side's key gets a deterministic crc32 salt, the dim side "
+    "REPLICATES once per salt value, and the join runs on (key, salt) "
+    "— each hot key's rows spread across n_salts reducers instead of "
+    "one. The result set is provably the plain join's, which is the "
+    "oracle (joined through the salted path, then aggregated per "
+    "segment in exact decimal). Manual twin of AQE's skew-join split — "
+    "needed when the skewed side is mid-stage (AQE only splits "
+    "shuffle-materialized skew); plan-asserted in test_plans.py that "
+    "with broadcast disabled the shuffle keys on BOTH sides include "
+    "the salt.",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    fact = t["orders"].select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+    joined = salted_join(fact, dim, key="c_custkey", salt_from="o_orderkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -511,3 +511,19 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(
     )
     j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
     assert "dynamicpruning" in plan_of(j).lower()
+
+
+def test_salted_join_shuffles_carry_the_salt(spark, sf_dir):
+    """With broadcast disabled, the salted join must hash-partition
+    BOTH sides on (key, salt) — the salt in the shuffle key is the
+    whole mechanism (it is what spreads a hot key across reducers)."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["join_skew_salted"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    keys = re.findall(r"Exchange hashpartitioning\((c_custkey[#\w]*, _salt[#\w]*)", plan)
+    assert len(keys) >= 2, plan[:2500]
