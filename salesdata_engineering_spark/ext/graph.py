@@ -106,3 +106,43 @@ def pagerank(
     return ranks.select(
         "node", F.round(F.col("r") / F.lit(_SCALE), 9).alias("rank")
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: (node, level) = shortest hop count from any
+    source node, up to ``max_depth`` (unreached nodes are absent).
+
+    Each round expands the current frontier through one edge join, then
+    anti-joins the visited set — the standard frontier/visited shape
+    whose per-round cost is |frontier|·avg-degree, NOT |edges|·depth.
+    Integer levels make the result exactly engine-independent (no float
+    anywhere), so a recursive-CTE oracle can verify it value-for-value.
+    Like ``pagerank``, a fixed small ``max_depth`` keeps the whole
+    computation ONE declarative plan; deep traversals should
+    localCheckpoint the visited frame every few rounds (the dedup
+    label-propagation lineage-cut pattern).
+
+    Scale shape: every join/dedup keys on node ids — bucket edges by
+    src and the expansion never reshuffles the edge list."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    visited = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).alias("level")
+    ).distinct()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("level"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

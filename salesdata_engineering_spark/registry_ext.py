@@ -1776,3 +1776,59 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_digest"),
     )
+
+
+@register(
+    "graph_bfs_levels",
+    """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT 'S' || s::VARCHAR AS src, 'C' || c::VARCHAR AS dst FROM pairs
+        UNION ALL
+        SELECT 'C' || c::VARCHAR, 'S' || s::VARCHAR FROM pairs
+    ),
+    src AS (
+        SELECT DISTINCT 'S' || s_suppkey::VARCHAR AS node
+        FROM supplier WHERE s_nationkey = 0
+    ),
+    walk(node, level) AS (
+        SELECT node, 0 FROM src
+        UNION ALL
+        SELECT e.dst, w.level + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.level < 2
+    )
+    SELECT node, CAST(min(level) AS INT) AS level FROM walk GROUP BY 1
+    """,
+    doc="Multi-source BFS levels (ext/graph.py bfs_levels): shortest "
+    "hop count from nation-0 suppliers through the supplier-customer "
+    "trade graph, depth <= 2 — the traversal workload next to PageRank "
+    "(propagation) and connected components (fixed point). The engine "
+    "expands a frontier per round (|frontier| x degree work, visited "
+    "anti-join keeps levels minimal); the oracle is a recursive CTE "
+    "whose path enumeration collapses to the same min-level — integer "
+    "levels, so parity is exact with no float quench. All shuffles key "
+    "on node ids (bucketed edges make rounds co-located at 100 TB).",
+)
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.graph import bfs_levels
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+    )
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    c = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    edges = pairs.select(s.alias("src"), c.alias("dst")).unionAll(
+        pairs.select(c.alias("src"), s.alias("dst"))
+    )
+    sources = t["supplier"].filter(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return bfs_levels(edges, sources, max_depth=2)
