@@ -1,10 +1,12 @@
 """Graph analytics over relational edge lists (engine extension).
 
 Complements the dedup family's connected components (ext/dedup.py) with
-PageRank — the canonical iterative-propagation workload. The reference
-has no graph surface; this demonstrates the Spark-first shape for
-fixed-point algorithms: each iteration is one join + one aggregate on
-the edge list, lineage cut between iterations where rounds grow deep.
+PageRank — the canonical iterative-propagation workload — and
+multi-source BFS levels (frontier/visited traversal). The reference
+has no graph surface; these demonstrate the Spark-first shape for
+fixed-point and traversal algorithms: each iteration is one join + one
+aggregate on the edge list, lineage cut between iterations where
+rounds grow deep.
 
 Cross-engine determinism (the interesting part): float SUMS are
 order-dependent, so a naive double PageRank diverges between engines in

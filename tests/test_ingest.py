@@ -224,3 +224,21 @@ def test_format_roundtrip_preserves_rows(spark, tmp_path, fmt, sf_dir):
     assert back.schema == src.schema
     assert back.count() == src.count()
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """S-family depth: a landing zone whose writers EVOLVE the schema
+    (v2 adds a column) must stay readable as one table — mergeSchema
+    unions the file schemas and backfills missing columns with NULL,
+    the parquet twin of the CSV extra-column fold (ingest.py)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a", 10.0)], "k int, name string, v double"
+    ).write.parquet(f"{base}/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 20.0, "US")], "k int, name string, v double, region string"
+    ).write.parquet(f"{base}/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"k", "name", "v", "region", "batch"}
+    rows = {r.k: (r.v, r.region) for r in df.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, "US")}
