@@ -1415,3 +1415,63 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).cast("double").alias("revenue"),
         F.round(F.sum("rev").over(w), 2).cast("double").alias("cum_revenue"),
     )
+
+
+@register(
+    "grouped_pandas_mad",
+    """
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS med
+        FROM orders GROUP BY 1),
+    dev AS (
+        SELECT o.o_orderpriority, m.med,
+               abs(o.o_totalprice - m.med) AS d
+        FROM orders o JOIN med m USING (o_orderpriority))
+    SELECT o_orderpriority, count(*) AS n,
+           round(CAST(any_value(med) AS DOUBLE), 4) AS med_price,
+           round(CAST(median(d) AS DOUBLE), 4) AS mad
+    FROM dev GROUP BY 1
+    """,
+    doc="Grouped-map applyInPandas (§2.10's remaining surface next to "
+    "pandas_udf / UDTF / mapInArrow / applyInPandasWithState): "
+    "per-priority median absolute deviation — a genuinely "
+    "whole-group-at-once computation (the deviation median needs the "
+    "group's own median first, so no single-pass SQL aggregate "
+    "expresses it) handed to pandas one Arrow-batched group at a "
+    "time. pandas' interpolating median == DuckDB median == "
+    "quantile_cont(0.5), and both engines average the two middle "
+    "doubles with the same IEEE op, so the oracle (two-CTE nested "
+    "median) is value-exact; rounding happens JVM-side after the UDF "
+    "so both engines round half-up. Scale: one shuffle on the group "
+    "key; each group must fit one worker's memory — the standard "
+    "grouped-map contract (keys here are 5 priorities; re-key or "
+    "pre-aggregate when groups are unbounded).",
+)
+def q_grouped_pandas_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority", "o_totalprice"
+    )
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["o_totalprice"].median()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n": [len(pdf)],
+                "med_price": [med],
+                "mad": [(pdf["o_totalprice"] - med).abs().median()],
+            }
+        )
+
+    out = o.groupBy("o_orderpriority").applyInPandas(
+        mad,
+        "o_orderpriority string, n long, med_price double, mad double",
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.round("med_price", 4).alias("med_price"),
+        F.round("mad", 4).alias("mad"),
+    )
