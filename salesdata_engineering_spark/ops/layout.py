@@ -101,3 +101,43 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE-style small-files compaction: rewrite a parquet
+    directory into ~size/target files and swap it in place; returns the
+    new file count.
+
+    Small files are the silent killer of 100 TB scans (per-file open
+    cost, starved vectorized readers, NameNode/listing pressure); every
+    streaming sink and per-batch writer produces them. The rewrite is
+    one read -> repartition(ceil(bytes/target)) -> write to a scratch
+    dir, then a crash-safe swap (the same .new/.old discipline as the
+    streaming upsert sink: scratch is fully written before the old dir
+    moves, and a kill between renames leaves the data in ``.old``
+    rather than half-replaced). Byte size comes from the FileSystem
+    listing, so the helper works on any Hadoop FS URI."""
+    import math
+
+    from ..fsops import _fs_and_path
+
+    fs, p = _fs_and_path(spark, path)
+    total = sum(
+        s.getLen() for s in fs.listStatus(p) if s.isFile()
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    new, old = f"{path}.new", f"{path}.old"
+    fs.delete(_fs_and_path(spark, new)[1], True)
+    df.repartition(n_files).write.mode("overwrite").parquet(new)
+    fs.delete(_fs_and_path(spark, old)[1], True)
+    if not fs.rename(p, _fs_and_path(spark, old)[1]):
+        raise IOError(f"compaction swap failed renaming {path}")
+    if not fs.rename(_fs_and_path(spark, new)[1], p):
+        raise IOError(f"compaction swap failed installing {new}")
+    fs.delete(_fs_and_path(spark, old)[1], True)
+    return n_files

@@ -94,3 +94,23 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
         == "STATIC"
     )
+
+
+def test_compact_parquet_dir_shrinks_files_keeps_data(spark, tmp_path):
+    """Compaction must collapse a many-small-files dir to the computed
+    target count while preserving every row, and clean up its scratch
+    dirs (the .new/.old swap discipline)."""
+    import os
+
+    from salesdata_engineering_spark.ops.layout import compact_parquet_dir
+
+    path = str(tmp_path / "smallfiles")
+    spark.range(10_000).repartition(32).write.parquet(path)
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 32
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) == 1
+    assert spark.read.parquet(path).count() == 10_000
+    assert not os.path.exists(path + ".new") and not os.path.exists(path + ".old")
