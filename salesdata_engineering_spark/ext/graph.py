@@ -131,8 +131,14 @@ def bfs_levels(
     label-propagation lineage-cut pattern).
 
     Scale shape: every join/dedup keys on node ids — bucket edges by
-    src and the expansion never reshuffles the edge list."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    src and the expansion never reshuffles the edge list. Edges with a
+    NULL endpoint are dropped up front: a NULL dst would re-enter the
+    frontier every round (the visited anti-join never matches NULL), so
+    one NULL edge from an outer-join-derived edge list would emit a
+    duplicate (NULL, level) row per depth."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
     visited = sources.select(
         F.col(sources.columns[0]).alias("node"), F.lit(0).alias("level")
     ).distinct()

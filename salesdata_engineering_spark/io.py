@@ -58,20 +58,21 @@ def write_partition_overwrite_dynamic(
     partition untouched (``partitionOverwriteMode=dynamic``). This is
     the daily-mart reload primitive: a day's delta overwrites that
     day's directories idempotently where static overwrite mode would
-    silently TRUNCATE the whole table to the delta. The conf is
-    runtime-settable and scoped to this write (restored after), so
-    callers keep Spark's safer static default elsewhere. Same
-    cluster-first small-files guard as write_parquet_partitioned."""
+    silently TRUNCATE the whole table to the delta. The mode is set as
+    a per-WRITE DataFrameWriter option — never the session conf, which
+    is global: a set-then-restore around the write would leak dynamic
+    mode to any concurrent same-session writer (re-enabling the
+    whole-table-truncation hazard) and can restore the wrong value
+    under interleaving. Same cluster-first small-files guard as
+    write_parquet_partitioned."""
     if cluster and partition_by:
         df = df.repartition(*[df[c] for c in partition_by])
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "STATIC")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def write_bucketed_table(

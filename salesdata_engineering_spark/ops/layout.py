@@ -120,15 +120,32 @@ def compact_parquet_dir(
     streaming upsert sink: scratch is fully written before the old dir
     moves, and a kill between renames leaves the data in ``.old``
     rather than half-replaced). Byte size comes from the FileSystem
-    listing, so the helper works on any Hadoop FS URI."""
+    listing, so the helper works on any Hadoop FS URI.
+
+    FLAT directories only: a hive-partitioned dir (key= subdirs) is
+    rejected with ValueError rather than silently flattened — a naive
+    rewrite would fold the partition keys into data columns and
+    destroy partition pruning for every downstream reader; compact a
+    partitioned table per-partition (each leaf dir through this same
+    helper)."""
     import math
 
     from ..fsops import _fs_and_path
 
     fs, p = _fs_and_path(spark, path)
-    total = sum(
-        s.getLen() for s in fs.listStatus(p) if s.isFile()
-    )
+    path = p.toString()  # normalize (trailing slash would nest scratch
+    # dirs INSIDE the data dir and fail the swap mid-flight)
+    statuses = list(fs.listStatus(p))
+    subdirs = [
+        s.getPath().getName() for s in statuses if not s.isFile()
+    ]
+    if subdirs:
+        raise ValueError(
+            f"compact_parquet_dir: {path} contains subdirectories "
+            f"({subdirs[:3]}...) — refusing to flatten a partitioned "
+            "layout; compact each leaf partition directory instead"
+        )
+    total = sum(s.getLen() for s in statuses if s.isFile())
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     new, old = f"{path}.new", f"{path}.old"

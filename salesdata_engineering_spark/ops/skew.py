@@ -67,8 +67,15 @@ def salted_join(
     without AQE. Deterministic crc32 salt (never rand(): a failed-stage
     retry with rand() mis-joins rows).
 
-    Dim columns win name collisions; the salt never escapes."""
-    salt = F.pmod(F.crc32(F.col(salt_from).cast("string")), F.lit(n_salts))
+    Dim columns win name collisions; the salt never escapes. A NULL
+    ``salt_from`` folds to salt 0 (crc32(NULL) is NULL, and a NULL salt
+    would silently DROP those fact rows from the inner equi-join —
+    salted_sum tolerates it because groupBy keeps NULL keys, a join
+    does not)."""
+    salt = F.pmod(
+        F.coalesce(F.crc32(F.col(salt_from).cast("string")), F.lit(0)),
+        F.lit(n_salts),
+    )
     f = fact.withColumn("_salt", salt)
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

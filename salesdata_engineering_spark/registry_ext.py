@@ -1815,13 +1815,19 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.graph import bfs_levels
+    from .ext.caching import swap_persist
 
     t = load_tables(spark, sf_dir)
-    pairs = (
+    # persist the expensive lineitem⨝orders distinct ONCE: the edge
+    # frame is consumed by every BFS round (frontier join + the growing
+    # visited lineage) — unpersisted, the depth-2 plan re-scanned both
+    # fact tables 8x with zero exchange reuse (plan-verified r6)
+    pairs = swap_persist(
+        "bfs_pairs",
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_suppkey", "o_custkey")
-        .distinct()
+        .distinct(),
     )
     s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
     c = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))

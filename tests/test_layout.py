@@ -114,3 +114,28 @@ def test_compact_parquet_dir_shrinks_files_keeps_data(spark, tmp_path):
     assert len(after) == 1
     assert spark.read.parquet(path).count() == 10_000
     assert not os.path.exists(path + ".new") and not os.path.exists(path + ".old")
+
+
+def test_compact_rejects_partitioned_dirs_and_trailing_slash_ok(spark, tmp_path):
+    """Partitioned layouts must be refused (flattening would destroy
+    pruning); a trailing-slash path must normalize instead of nesting
+    scratch dirs inside the table."""
+    import os
+
+    import pytest as _pytest
+
+    from salesdata_engineering_spark.ops.layout import compact_parquet_dir
+
+    part = str(tmp_path / "parts")
+    spark.createDataFrame([("a", 1), ("b", 2)], "p string, v int").write.partitionBy(
+        "p"
+    ).parquet(part)
+    with _pytest.raises(ValueError, match="partitioned"):
+        compact_parquet_dir(spark, part)
+
+    flat = str(tmp_path / "flat")
+    spark.range(100).repartition(4).write.parquet(flat)
+    n = compact_parquet_dir(spark, flat + "/", target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(flat).count() == 100
+    assert not os.path.exists(flat + "/.new") and not os.path.exists(flat + ".old")
