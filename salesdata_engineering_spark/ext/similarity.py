@@ -522,6 +522,45 @@ def quantize_cols(df: DataFrame, vec_col: str, dim: int, prefix: str) -> DataFra
     return out.selectExpr("*", f"{qn} AS {prefix}qn").drop(f"{prefix}scale")
 
 
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    dim: int,
+) -> DataFrame:
+    """Shared final stage of every two-stage ANN (quantized, composed
+    IVF+quantized, PQ-ADC): re-score the |Q|·m candidate pairs at full
+    precision and emit per-query top-k as (query_id, neighbor_id, rk,
+    cosine_sim). Candidates are tiny, so the corpus join broadcasts the
+    candidate side and only full-precision vectors for survivors are
+    ever read."""
+    rr = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+            ),
+            query_id_col,
+        )
+        .select(query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    return (
+        rr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "rk",
+            F.round("_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -570,24 +609,8 @@ def quantized_topk(
         .filter(F.col("_qrk") <= m)
         .select(query_id_col, id_col)
     )
-    rr = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
-        .join(
-            F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))),
-            query_id_col,
-        )
-        .select(query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim"))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
-    return (
-        rr.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            "rk",
-            F.round("_sim", 6).alias("cosine_sim"),
-        )
+    return _exact_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col, dim
     )
 
 
@@ -670,26 +693,8 @@ def ivf_quantized_topk(
         .filter(F.col("_qrk") <= m)
         .select(query_id_col, id_col)
     )
-    rr = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
-        .join(
-            F.broadcast(
-                queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-            ),
-            query_id_col,
-        )
-        .select(query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim"))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
-    return (
-        rr.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            "rk",
-            F.round("_sim", 6).alias("cosine_sim"),
-        )
+    return _exact_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col, dim
     )
 
 
@@ -858,24 +863,6 @@ def pq_adc_topk(
         .filter(F.col("_rk") <= m_cand)
         .select(query_id_col, id_col)
     )
-    rr = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
-        .join(
-            F.broadcast(
-                queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-            ),
-            query_id_col,
-        )
-        .select(query_id_col, id_col, cosine(vec_col, "_qvec", dim).alias("_sim"))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
-    return (
-        rr.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            "rk",
-            F.round("_sim", 6).alias("cosine_sim"),
-        )
+    return _exact_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col, dim
     )

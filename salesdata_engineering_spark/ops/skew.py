@@ -77,6 +77,9 @@ def salted_join(
         F.lit(n_salts),
     )
     f = fact.withColumn("_salt", salt)
+    # two steps on purpose: explode must be the TOP-LEVEL expression of
+    # its projection (cast-wrapping it trips Spark's nested-generator
+    # check), and the bigint cast must match crc32's type for the join
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))

@@ -61,16 +61,22 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "events_sliding_avg",
-    f"""
+#: Sliding-window oracle (10-min length / 5-min slide: every event in
+#: exactly 2 windows, both starts derived arithmetically) — shared by
+#: the batch operator and its streaming twin.
+_SLIDING_ORACLE = f"""
     SELECT make_timestamp(((floor(epoch(ts)/300)::BIGINT - k.k) * 300) * 1000000) AS window_start,
            make_timestamp((((floor(epoch(ts)/300)::BIGINT - k.k) + 2) * 300) * 1000000) AS window_end,
            count(*) AS n,
            CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
     FROM events, (SELECT unnest([0, 1]) AS k) k
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "events_sliding_avg",
+    _SLIDING_ORACLE,
     doc="Sliding windows (10-minute length, 5-minute slide): every event "
     "lands in exactly 2 windows; oracle derives both starts arithmetically.",
 )
@@ -1072,14 +1078,7 @@ def q_events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding_counts",
-    f"""
-    SELECT make_timestamp(((floor(epoch(ts)/300)::BIGINT - k.k) * 300) * 1000000) AS window_start,
-           make_timestamp((((floor(epoch(ts)/300)::BIGINT - k.k) + 2) * 300) * 1000000) AS window_end,
-           count(*) AS n,
-           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
-    FROM events, (SELECT unnest([0, 1]) AS k) k
-    GROUP BY 1, 2
-    """,
+    _SLIDING_ORACLE,
     doc="STREAMING sliding windows (new r6): the batch "
     "events_sliding_avg semantics (10-minute window, 5-minute slide — "
     "every event in exactly 2 windows) on the live runtime: file "

@@ -1516,6 +1516,29 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     )"""
 
 
+def _trade_graph_edges(t, persist_key: str | None = None) -> DataFrame:
+    """Symmetric supplier<->customer edge list over distinct trade pairs
+    — the shared graph the PageRank and BFS queries walk. Pass
+    ``persist_key`` when the caller consumes the edge frame repeatedly
+    (BFS rounds): the lineitem⨝orders distinct is the expensive part
+    and Catalyst cannot share it across the iteration lineage."""
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+    )
+    if persist_key is not None:
+        from .ext.caching import swap_persist
+
+        pairs = swap_persist(persist_key, pairs)
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    c = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    return pairs.select(s.alias("src"), c.alias("dst")).unionAll(
+        pairs.select(c.alias("src"), s.alias("dst"))
+    )
+
+
 @register(
     "graph_pagerank_bipartite",
     f"""
@@ -1553,18 +1576,7 @@ def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.graph import pagerank
 
     t = load_tables(spark, sf_dir)
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_suppkey", "o_custkey")
-        .distinct()
-    )
-    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
-    c = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
-    edges = pairs.select(s.alias("src"), c.alias("dst")).unionAll(
-        pairs.select(c.alias("src"), s.alias("dst"))
-    )
-    return pagerank(edges, iters=2)
+    return pagerank(_trade_graph_edges(t), iters=2)
 
 
 @register(
@@ -1815,25 +1827,13 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.graph import bfs_levels
-    from .ext.caching import swap_persist
 
     t = load_tables(spark, sf_dir)
-    # persist the expensive lineitem⨝orders distinct ONCE: the edge
-    # frame is consumed by every BFS round (frontier join + the growing
-    # visited lineage) — unpersisted, the depth-2 plan re-scanned both
-    # fact tables 8x with zero exchange reuse (plan-verified r6)
-    pairs = swap_persist(
-        "bfs_pairs",
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_suppkey", "o_custkey")
-        .distinct(),
-    )
-    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
-    c = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
-    edges = pairs.select(s.alias("src"), c.alias("dst")).unionAll(
-        pairs.select(c.alias("src"), s.alias("dst"))
-    )
+    # persist_key: the edge frame is consumed by every BFS round
+    # (frontier join + the growing visited lineage) — unpersisted, the
+    # depth-2 plan re-scanned both fact tables 8x with zero exchange
+    # reuse (plan-verified r6)
+    edges = _trade_graph_edges(t, persist_key="bfs_pairs")
     sources = t["supplier"].filter(F.col("s_nationkey") == 0).select(
         F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
     )

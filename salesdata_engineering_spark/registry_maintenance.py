@@ -651,13 +651,22 @@ DQ_RULES: tuple[tuple[str, str], ...] = (
 # strict DQ reading — an unknown is not a pass), spelled IS NOT TRUE in
 # the oracle and when(pred, 0).otherwise(1) in the engine so both
 # engines agree on nullable columns, not just the null-free testdata.
+def _duck_pred(pred: str) -> str:
+    """Spark predicate -> DuckDB dialect (RLIKE has no DuckDB twin;
+    SIMILAR TO anchors the whole string, so the prefix regex gains
+    an explicit .* tail)."""
+    return pred.replace("RLIKE", "SIMILAR TO").replace(
+        "'^[0-9]-'", "'[0-9]-.*'"
+    )
+
+
 _DQ_ORACLE = " UNION ALL ".join(
     f"""
     SELECT '{name}' AS rule,
            count(*) AS n_rows,
-           CAST(count(*) FILTER (WHERE ({pred.replace("RLIKE", "SIMILAR TO").replace("'^[0-9]-'", "'[0-9]-.*'")}) IS NOT TRUE) AS BIGINT)
+           CAST(count(*) FILTER (WHERE ({_duck_pred(pred)}) IS NOT TRUE) AS BIGINT)
                AS n_violations,
-           round(CAST(count(*) FILTER (WHERE {pred.replace("RLIKE", "SIMILAR TO").replace("'^[0-9]-'", "'[0-9]-.*'")}) AS DOUBLE)
+           round(CAST(count(*) FILTER (WHERE {_duck_pred(pred)}) AS DOUBLE)
                  / count(*), 6) AS pass_rate
     FROM orders
     """
