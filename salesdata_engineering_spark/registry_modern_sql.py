@@ -322,3 +322,89 @@ def q_join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("k").eqNullSafe(F.col("_kb"))).select(
         "k", "n_a", "n_b"
     )
+
+
+@register(
+    "scalar_try_functions",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE round(CAST(o_totalprice AS DOUBLE)
+                           / CAST(o_orderkey % 3 AS DOUBLE), 6) END AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+           CASE WHEN o_orderkey % 10 > 5 THEN NULL
+                ELSE 9223372036854775802 + o_orderkey % 10 END AS near_max
+    FROM orders
+    """,
+    doc="ANSI-safe try_* surface (Spark 3.4+ try_divide / try_cast / "
+    "try_add): errors become NULL instead of failing the job — the "
+    "semantics a 100 TB pipeline needs when one malformed row must not "
+    "kill a 10-hour run (the engine otherwise runs non-ANSI mode, "
+    "where these are the portable spellings). Exercised on real error "
+    "paths: division by a derived zero, a non-numeric cast "
+    "('1-URGENT'), and a bigint overflow (MAX-5 + 0..9 overflows for "
+    "remainders > 5). The oracle spells each as its guard-CASE "
+    "equivalent, which is also exactly the fallback a non-try engine "
+    "would write by hand.",
+)
+def q_scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.expr(
+                "try_divide(CAST(o_totalprice AS DOUBLE),"
+                " CAST(o_orderkey % 3 AS DOUBLE))"
+            ),
+            6,
+        ).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("pri_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "pri_digit"
+        ),
+        F.expr("try_add(9223372036854775802L, o_orderkey % 10)").alias(
+            "near_max"
+        ),
+    )
+
+
+@register(
+    "xml_extract_roundtrip",
+    """
+    SELECT o_orderkey,
+           o_orderkey AS xml_k,
+           o_orderpriority AS xml_p,
+           substr(o_orderpriority, 1, 1) AS xpath_digit
+    FROM orders
+    """,
+    doc="XML surface (Spark 4 from_xml + the xpath_* family): each row "
+    "renders to an XML fragment and is parsed BACK through both the "
+    "schema'd parser (from_xml into a typed struct) and an XPath "
+    "probe — the lossless round-trip is the value check (the oracle "
+    "re-derives the expected fields relationally, so any parser "
+    "deviation — entity handling, whitespace, type coercion — breaks "
+    "the hash). The build-then-parse shape means no external XML "
+    "corpus is needed while still executing the real parser per row, "
+    "JVM-side; at 100 TB from_xml replaces the per-row "
+    "regex-extraction antipattern for ingest of XML feeds.",
+)
+def q_xml_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p></o>"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, p STRING")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("k").alias("xml_k"),
+        parsed.getField("p").alias("xml_p"),
+        F.expr(
+            "substring(xpath_string(concat('<o><k>', CAST(o_orderkey AS STRING),"
+            " '</k><p>', o_orderpriority, '</p></o>'), '/o/p'), 1, 1)"
+        ).alias("xpath_digit"),
+    )
