@@ -399,12 +399,13 @@ def q_xml_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p></o>"),
     )
     parsed = F.from_xml(xml, "k BIGINT, p STRING")
-    return o.select(
+    # the fragment column is materialized once so the template has a
+    # single source of truth for both parsers
+    return o.withColumn("_xml", xml).select(
         "o_orderkey",
         parsed.getField("k").alias("xml_k"),
         parsed.getField("p").alias("xml_p"),
-        F.expr(
-            "substring(xpath_string(concat('<o><k>', CAST(o_orderkey AS STRING),"
-            " '</k><p>', o_orderpriority, '</p></o>'), '/o/p'), 1, 1)"
-        ).alias("xpath_digit"),
+        F.expr("substring(xpath_string(_xml, '/o/p'), 1, 1)").alias(
+            "xpath_digit"
+        ),
     )
