@@ -139,3 +139,48 @@ def test_compact_rejects_partitioned_dirs_and_trailing_slash_ok(spark, tmp_path)
     assert n == 1
     assert spark.read.parquet(flat).count() == 100
     assert not os.path.exists(flat + "/.new") and not os.path.exists(flat + ".old")
+
+
+def test_gen_sf1_scaling_contract(spark, tmp_path):
+    """tools/gen_sf1.py at reps=2 over sf0.001: every scaling table
+    doubles, fixed dims copy verbatim, replica keys never collide, and
+    referential integrity holds — the invariants the bench's sf1
+    ratio section rests on."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    spec = importlib.util.spec_from_file_location(
+        "gen_sf1", os.path.join(repo, "tools", "gen_sf1.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    out = str(tmp_path / "sf2x")
+    gen.generate(spark, "/root/testdata/sf0.001", out, reps=2)
+
+    from salesdata_engineering_spark.datasets import load_tables
+
+    src = load_tables(spark, "/root/testdata/sf0.001")
+    got = load_tables(spark, out)
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        assert got[t].count() == 2 * src[t].count(), t
+    for t in ("region", "nation"):
+        assert got[t].count() == src[t].count(), t
+    # key spaces must not collide across replicas
+    assert (
+        got["orders"].select("o_orderkey").distinct().count()
+        == got["orders"].count()
+    )
+    # referential integrity survives the shift
+    orphans = (
+        got["lineitem"]
+        .join(
+            got["orders"],
+            got["lineitem"]["l_orderkey"] == got["orders"]["o_orderkey"],
+            "left_anti",
+        )
+        .count()
+    )
+    assert orphans == 0

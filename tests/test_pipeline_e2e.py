@@ -121,3 +121,26 @@ def test_partitioned_write_prunes_on_read(spark, ingested, tmp_path):
     dirs = {p.name for p in (tmp_path / "mart").glob("sales_month=*/store_id=*")}
     assert ("sales_month=2024-01", "store_id=121") != dirs  # layout exists
     assert any(d == "store_id=121" for d in {p.name for p in (tmp_path / "mart" / "sales_month=2024-01").glob("store_id=*")})
+
+def test_observe_metrics_ride_the_action(spark, tables):
+    """df.observe(): pipeline metrics (row count, exact revenue sum)
+    accumulate DURING the action on the SAME scan — the zero-cost
+    alternative to a second metrics pass over a 100 TB fact. The
+    observed values must equal a direct aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("orders_metrics")
+    o = tables["orders"].observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    o.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    direct = tables["orders"].agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+    ).collect()[0]
+    assert got["n_rows"] == direct.n
+    assert got["revenue"] == direct.s
