@@ -604,3 +604,20 @@ def bigram_logprob(
             "mean_logprob"
         ),
     )
+
+
+def pii_detect_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII DETECTION counts (emails, IPv4) — the audit
+    twin of :func:`pii_scrub`: scrubbing destroys the evidence, so the
+    compliance report runs first and records how much of each class
+    each document carried (route heavy hitters to review instead of
+    silently redacting). Same RE2-and-Java-compatible patterns as the
+    scrubber, counted with regexp_count — pure partition-local
+    projection, no shuffle at any scale."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PII_IPV4)).alias("n_ipv4"),
+    )

@@ -1838,3 +1838,47 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
     )
     return bfs_levels(edges, sources, max_depth=2)
+
+
+@register(
+    "text_pii_detect_report",
+    """
+    WITH probe AS (
+        SELECT doc_id,
+               substr(text, 1, 50) || ' user' || doc_id::VARCHAR
+               || '@example.com via 10.0.0.' || (doc_id % 256)::VARCHAR
+               AS t
+        FROM documents)
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(length(regexp_extract_all(t,
+               '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS INT) AS n_ipv4
+    FROM probe
+    """,
+    doc="PII DETECTION report (ext/text.py pii_detect_report) — the "
+    "audit twin of text_pii_scrub: scrubbing destroys the evidence, so "
+    "compliance counts each class per document BEFORE redaction "
+    "(heavy hitters route to review). Same RE2-and-Java-compatible "
+    "patterns as the scrubber, counted with regexp_count; the probe "
+    "text plants one email + one IPv4 per document (derived from "
+    "doc_id) so the per-class counters are exercised against known "
+    "ground truth rather than an all-zero corpus. Pure projection, no "
+    "shuffle at any scale.",
+)
+def q_text_pii_detect_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import pii_detect_report
+
+    d = _docs(spark, sf_dir)
+    probe = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return pii_detect_report(probe)

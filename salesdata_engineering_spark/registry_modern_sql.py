@@ -409,3 +409,31 @@ def q_xml_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xpath_digit"
         ),
     )
+
+
+@register(
+    "agg_boolean_family",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           bool_or(o_orderstatus = 'P') AS has_pending,
+           bool_and(o_totalprice > 0) AS all_positive,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_filled
+    FROM orders GROUP BY 1
+    """,
+    doc="Boolean/conditional aggregate family (count_if, any/bool_or, "
+    "every/bool_and): the predicate-rollup primitives behind every "
+    "data-quality dashboard cell — count_if is the FILTER-clause twin "
+    "(one scan, conditional accumulation, no self-join per predicate). "
+    "DuckDB spells count_if as count FILTER and shares bool_or/"
+    "bool_and natively.",
+)
+def q_agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("count_if(o_totalprice > 100000)").alias("n_big"),
+        F.expr("any(o_orderstatus = 'P')").alias("has_pending"),
+        F.expr("every(o_totalprice > 0)").alias("all_positive"),
+        F.expr("count_if(o_orderstatus = 'F')").alias("n_filled"),
+    )
