@@ -866,3 +866,57 @@ def pq_adc_topk(
     return _exact_rerank(
         cand, corpus, queries, k, id_col, vec_col, query_id_col, dim
     )
+
+
+def crossencoder_rerank_stub(
+    candidates: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Cross-encoder re-ranking seam: score each (query, candidate)
+    pair with a pairwise model and keep the top ``k`` — the second
+    stage of the standard retrieve-then-rerank pipeline (bi-encoder
+    ANN recalls a candidate set; the expensive cross-encoder orders
+    it). No model runtime ships in this container, so the scorer is
+    the same honest-seam pattern as the multimodal codec
+    (ext/multimodal.py): an Arrow-batched ``mapInPandas`` stage whose
+    deterministic md5-based stand-in exercises the real plumbing —
+    pairs batch through Python exactly as ONNX/torch scoring would,
+    with the per-pair texts/vectors already joined in — and is
+    reproducible in the DuckDB oracle. Swap ``_stub_score`` for a real
+    model call; everything else (batching, schema, the top-k window)
+    is production shape. Candidate sets are |Q|·m rows, so the Python
+    stage touches thousands of rows, never the corpus."""
+    import hashlib
+
+    import pandas as pd
+
+    def _stub_score(q, d) -> float:
+        h = hashlib.md5(f"{q}:{d}".encode()).hexdigest()[:15]
+        return (int(h, 16) % 1_000_000) / 1_000_000.0
+
+    schema = f"{query_id_col} long, {id_col} long, ce_score double"
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "ce_score": [
+                        _stub_score(q, d)
+                        for q, d in zip(pdf[query_id_col], pdf[id_col])
+                    ],
+                }
+            )
+
+    scored = candidates.select(query_id_col, id_col).mapInPandas(run, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("ce_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "rk", F.round("ce_score", 6).alias("ce_score"))
+    )

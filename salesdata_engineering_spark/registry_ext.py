@@ -1882,3 +1882,52 @@ def q_text_pii_detect_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_detect_report(probe)
+
+
+@register(
+    "sim_rerank_crossencoder",
+    f"""
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_SQL_COSINE.format(a="c.v", b="q.v")} AS s
+        FROM c0 c JOIN c0 q ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id) AS rk
+            FROM pairs) WHERE rk <= 20
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               (('0x' || substr(md5(query_id::VARCHAR || ':'
+                   || neighbor_id::VARCHAR), 1, 15))::BIGINT % 1000000)
+                   / 1000000.0 AS ce_score
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, rk, round(ce_score, 6) AS ce_score
+    FROM (SELECT query_id, neighbor_id, ce_score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY ce_score DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+    doc="Retrieve-then-rerank pipeline (ext/similarity.py "
+    "crossencoder_rerank_stub): bi-encoder brute-force cosine recalls "
+    "top-20 candidates per query, then a cross-encoder SEAM re-scores "
+    "each pair through an Arrow-batched mapInPandas stage and keeps "
+    "top-5 — the serving shape where the expensive pairwise model "
+    "touches |Q|*m pairs, never the corpus. The scorer is the honest "
+    "deterministic md5 stand-in (multimodal codec-seam convention); "
+    "the oracle reproduces retrieval, the stand-in scores, and both "
+    "rankings exactly.",
+)
+def q_sim_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import cosine_topk, crossencoder_rerank_stub
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cand = cosine_topk(corpus, _queries_subset(corpus), k=20)
+    return crossencoder_rerank_stub(cand, k=5)

@@ -437,3 +437,41 @@ def q_agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("every(o_totalprice > 0)").alias("all_positive"),
         F.expr("count_if(o_orderstatus = 'F')").alias("n_filled"),
     )
+
+
+@register(
+    "scalar_map_functions",
+    """
+    SELECT o_orderpriority, o_orderstatus AS key, count(*) AS value
+    FROM orders
+    GROUP BY 1, 2
+    HAVING count(*) >= 100
+    """,
+    doc="Map-function family (map_from_entries / map_filter / "
+    "transform_values + explode back to rows): per-priority "
+    "status->count maps built from sorted entries, pruned with a "
+    "map_filter HOF lambda, exploded to long form. Maps are the "
+    "natural carrier for sparse per-entity feature bags at 100 TB "
+    "(schema stays fixed as keys grow); the oracle is the relational "
+    "equivalent (GROUP BY + HAVING), proving the build->filter->"
+    "explode chain is a faithful reshape, not a semantic fork. The "
+    "collect_list rides one hash aggregate; entries sort before "
+    "map_from_entries so map iteration order is deterministic.",
+)
+def q_scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    m = a.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("mp")
+    )
+    kept = m.select(
+        "o_orderpriority",
+        F.explode(
+            F.map_filter("mp", lambda k, v: v >= F.lit(100))
+        ).alias("key", "value"),
+    )
+    return kept.select("o_orderpriority", "key", "value")
