@@ -730,12 +730,17 @@ def ivf_train_centroids(
     cents = corpus.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
     )
+    # spread like the SEARCH path's corpus side: the assignment + mean
+    # stages otherwise inherit the source file count as their
+    # parallelism (4 files at sf1 → 4 of 32 cores; the r6 profile
+    # measured every Lloyd stage at exactly 4 tasks)
+    wide = _spread(corpus.select(id_col, vec_col))
     for _ in range(iters):
         bc = F.broadcast(cents.select("cid", "_cvec", norm_fold("_cvec", dim).alias("_cn")))
         # shared keep=1 assignment: max_by hash-agg, map-side combine —
         # see _assign_cells for the shape and the window-sort it replaces
         assigned = _assign_cells(
-            corpus.select(id_col, vec_col), bc, id_col, 1, vec_col, dim
+            wide, bc, id_col, 1, vec_col, dim
         ).select("cid", vec_col)
         by_pos = (
             assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
