@@ -41,6 +41,16 @@ def sql_md5_long(expr: str, salt: int | str | None = None) -> str:
     return f"('0x' || substr(md5({inner}), 1, {HEX_CHARS}))::BIGINT"
 
 
+def py_md5_long(s: str) -> int:
+    """Driver/Python-side twin of :func:`md5_long` / :func:`sql_md5_long`
+    — the ONE place the 60-bit md5[:HEX_CHARS] convention lives for
+    Python callers (stub scorers, hyperplane generation); keep all
+    three spellings in lockstep or oracle parity silently breaks."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:HEX_CHARS], 16)
+
+
 #: Mersenne prime 2^31−1 — the universal-hash modulus for MinHash
 #: permutations. Small enough that a_i·x never overflows int64 in either
 #: engine (DuckDB raises on overflow; Spark would silently wrap).

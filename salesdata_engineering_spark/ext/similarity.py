@@ -157,13 +157,11 @@ def hyperplane(dim: int, h: int) -> list[float]:
     Component d of plane h = (md5_long('h:d') mod 2001 − 1000)/1000 ∈
     [−1, 1] — reproducible in SQL, no RNG state. (Quality is fine for
     LSH: components only need symmetric zero-mean spread.)"""
-    import hashlib
+    from .hashing import py_md5_long
 
-    out = []
-    for d in range(dim):
-        hv = int(hashlib.md5(f"{h}:{d}".encode()).hexdigest()[:15], 16)
-        out.append((hv % 2001 - 1000) / 1000.0)
-    return out
+    return [
+        (py_md5_long(f"{h}:{d}") % 2001 - 1000) / 1000.0 for d in range(dim)
+    ]
 
 
 def lsh_bucket_key(vec: Column | str, planes: list[list[float]], dim: int | None = None) -> Column:
@@ -893,13 +891,12 @@ def crossencoder_rerank_stub(
     model call; everything else (batching, schema, the top-k window)
     is production shape. Candidate sets are |Q|·m rows, so the Python
     stage touches thousands of rows, never the corpus."""
-    import hashlib
-
     import pandas as pd
 
+    from .hashing import py_md5_long
+
     def _stub_score(q, d) -> float:
-        h = hashlib.md5(f"{q}:{d}".encode()).hexdigest()[:15]
-        return (int(h, 16) % 1_000_000) / 1_000_000.0
+        return (py_md5_long(f"{q}:{d}") % 1_000_000) / 1_000_000.0
 
     schema = f"{query_id_col} long, {id_col} long, ce_score double"
 

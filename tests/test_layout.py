@@ -141,7 +141,7 @@ def test_compact_rejects_partitioned_dirs_and_trailing_slash_ok(spark, tmp_path)
     assert not os.path.exists(flat + "/.new") and not os.path.exists(flat + ".old")
 
 
-def test_gen_sf1_scaling_contract(spark, tmp_path):
+def test_gen_sf1_scaling_contract(spark, tmp_path, sf_dir):
     """tools/gen_sf1.py at reps=2 over sf0.001: every scaling table
     doubles, fixed dims copy verbatim, replica keys never collide, and
     referential integrity holds — the invariants the bench's sf1
@@ -158,11 +158,11 @@ def test_gen_sf1_scaling_contract(spark, tmp_path):
     gen = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gen)
     out = str(tmp_path / "sf2x")
-    gen.generate(spark, "/root/testdata/sf0.001", out, reps=2)
+    gen.generate(spark, sf_dir, out, reps=2)
 
     from salesdata_engineering_spark.datasets import load_tables
 
-    src = load_tables(spark, "/root/testdata/sf0.001")
+    src = load_tables(spark, sf_dir)
     got = load_tables(spark, out)
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         assert got[t].count() == 2 * src[t].count(), t

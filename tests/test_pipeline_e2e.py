@@ -118,9 +118,13 @@ def test_partitioned_write_prunes_on_read(spark, ingested, tmp_path):
     assert "PartitionFilters: [" in plan and "sales_month" in plan.split("PartitionFilters")[1][:200]
     assert back.count() == 3
     # only matching partition dirs exist under the month dir
-    dirs = {p.name for p in (tmp_path / "mart").glob("sales_month=*/store_id=*")}
-    assert ("sales_month=2024-01", "store_id=121") != dirs  # layout exists
-    assert any(d == "store_id=121" for d in {p.name for p in (tmp_path / "mart" / "sales_month=2024-01").glob("store_id=*")})
+    month_dirs = {p.name for p in (tmp_path / "mart").glob("sales_month=*")}
+    assert "sales_month=2024-01" in month_dirs, month_dirs  # layout exists
+    store_dirs = {
+        p.name
+        for p in (tmp_path / "mart" / "sales_month=2024-01").glob("store_id=*")
+    }
+    assert "store_id=121" in store_dirs, store_dirs
 
 def test_observe_metrics_ride_the_action(spark, tables):
     """df.observe(): pipeline metrics (row count, exact revenue sum)
