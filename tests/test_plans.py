@@ -527,3 +527,38 @@ def test_salted_join_shuffles_carry_the_salt(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     keys = re.findall(r"Exchange hashpartitioning\((c_custkey[#\w]*, _salt[#\w]*)", plan)
     assert len(keys) >= 2, plan[:2500]
+
+
+def test_pq_adc_stays_jvm_side_no_cross(spark, sf_dir):
+    """The PQ-ADC index build + scan must be pure JVM column work: no
+    Python stage anywhere (the fold-based chunk dots and integer ADC
+    sums are Catalyst expressions) and no cross product — candidate
+    generation goes through the (s, code) equi-join."""
+    plan = plan_of(QUERIES["sim_pq_adc_topk"].fn(spark, sf_dir))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_rerank_python_stage_is_candidate_bounded(spark, sf_dir):
+    """The cross-encoder seam runs exactly ONE Arrow-batched Python
+    stage, and it consumes the narrow (query_id, neighbor_id) candidate
+    pairs — never the corpus vectors (the embedding column must not
+    reach the Python stage's input)."""
+    plan = plan_of(QUERIES["sim_rerank_crossencoder"].fn(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1, plan[:800]
+    python_stage = plan.split("MapInPandas")[1].splitlines()[0]
+    assert "embedding" not in python_stage, python_stage
+
+
+def test_basket_affinity_single_fact_shuffle(spark, sf_dir):
+    """The basket rewrite's contract: the per-order collect_set groupBy
+    (the only l_orderkey-keyed exchange) is computed ONCE and served to
+    all consumers from the persisted basket frame — the plan must read
+    the basket through InMemoryTableScan (the l_orderkey exchange text
+    recurs under each cached consumer, but the cache executes it once),
+    expand pairs partition-locally (explode, no join on the pair path),
+    and never cross-product."""
+    plan = plan_of(QUERIES["basket_brand_affinity"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan, plan[:1200]
