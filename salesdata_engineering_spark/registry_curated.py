@@ -1475,3 +1475,87 @@ def q_grouped_pandas_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med_price", 4).alias("med_price"),
         F.round("mad", 4).alias("mad"),
     )
+
+
+@register(
+    "stats_welch_ttest",
+    """
+    WITH g AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING'
+                    ELSE 'OTHER' END AS seg,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    s AS (
+        SELECT seg, count(*) AS n,
+               SUM(y) AS sy, SUM(y * y) AS syy
+        FROM g GROUP BY 1),
+    m AS (
+        SELECT
+            (SELECT CAST(sy AS DOUBLE) / n FROM s WHERE seg = 'BUILDING') AS m1,
+            (SELECT CAST(sy AS DOUBLE) / n FROM s WHERE seg = 'OTHER') AS m2,
+            (SELECT (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                    / (n - 1) / n FROM s WHERE seg = 'BUILDING') AS se1,
+            (SELECT (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                    / (n - 1) / n FROM s WHERE seg = 'OTHER') AS se2,
+            (SELECT n FROM s WHERE seg = 'BUILDING') AS n1,
+            (SELECT n FROM s WHERE seg = 'OTHER') AS n2)
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat
+    FROM m
+    """,
+    doc="Welch's two-sample t statistic (BUILDING-segment order values "
+    "vs the rest): the A/B-test primitive, built from EXACT DECIMAL "
+    "power sums (n, Σy, Σy² per arm — order-independent) with mean/"
+    "variance/t assembled in a fixed double sequence, the same "
+    "integer-exact-moments discipline as stats_bivariate_regression "
+    "(a naive avg/var_samp fold drifts cross-engine in the last ulp "
+    "and the t boundary with it). One fact scan + broadcast dim join "
+    "+ a 2-row moment frame; at 100 TB each additional experiment arm "
+    "is one more row of the same aggregate, not another scan.",
+)
+def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    g = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", "BUILDING")
+            .otherwise("OTHER")
+            .alias("seg"),
+            y.alias("y"),
+        )
+    )
+    s = g.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n")
+    sev = (
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / F.col("n")
+    )
+    arms = s.select("seg", "n", mean.alias("m"), sev.alias("se"))
+    b = arms.filter(F.col("seg") == "BUILDING").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("se").alias("se1")
+    )
+    o = arms.filter(F.col("seg") == "OTHER").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("se").alias("se2")
+    )
+    return b.crossJoin(F.broadcast(o)).select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2")), 6
+        ).alias("t_stat"),
+    )
