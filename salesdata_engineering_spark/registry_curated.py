@@ -1559,3 +1559,110 @@ def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2")), 6
         ).alias("t_stat"),
     )
+
+
+@register(
+    "stats_wilson_interval",
+    """
+    WITH v AS (
+        SELECT user_id % 2 AS variant,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') > 0
+                    AS INT) AS converted
+        FROM events GROUP BY user_id),
+    s AS (SELECT variant, count(*) AS n,
+                 CAST(SUM(converted) AS BIGINT) AS k
+          FROM v GROUP BY 1)
+    SELECT variant, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1.0 + 3.8416 / n), 6) AS ci_low,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1.0 + 3.8416 / n), 6) AS ci_high
+    FROM s
+    """,
+    doc="Wilson-score 95% confidence interval on per-variant conversion "
+    "rate (variant = user_id % 2 — the deterministic A/B split; "
+    "conversion = any purchase event): the interval every experiment "
+    "readout needs, and the one that stays valid at small n where the "
+    "normal approximation fails. Built from EXACT integer (n, k) "
+    "counts per arm; the interval itself is a fixed sequence of IEEE "
+    "double ops over z = 1.96 constants spelled identically in the "
+    "oracle, so bounds match bit-for-bit. One user-keyed aggregate + a "
+    "2-row arm frame — each additional arm is a row, not a scan.",
+)
+def q_stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    v = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 0
+        )
+        .cast("int")
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    s = v.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    half = 1.96 * F.sqrt(p * (1.0 - p) / n + 0.9604 / (n * n))
+    denom = 1.0 + 3.8416 / n
+    center = p + 1.9208 / n
+    return s.select(
+        "variant",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_low"),
+        F.round((center + half) / denom, 6).alias("ci_high"),
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS expected
+    FROM c CROSS JOIN t
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "forensic DQ screen for fabricated or systematically generated "
+    "monetary data (synthetic uniform generators flunk it loudly, "
+    "which this testdata demonstrates): observed first-digit share vs "
+    "the log10(1 + 1/d) expectation. The digit is taken from the "
+    "DECIMAL(18,2) string rendering (both engines print decimals "
+    "without scientific notation — a raw DOUBLE cast could format "
+    "differently per engine); counts are exact integers and both "
+    "columns are fixed IEEE sequences. One scan + a 9-row digit "
+    "frame.",
+)
+def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("expected"),
+    )
