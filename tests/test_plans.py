@@ -562,3 +562,25 @@ def test_basket_affinity_single_fact_shuffle(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan[:1200]
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan, plan[:1200]
+
+
+def test_trigram_paths_single_user_window(spark, sf_dir):
+    """Both lead() calls must share ONE (user_id, ts) window spec: the
+    plan carries exactly one Window operator and exactly one
+    events-sized user_id exchange — a second sort per lead would
+    double the dominant cost."""
+    import re
+
+    plan = plan_of(QUERIES["events_top_trigram_paths"].fn(spark, sf_dir))
+    assert plan.count("Window [") == 1, plan[:1500]
+    hashes = re.findall(r"Exchange hashpartitioning\(([\w#]+)", plan)
+    assert sum(h.startswith("user_id") for h in hashes) == 1, hashes
+
+
+def test_welch_ttest_broadcasts_dim_and_arms(spark, sf_dir):
+    """The A/B aggregate must broadcast the customer dim into the fact
+    scan (never sort-merge) and assemble the two arms with broadcast
+    1-row frames — no repeated fact scans beyond the one aggregate."""
+    plan = plan_of(QUERIES["stats_welch_ttest"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:1500]
