@@ -1666,3 +1666,45 @@ def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("expected"),
     )
+
+
+@register(
+    "orders_seasonal_index",
+    """
+    WITH m AS (
+        SELECT month(o_orderdate) AS month_of_year,
+               count(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1),
+    t AS (SELECT CAST(SUM(rev) AS DOUBLE) / SUM(n) AS overall_avg FROM m)
+    SELECT month_of_year, n,
+           round(CAST(rev AS DOUBLE) / n, 4) AS avg_order_value,
+           round((CAST(rev AS DOUBLE) / n) / overall_avg, 6)
+               AS seasonal_index
+    FROM m CROSS JOIN t
+    """,
+    doc="Seasonal index per calendar month (classical multiplicative "
+    "decomposition's seasonal component): month-of-year average order "
+    "value relative to the overall average — index > 1 marks "
+    "high-season months, the BI primitive behind deseasonalized "
+    "trend lines and inventory planning. Exact DECIMAL revenue sums "
+    "per month (order-independent), one broadcast 1-row overall frame, "
+    "fixed IEEE divides — the same integer-exact-moments discipline as "
+    "the stats family. One fact scan + a 12-row month frame.",
+)
+def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    m = o.groupBy(F.month("o_orderdate").alias("month_of_year")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    t = m.agg(
+        (F.sum("rev").cast("double") / F.sum("n")).alias("overall_avg")
+    )
+    aov = F.col("rev").cast("double") / F.col("n")
+    return m.crossJoin(F.broadcast(t)).select(
+        "month_of_year",
+        "n",
+        F.round(aov, 4).alias("avg_order_value"),
+        F.round(aov / F.col("overall_avg"), 6).alias("seasonal_index"),
+    )
