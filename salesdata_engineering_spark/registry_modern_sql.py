@@ -475,3 +475,46 @@ def q_scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key", "value"),
     )
     return kept.select("o_orderpriority", "key", "value")
+
+
+@register(
+    "window_ignore_nulls_family",
+    """
+    SELECT o_orderkey,
+           first_value(nullif(o_orderstatus, 'P') IGNORE NULLS) OVER w
+               AS first_settled,
+           last_value(nullif(o_orderstatus, 'P') IGNORE NULLS) OVER w
+               AS last_settled,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="IGNORE NULLS window navigation (first_value / last_value with "
+    "null skipping + nth_value): the gap-tolerant carry-forward "
+    "primitives — last_settled is the classic LOCF (last observation "
+    "carried forward) over a sparsely-populated column, here derived "
+    "by nullifying the 'P' stratum so the skip path actually "
+    "exercises. One window spec shared by all three functions (one "
+    "sort); the (o_orderdate, o_orderkey) ordering is total, so frame "
+    "contents — and the nth row — are deterministic cross-engine. "
+    "DuckDB spells IGNORE NULLS inside the call parens; same "
+    "semantics.",
+)
+def q_window_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    settled = F.expr("nullif(o_orderstatus, 'P')")
+    return o.select(
+        "o_orderkey",
+        F.first(settled, ignorenulls=True).over(w).alias("first_settled"),
+        F.last(settled, ignorenulls=True).over(w).alias("last_settled"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
