@@ -2,11 +2,16 @@
 """Headline-query benchmark.
 
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "extras": {name: sec}, "sf": ...}. "extras"
-(end-to-end pipeline, layout controls) are timed identically but kept
-out of the headline total so "value" compares round-over-round.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "extras": {name: sec}, "sf1": summary, "sf": ...}.
+"extras" (end-to-end pipeline, layout controls) are timed identically but
+kept out of the headline total so "value" compares round-over-round.
+The full record — including the per-query sf1 timings/ratios/spreads —
+goes to BENCH_LOCAL.json and stderr, NOT stdout: the driver retains only
+a bounded tail of stdout, and round 6's inlined sf1 block pushed the
+line's head past it (BENCH_r06 `parsed: null`). See the output-protocol
+comment in main().
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect cost). A warmup query first amortizes JVM/codegen startup
@@ -54,8 +59,8 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _measure(spark, runs: int, run_once) -> float:
-    """Median of ``runs`` timed executions after one untimed warmup.
+def _measure_samples(spark, runs: int, run_once) -> list[float]:
+    """All ``runs`` timed executions after one untimed warmup.
 
     The warmup exists because the FIRST execution of a query pays
     one-time driver-side costs — Catalyst analysis warmup and Janino
@@ -73,7 +78,11 @@ def _measure(spark, runs: int, run_once) -> float:
         run_once()
         samples.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
-    return round(statistics.median(samples), 3)
+    return samples
+
+
+def _measure(spark, runs: int, run_once) -> float:
+    return round(statistics.median(_measure_samples(spark, runs, run_once)), 3)
 
 
 def _split_layout_dir(spark, sf_dir: str, table: str = "lineitem") -> str:
@@ -193,12 +202,20 @@ def main() -> None:
                 gen = importlib.util.module_from_spec(spec)
                 spec.loader.exec_module(gen)
                 gen.generate(spark, sf1_src, sf1_dir)
-            sf1_runs = max(1, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1")))
+            # default 2 timed runs since round 7: the r6 single-run sf1
+            # numbers were taken on a co-loaded box and disagreed with
+            # in-round observations by up to 1.7x with no way to tell
+            # noise from regression (VERDICT r6 item 7) — medians of >=2
+            # runs plus the recorded per-query spread settle that.
+            sf1_runs = max(1, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2")))
             sf1_timings: dict[str, float] = {}
+            sf1_spread: dict[str, list[float]] = {}
             for name in names:
-                sf1_timings[name] = _measure(
+                samples = _measure_samples(
                     spark, sf1_runs, lambda: force(QUERIES[name].fn(spark, sf1_dir))
                 )
+                sf1_timings[name] = round(statistics.median(samples), 3)
+                sf1_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
             sf1_block = {
                 "value": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
@@ -207,32 +224,73 @@ def main() -> None:
                     for n in names
                     if timings.get(n)
                 },
+                "spread": sf1_spread,
                 "timed_runs": sf1_runs,
                 "scale_vs_base": 10,
             }
         except Exception as exc:  # degrade, never kill the base output
             sf1_block = {"error": str(exc)[:300]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "extras": extras,
-                "sf1": sf1_block,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # methodology markers: medians exclude one untimed per-query
-                # warmup run (Catalyst/Janino first-compile cost), a change
-                # introduced in round 4 — without this marker, cross-round
-                # deltas vs warmup-free rounds 1-3 would be misread (ADVICE r4)
-                "warmup_runs": 1,
-                "timed_runs": runs,
-                "stat": "median",
-            }
-        )
-    )
+    # Output protocol (rewritten for round 7 — VERDICT r6 item 1): the
+    # driver retains only a BOUNDED TAIL of stdout (~2 KB observed) and
+    # parses the benchmark record out of it. Round 6 inlined the whole
+    # sf1 block into the single JSON line, the line outgrew the retained
+    # tail, its head (including "value") was cut off, and BENCH_r06.json
+    # recorded `parsed: null` — the official headline total of the round
+    # was lost. The fix keeps stdout down to EXACTLY ONE compact JSON
+    # line (safe under every plausible parser: whole-tail json.loads,
+    # last-line, or scan-any-line) by moving the bulky sf1 per-query
+    # detail out of stdout:
+    #   * stdout — one compact line: headline metric/value/queries/extras
+    #     plus an sf1 SUMMARY (total, worst ratio, runs, spread ceiling);
+    #     compact separators, ~1.2 KB, comfortably inside the tail budget.
+    #   * BENCH_LOCAL.json (repo root) — the full record including the
+    #     per-query sf1 timings/ratios/spreads, for the judge and for
+    #     round-over-round diffs.
+    #   * stderr — the same full record, labeled, so driver logs keep a
+    #     human-readable copy even if the file is cleaned up.
+    sf1_summary = None
+    if isinstance(sf1_block, dict) and "value" in sf1_block:
+        ratios = sf1_block.get("ratio_vs_base") or {}
+        worst = max(ratios, key=ratios.get) if ratios else None
+        sf1_summary = {
+            "value": sf1_block["value"],
+            "timed_runs": sf1_block["timed_runs"],
+            "max_ratio": ratios.get(worst),
+            "max_ratio_query": worst,
+            "detail": "BENCH_LOCAL.json",
+        }
+    elif isinstance(sf1_block, dict):  # degraded: carry the error marker
+        sf1_summary = {"error": sf1_block.get("error", "")[:120]}
+
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "extras": extras,
+        "sf1": sf1_summary,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # methodology markers: medians exclude one untimed per-query
+        # warmup run (Catalyst/Janino first-compile cost), a change
+        # introduced in round 4 — without this marker, cross-round
+        # deltas vs warmup-free rounds 1-3 would be misread (ADVICE r4)
+        "warmup_runs": 1,
+        "timed_runs": runs,
+        "stat": "median",
+    }
+    full = dict(headline, sf1=sf1_block)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(full, fh, indent=2)
+            fh.write("\n")
+        print("BENCH_LOCAL full record:", json.dumps(full), file=sys.stderr)
+    except OSError as exc:  # never let the side-channel kill the record
+        print(f"BENCH_LOCAL write failed: {exc}", file=sys.stderr)
+    sys.stderr.flush()
+    print(json.dumps(headline, separators=(",", ":")))
+    sys.stdout.flush()
     spark.stop()
 
 
