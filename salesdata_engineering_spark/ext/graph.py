@@ -136,9 +136,13 @@ def bfs_levels(
     frontier every round (the visited anti-join never matches NULL), so
     one NULL edge from an outer-join-derived edge list would emit a
     duplicate (NULL, level) row per depth."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    # filter BEFORE the rename, on the caller's column names: filtering
+    # after the select only resolves via the analyzer reaching back into
+    # the child for a missing reference (fragile), and with default
+    # names it would silently bind to the renamed columns instead
+    e = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     visited = sources.select(
         F.col(sources.columns[0]).alias("node"), F.lit(0).alias("level")
     ).distinct()

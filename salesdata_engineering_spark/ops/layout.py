@@ -119,7 +119,14 @@ def compact_parquet_dir(
     dir, then a crash-safe swap (the same .new/.old discipline as the
     streaming upsert sink: scratch is fully written before the old dir
     moves, and a kill between renames leaves the data in ``.old``
-    rather than half-replaced). Byte size comes from the FileSystem
+    rather than half-replaced). The swap has a window between the two
+    renames where the LIVE path does not exist — concurrent readers can
+    hit a transient missing-path failure there (serialize readers
+    against compaction externally if that matters) — and a crash in
+    that window is self-healed at the NEXT call's entry: a missing live
+    dir with a leftover ``.new`` (always fully written before the old
+    dir moves) is finished forward; a missing live dir with only
+    ``.old`` is rolled back. Byte size comes from the FileSystem
     listing, so the helper works on any Hadoop FS URI.
 
     FLAT directories only: a hive-partitioned dir (key= subdirs) is
@@ -135,6 +142,20 @@ def compact_parquet_dir(
     fs, p = _fs_and_path(spark, path)
     path = p.toString()  # normalize (trailing slash would nest scratch
     # dirs INSIDE the data dir and fail the swap mid-flight)
+    new_p = _fs_and_path(spark, f"{path}.new")[1]
+    old_p = _fs_and_path(spark, f"{path}.old")[1]
+    if not fs.exists(p):
+        # self-heal a crash inside a previous call's swap window (see
+        # docstring): .new is complete by construction, so finishing
+        # the interrupted swap is always safe; with no .new left, fall
+        # back to restoring the pre-compaction data from .old
+        if fs.exists(new_p):
+            if not fs.rename(new_p, p):
+                raise IOError(f"compaction self-heal failed installing {new_p}")
+            fs.delete(old_p, True)
+        elif fs.exists(old_p):
+            if not fs.rename(old_p, p):
+                raise IOError(f"compaction self-heal failed restoring {old_p}")
     statuses = list(fs.listStatus(p))
     subdirs = [
         s.getPath().getName() for s in statuses if not s.isFile()
@@ -148,13 +169,12 @@ def compact_parquet_dir(
     total = sum(s.getLen() for s in statuses if s.isFile())
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    new, old = f"{path}.new", f"{path}.old"
-    fs.delete(_fs_and_path(spark, new)[1], True)
-    df.repartition(n_files).write.mode("overwrite").parquet(new)
-    fs.delete(_fs_and_path(spark, old)[1], True)
-    if not fs.rename(p, _fs_and_path(spark, old)[1]):
+    fs.delete(new_p, True)
+    df.repartition(n_files).write.mode("overwrite").parquet(f"{path}.new")
+    fs.delete(old_p, True)
+    if not fs.rename(p, old_p):
         raise IOError(f"compaction swap failed renaming {path}")
-    if not fs.rename(_fs_and_path(spark, new)[1], p):
-        raise IOError(f"compaction swap failed installing {new}")
-    fs.delete(_fs_and_path(spark, old)[1], True)
+    if not fs.rename(new_p, p):
+        raise IOError(f"compaction swap failed installing {path}.new")
+    fs.delete(old_p, True)
     return n_files

@@ -67,7 +67,11 @@ def salted_join(
     without AQE. Deterministic crc32 salt (never rand(): a failed-stage
     retry with rand() mis-joins rows).
 
-    Dim columns win name collisions; the salt never escapes. A NULL
+    The list-of-names join merges only the key and salt columns; any
+    OTHER column sharing a name on both sides survives twice and is
+    ambiguous downstream — rename or drop non-key collisions before
+    calling (same contract as a plain ``join(on=[key])``). The salt
+    never escapes. A NULL
     ``salt_from`` folds to salt 0 (crc32(NULL) is NULL, and a NULL salt
     would silently DROP those fact rows from the inner equi-join —
     salted_sum tolerates it because groupBy keeps NULL keys, a join

@@ -1742,6 +1742,107 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_pq_topk",
+    f"""
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
+    cells AS (
+        SELECT vec_id, cid
+        FROM (SELECT c0.vec_id, cents.cid,
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
+              FROM c0, cents
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid) = 1)
+    ),
+    probes AS (
+        SELECT query_id, cid
+        FROM (SELECT c0.vec_id AS query_id, cents.cid,
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
+              FROM c0, cents WHERE c0.vec_id < 10
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
+                      <= {_IVF_NPROBE})
+    ),
+    subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+    pqc AS (
+        SELECT CAST(vec_id // {_PQ_STEP} AS INT) AS c, s,
+               v[s*8 + 1 : s*8 + 8] AS cchunk,
+               list_dot_product(v[s*8 + 1 : s*8 + 8],
+                                v[s*8 + 1 : s*8 + 8]) AS cc
+        FROM c0, subs
+        WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < 64 * {_PQ_STEP}
+    ),
+    enc AS (
+        SELECT vec_id, s, c AS code
+        FROM (SELECT c0.vec_id, pqc.s, pqc.c,
+                     CAST(floor((pqc.cc - 2 * list_dot_product(
+                         c0.v[pqc.s*8 + 1 : pqc.s*8 + 8], pqc.cchunk))
+                         * 1e12 + 0.5) AS BIGINT) AS d
+              FROM c0, pqc
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id, pqc.s
+                                         ORDER BY d, pqc.c) = 1)
+    ),
+    encc AS (SELECT enc.vec_id, cells.cid, enc.s, enc.code
+             FROM enc JOIN cells ON enc.vec_id = cells.vec_id),
+    dt AS (
+        SELECT c0.vec_id AS query_id, pqc.s, pqc.c,
+               CAST(floor((pqc.cc - 2 * list_dot_product(
+                   c0.v[pqc.s*8 + 1 : pqc.s*8 + 8], pqc.cchunk))
+                   * 1e12 + 0.5) AS BIGINT) AS qd
+        FROM c0, pqc WHERE c0.vec_id < 10
+    ),
+    adc AS (
+        SELECT dt.query_id, encc.vec_id, sum(dt.qd) AS dist
+        FROM encc
+        JOIN probes p ON encc.cid = p.cid
+        JOIN dt ON dt.query_id = p.query_id
+               AND encc.s = dt.s AND encc.code = dt.c
+        WHERE encc.vec_id <> dt.query_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist, vec_id) AS rn
+            FROM adc) WHERE rn <= 40
+    ),
+    rr AS (
+        SELECT cand.query_id, cand.vec_id,
+               {{cos}} AS sim
+        FROM cand JOIN c0 c ON cand.vec_id = c.vec_id
+                  JOIN c0 q ON cand.query_id = q.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rk, round(sim, 6) AS cosine_sim
+    FROM (SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= 5
+    """.format(cos=_SQL_COSINE.format(a="c.v", b="q.v")),
+    doc="X2 IVF-PQ ANN (ext/similarity.py ivf_pq_topk) — IVF cell "
+    "pruning composed in front of the PQ-ADC scan, the standard "
+    "production ANN shape (inverted file whose postings are PQ codes) "
+    "and the scale-safe successor to sim_pq_adc_topk's deliberately "
+    "linear baseline (VERDICT r6 item 2): the ADC join is an equi-join "
+    "on (cid, s, code), so only ~nprobe/sqrt(N) of the corpus codes "
+    "are scanned and the fraction SHRINKS as the corpus grows — same "
+    "sublinearity the quantized twin measured at sf1. Codes, cell "
+    "boundaries, and ADC sums are all integer-exact or tie-ruled "
+    "identically cross-engine, so the oracle rebuilds the whole "
+    "composed index in SQL and hash-matches.",
+    bench=True,  # the A/B against the linear pq_adc scan is the story
+)
+def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import ivf_pq_topk
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return ivf_pq_topk(
+        corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64,
+        stride=_ivf_stride(corpus), nprobe=_IVF_NPROBE,
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     SELECT doc_id AS media_id,

@@ -612,3 +612,99 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     # measured 0.70 at sf0.01 with K=64/m_cand=40 (random vectors are
     # PQ's worst case — no cluster structure for the codebooks to fit)
     assert recall >= 0.5, f"PQ recall {recall:.2f} below 0.5"
+
+
+def test_ivf_pq_matches_flat_pq_recall_floor(spark, sf_dir):
+    """IVF-PQ gates the same ADC scan by probed cells, so it can only
+    LOSE candidates that live in unprobed cells — recall vs exact must
+    stay close to the flat scan's (measured: both 0.70 at sf0.01 with
+    K=64/m_cand=40/nprobe=4; random vectors are PQ's worst case)."""
+    from pyspark.sql import functions as F
+
+    from salesdata_engineering_spark.datasets import load_tables
+    import math
+
+    from salesdata_engineering_spark.ext.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_topk(
+            emb, queries, k=5, m_cand=40, n_codes=64,
+            stride=max(1, round(math.sqrt(emb.count()))), nprobe=4,
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} below 0.4"
+
+
+def test_pq_codebook_requires_dense_ids(spark):
+    """Sparse/offset id spaces must fail LOUDLY: the strided codebook
+    sample would silently shrink (or empty) and degrade the candidate
+    set otherwise (ADVICE r6)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from salesdata_engineering_spark.ext.similarity import pq_adc_topk
+
+    emb = spark.range(64).select(
+        (F.col("id") * 1000 + 5).alias("vec_id"),  # offset + sparse
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(id * i AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="dense 0-based"):
+        pq_adc_topk(emb, q, k=2, n_codes=16)
+
+
+def test_crossencoder_rerank_accepts_string_ids(spark):
+    """The mapInPandas schema derives id types from the candidate
+    frame — string-keyed candidate sets must score, not crash on a
+    hardcoded `long` schema (ADVICE r6)."""
+    from salesdata_engineering_spark.ext.similarity import (
+        crossencoder_rerank_stub,
+    )
+
+    cand = spark.createDataFrame(
+        [("qa", f"doc{i}") for i in range(6)] + [("qb", f"doc{i}") for i in range(6)],
+        "query_id string, neighbor_id string",
+    )
+    out = crossencoder_rerank_stub(cand, k=3)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert {r.query_id for r in rows} == {"qa", "qb"}
+    assert all(isinstance(r.neighbor_id, str) for r in rows)
+    assert all(1 <= r.rk <= 3 for r in rows)
+
+
+def test_bfs_levels_custom_column_names(spark):
+    """bfs_levels must filter NULL endpoints on the CALLER's column
+    names before renaming (ADVICE r6) — a NULL edge under non-default
+    names must not re-enter the frontier each round."""
+    from salesdata_engineering_spark.ext.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, None), (None, 3)],
+        "from_node int, to_node int",
+    )
+    srcs = spark.createDataFrame([(1,)], "node int")
+    got = {
+        (r.node, r.level)
+        for r in bfs_levels(
+            edges, srcs, max_depth=3, src_col="from_node", dst_col="to_node"
+        ).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}

@@ -184,3 +184,34 @@ def test_gen_sf1_scaling_contract(spark, tmp_path, sf_dir):
         .count()
     )
     assert orphans == 0
+
+
+def test_compact_self_heals_interrupted_swap(spark, tmp_path):
+    """A crash INSIDE the swap window (live dir renamed to .old, .new
+    not yet installed) must be healed at the next call's entry by
+    finishing the swap forward — no data loss, no manual recovery
+    (ADVICE r6). With only .old left behind, the pre-compaction data
+    rolls back instead."""
+    import os
+    import shutil
+
+    from salesdata_engineering_spark.ops.layout import compact_parquet_dir
+
+    path = str(tmp_path / "t")
+    spark.range(5_000).repartition(8).write.parquet(path)
+
+    # simulate the mid-swap crash: .new fully written, live dir at .old
+    spark.read.parquet(path).repartition(1).write.parquet(path + ".new")
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 5_000
+    assert not os.path.exists(path + ".new") and not os.path.exists(path + ".old")
+
+    # rollback variant: only .old survives the crash
+    os.rename(path, path + ".old")
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 5_000
+    shutil.rmtree(path)

@@ -539,6 +539,20 @@ def test_pq_adc_stays_jvm_side_no_cross(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_pq_adc_scan_is_cell_gated(spark, sf_dir):
+    """IVF-PQ's whole point vs the flat PQ-ADC scan: the ADC join must
+    be an equi-join whose key INCLUDES cid (only probed cells' code
+    rows are ever read — ~nprobe/sqrt(N) of the corpus), stay pure JVM,
+    and never cross-product. The only nested-loop pair scans allowed
+    are the tiny broadcast-centroid assignments (corpus cells + query
+    probes), exactly as in the composed quantized ANN."""
+    plan = plan_of(QUERIES["sim_ivf_pq_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin [cid#" in plan, plan[:1500]
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:1500]
+
+
 def test_rerank_python_stage_is_candidate_bounded(spark, sf_dir):
     """The cross-encoder seam runs exactly ONE Arrow-batched Python
     stage, and it consumes the narrow (query_id, neighbor_id) candidate
