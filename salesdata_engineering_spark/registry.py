@@ -604,25 +604,34 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "distinct_pairs",
     "agg_grouping_variants",
     "events_funnel_conversion",
-    "graph_pagerank_bipartite",
+    # graph rep rotated r7: BFS levels (new r6 surface, recursive-CTE
+    # oracle) replaces pagerank (driver-green r5+r6, now in the tail)
+    "graph_bfs_levels",
     # joins (anti rep rotated to the tail r6; semi/q13/q3 cover the row)
     "join_semi_customers_with_orders",
     "q13_customer_order_distribution",
     "q3_shipping_priority",
-    # sorts / top-k / windows (frames rep rotated to the tail r6)
+    # sorts / top-k / windows (frames rep rotated r6, global top-k and
+    # the analytics-suite umbrella rotated r7 — topk_suppliers keeps the
+    # O/W rows; ignore-nulls navigation gets its first driver check)
     "topk_suppliers_per_nation",
-    "global_topk_orders",
-    "window_analytics_suite",
+    "window_ignore_nulls_family",
     # set ops (multiset rep rotated to the tail r6)
     "setop_union_compat",
-    # scalar / date / array / json / subqueries / UDF surface
+    # scalar / date / array / json / modern SQL / UDF surface
+    # (subqueries_combined rotated to the tail r7; the recursive-CTE
+    # month spine represents the modern-SQL family in the window)
     "scalar_string_functions",
     "date_null_predicates",
     "text_bigram_logprob",
     "json_functions",
-    "subqueries_combined",
+    "sql_recursive_month_spine",
     "udf_surface",
-    "skew_salted_sum",
+    # skew reps rotated r7: the salted JOIN (r6 surface, salt-keyed
+    # shuffle plan test) replaces the salted-sum aggregate
+    "join_skew_salted",
+    # stats family's first driver check (Welch two-sample t-test)
+    "stats_welch_ttest",
     # events: batch windows, as-of / interval joins, streaming
     # (session_windows + stream_stream_join rotated to the tail r6;
     # sessionization is now represented by events_session_funnel)
@@ -654,11 +663,14 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "contamination_ngram_overlap",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
-    "sim_lsh_ann_topk",
     # composed IVF+quantized supersedes plain IVF as the X7 window rep
     # (same cell machinery plus the quantized scan; plain IVF stays
-    # registered in the tail, pytest-oracle-checked)
+    # registered in the tail, pytest-oracle-checked). r7 rotation: the
+    # new IVF-PQ (cell-gated ADC scan) replaces the LSH rep — LSH
+    # bucketing stays covered by sim_embedding_near_dup's multi-table
+    # sign-bit buckets, and lsh_ann stays pytest-checked in the tail.
     "sim_ivf_quantized_topk",
+    "sim_ivf_pq_topk",
     "sim_embedding_near_dup",
     "multimodal_featurize",
     "sample_deterministic",

@@ -20,16 +20,18 @@ REQUIRED_IN_WINDOW = {
     # grouping variants + stats + pivot
     "agg_grouping_variants",
     "events_funnel_conversion",
-    "graph_pagerank_bipartite",
+    # graph rep since r7: BFS (pagerank driver-green r5-r6, in the tail)
+    "graph_bfs_levels",
     # join family (full-outer + anti reps live in the tail since r6;
     # semi/left/q13/q3 cover the §2 row inside the window)
     "join_semi_customers_with_orders",
     "q13_customer_order_distribution",
     "q3_shipping_priority",
-    # sorts / topk / windows (frames rep in the tail since r6)
+    # sorts / topk / windows (frames rep in the tail since r6; global
+    # top-k and the analytics-suite umbrella in the tail since r7 —
+    # topk_suppliers covers the O/W rows in the window)
     "topk_suppliers_per_nation",
-    "global_topk_orders",
-    "window_analytics_suite",
+    "window_ignore_nulls_family",
     # set ops (multiset rep in the tail since r6)
     "setop_union_compat",
     # scalar families / subqueries / UDFs / skew
@@ -37,9 +39,12 @@ REQUIRED_IN_WINDOW = {
     "date_null_predicates",
     "text_bigram_logprob",
     "json_functions",
-    "subqueries_combined",
+    # modern-SQL rep since r7 (subqueries_combined in the tail)
+    "sql_recursive_month_spine",
     "udf_surface",
-    "skew_salted_sum",
+    # skew rep since r7: salted JOIN (salted-sum agg in the tail)
+    "join_skew_salted",
+    "stats_welch_ttest",
     # events + streaming + temporal joins (session_windows and
     # stream_stream_join in the tail since r6; sessionization is
     # represented by events_session_funnel)
@@ -69,8 +74,10 @@ REQUIRED_IN_WINDOW = {
     "contamination_ngram_overlap",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
-    "sim_lsh_ann_topk",
+    # ANN reps since r7: composed IVF+quantized and IVF-PQ (LSH rep in
+    # the tail; sign-bit bucketing still covered by embedding_near_dup)
     "sim_ivf_quantized_topk",
+    "sim_ivf_pq_topk",
     "sim_embedding_near_dup",
     "multimodal_featurize",
     "sample_deterministic",
@@ -98,6 +105,12 @@ def test_umbrella_constituents_still_registered():
     for name in (
         # demoted from the window (family already represented there) —
         # must stay registered + pytest-oracle-checked in the tail
+        "graph_pagerank_bipartite",
+        "global_topk_orders",
+        "window_analytics_suite",
+        "subqueries_combined",
+        "skew_salted_sum",
+        "sim_lsh_ann_topk",
         "join_anti_customers_without_orders",
         "window_frames_bounded",
         "setop_multiset_family",
