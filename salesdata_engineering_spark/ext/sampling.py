@@ -223,3 +223,48 @@ def curriculum_sample(
         .filter(_gate(F.col(id_col), salt) < F.col("tile") * per_tile)
         .drop("_th")
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    epochs: dict[str, float],
+    id_col: str,
+    source_col: str = "source",
+    salt: str = "epochs",
+) -> DataFrame:
+    """Deterministic fractional-epoch UPsampling: the mixture-weighting
+    step of a training pipeline where curated sources REPEAT (wiki
+    ×3.3, books ×2) while bulk crawl stays ×1 or below —
+    :func:`rebalance_sources` only caps, this one multiplies.
+
+    A row of source s appears ``floor(e_s)`` times, plus once more iff
+    its hash gate lands under ``frac(e_s)`` — so expected source volume
+    is n_s·e_s (gate quantized to 1/10000ths) and WHICH rows get the
+    extra repeat is a pure function of (salt, id): stable across
+    reruns, engines, layout, and task retries, and independent per
+    salt. The ``epoch`` output column (0..reps−1) keeps the copies
+    distinguishable so shard shuffling can spread a document's repeats
+    across training order instead of packing them back to back.
+    Sources absent from ``epochs`` are dropped (whitelist — same
+    contract as :func:`rebalance_sources`). e_s < 1 degrades to plain
+    hash down-sampling.
+
+    Scale shape: a literal CASE map + one gate comparison + one
+    explode — purely narrow, no shuffle, no RNG state; the corpus is
+    read once and rows fan out in place."""
+    e_whole: Column | None = None
+    e_fb: Column | None = None
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"negative epochs for source {s!r}: {e}")
+        w, fb = int(e), int(round((e - int(e)) * _BUCKETS))
+        e_whole = (F.when(F.col(source_col) == s, w) if e_whole is None
+                   else e_whole.when(F.col(source_col) == s, w))
+        e_fb = (F.when(F.col(source_col) == s, fb) if e_fb is None
+                else e_fb.when(F.col(source_col) == s, fb))
+    reps = e_whole + (_gate(F.col(id_col), salt) < e_fb).cast("int")
+    out = df.withColumn("_reps", reps).filter(F.col("_reps") > 0)
+    return (
+        out.withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)))
+        .drop("_reps")
+    )

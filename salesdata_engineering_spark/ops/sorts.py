@@ -10,6 +10,7 @@ global top-k.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def order_by(df: DataFrame, *order: Column | str) -> DataFrame:
@@ -24,3 +25,54 @@ def limit(df: DataFrame, n: int) -> DataFrame:
 def top_k_global(df: DataFrame, order: Column | str, k: int) -> DataFrame:
     """Global top-k → TakeOrderedAndProject physical op."""
     return df.orderBy(order).limit(k)
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column | str],
+    alias: str = "rn",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global contiguous 1-based row numbering by a TOTAL order — the
+    sharding primitive of a training-data pipeline (deterministic
+    example/shard ids over a corpus) — WITHOUT the single-partition
+    window that ``row_number() OVER (ORDER BY ...)`` plans naively.
+
+    The naive form funnels the whole dataset through ONE task (Spark
+    warns `No Partition Defined for Window operation`); at 100 TB that
+    is the job. This uses the classic two-pass offset scheme instead:
+
+    1. range-partition + sort by the order (the same machinery a global
+       sort uses — each partition holds a contiguous key range),
+    2. count rows per partition (tiny: n_parts rows) and prefix-sum
+       those counts into per-partition offsets on the driver-side-tiny
+       frame (its window IS single-partition — over n_parts rows),
+    3. number rows within each partition and add the broadcast offset.
+
+    Equal to the naive global row_number for any TOTAL order (ties
+    would make both forms nondeterministic — pass a tie-breaking key).
+    The partitioned frame is persisted: both the counts pass and the
+    numbering pass read it, and without the cut the range sort runs
+    twice. Cost: one range exchange + one tiny aggregate — the same
+    price as ``orderBy``, and every stage is 100 TB-parallel."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("_pid").count()
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    w_in = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, F.row_number().over(w_in) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

@@ -589,6 +589,120 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_interpolate",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b, types),
+    k AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sv
+          FROM events WHERE value > 150 GROUP BY 1, 2),
+    g AS (SELECT s.event_type, s.hour, COALESCE(k.n, 0) AS n,
+                 CAST(k.sv AS DOUBLE) / k.n AS ka
+          FROM spine s LEFT JOIN k USING (event_type, hour)),
+    w AS (SELECT event_type, hour, n, ka,
+                 last_value(ka IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN ka IS NOT NULL THEN hour END
+                            IGNORE NULLS) OVER wb AS pt,
+                 first_value(ka IGNORE NULLS) OVER wf AS nv,
+                 first_value(CASE WHEN ka IS NOT NULL THEN hour END
+                             IGNORE NULLS) OVER wf AS nt
+          FROM g
+          WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, hour, n,
+           floor((CASE WHEN ka IS NOT NULL THEN ka
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                            pv + (nv - pv) * ((epoch(hour) - epoch(pt))
+                                              / (epoch(nt) - epoch(pt)))
+                  END) * 1e6 + 0.5) / 1e6 AS avg_value
+    FROM w
+    """,
+    doc="Per-series linear interpolation over a gap-filled hourly grid "
+    "— the missing-value repair step after resampling (gap-fill "
+    "inserts the empty buckets; this estimates them): for each "
+    "(event_type, hour) with no qualifying observations (value > 150 "
+    "keeps the series sparse so the interpolation path actually "
+    "exercises), the value is the time-weighted blend of the nearest "
+    "known neighbors, pv + (nv-pv)*(t-pt)/(nt-pt); hours before the "
+    "first / after the last known point stay NULL (no extrapolation). "
+    "LOCF carry-forward/backward comes from IGNORE NULLS window "
+    "navigation over the tiny spine grid (types x hours — KB-sized at "
+    "any corpus scale; the event rows themselves shuffle once into "
+    "the hourly aggregate). Interpolation weights are exact integer "
+    "epoch-second differences, so both engines compute identical "
+    "doubles.",
+)
+def q_events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    ).crossJoin(e.select("event_type").distinct())
+    known = (
+        e.filter(F.col("value") > 150)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"), F.sum(_dec_val()).alias("_sv"))
+    )
+    g = spine.join(known, ["event_type", "hour"], "left_outer").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        (F.col("_sv").cast("double") / F.col("n")).alias("_ka"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_hour = F.when(F.col("_ka").isNotNull(), F.col("hour"))
+    w = g.select(
+        "event_type",
+        "hour",
+        "n",
+        "_ka",
+        F.last("_ka", ignorenulls=True).over(wb).alias("_pv"),
+        F.last(known_hour, ignorenulls=True).over(wb).alias("_pt"),
+        F.first("_ka", ignorenulls=True).over(wf).alias("_nv"),
+        F.first(known_hour, ignorenulls=True).over(wf).alias("_nt"),
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("_pt")).cast("double")
+        / (F.unix_timestamp("_nt") - F.unix_timestamp("_pt")).cast("double")
+    )
+    filled = (
+        F.when(F.col("_ka").isNotNull(), F.col("_ka"))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac,
+        )
+    )
+    # floor-quantized to micro-units, NOT round(_, 6): the engines'
+    # double-round implementations disagree in the last digit near
+    # rounding boundaries (caught at sf0.01); floor(x*1e6 + 0.5) is the
+    # same IEEE ops in both (the PQ-ADC picounit trick at 1e6)
+    return w.select(
+        "event_type",
+        "hour",
+        "n",
+        (F.floor(filled * 1e6 + 0.5) / 1e6).alias("avg_value"),
+    )
+
+
+@register(
     "events_hourly_anomalies",
     """
     WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n

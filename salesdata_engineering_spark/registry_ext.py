@@ -1294,6 +1294,74 @@ def q_sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(_docs(spark, sf_dir), 16, "doc_id")
 
 
+#: source → fractional epochs, exercising repeat+frac (3.3), keep-1
+#: (1.0), pure down-sample (0.4), exact repeat (2.0); others dropped.
+_EPOCHS = {"src0": 3.3, "src1": 1.0, "src2": 0.4, "src3": 2.0}
+_EPOCH_VALUES = ", ".join(
+    f"('{s}', {int(e)}, {int(round((e - int(e)) * 10000))})"
+    for s, e in _EPOCHS.items()
+)
+
+
+@register(
+    "sample_mixture_epochs",
+    f"""
+    WITH e(source, whole, fb) AS (VALUES {_EPOCH_VALUES}),
+    r AS (SELECT d.doc_id, d.source, d.lang,
+                 e.whole + CASE WHEN ({SQL_HASH60.format(
+                     x="'epochs:' || CAST(d.doc_id AS VARCHAR)")} % 10000)
+                     < e.fb THEN 1 ELSE 0 END AS reps
+          FROM documents d JOIN e USING (source))
+    SELECT doc_id, source, lang,
+           CAST(unnest(generate_series(0, reps - 1)) AS INTEGER) AS epoch
+    FROM r
+    """,
+    doc="Deterministic fractional-epoch UPsampling (ext/sampling.py "
+    "mixture_epochs): the training-mixture step where curated sources "
+    "REPEAT (x3.3) while bulk sources stay x1 or below — "
+    "rebalance_sources caps, this multiplies. floor(e) copies per row "
+    "plus one more iff the md5 gate lands under frac(e), with an "
+    "`epoch` column separating copies for shard spreading; membership "
+    "is a pure function of (salt, id) so the mixture is identical "
+    "across engines/reruns/layout. Purely narrow at any scale: CASE "
+    "map + gate + explode, zero shuffles.",
+)
+def q_sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.sampling import mixture_epochs
+
+    return mixture_epochs(_docs(spark, sf_dir), _EPOCHS, "doc_id").select(
+        "doc_id", "source", "lang", "epoch"
+    )
+
+
+@register(
+    "global_row_number_orders",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS rn
+    FROM orders
+    """,
+    doc="Scalable global contiguous row numbering (ops/sorts.py "
+    "global_row_number) — the deterministic example-id/sharding "
+    "primitive for training exports. The oracle's naive "
+    "row_number() OVER (ORDER BY ...) funnels everything through one "
+    "task in Spark; the engine's two-pass form range-partitions by the "
+    "order, prefix-sums tiny per-partition counts, and numbers within "
+    "partitions + broadcast offset — identical output for any total "
+    "order, every stage data-parallel (plan-asserted: no data-sized "
+    "single-partition exchange).",
+)
+def q_global_row_number_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_row_number
+
+    o = load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_orderdate")
+    out = global_row_number(
+        o, [F.col("o_orderdate"), F.col("o_orderkey")], alias="rn"
+    )
+    return out.select("o_orderkey", F.col("rn").cast("long").alias("rn"))
+
+
 @register(
     "text_unigram_logprob",
     f"""

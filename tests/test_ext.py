@@ -708,3 +708,62 @@ def test_bfs_levels_custom_column_names(spark):
         ).collect()
     }
     assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_mixture_epochs_repeat_counts_and_whitelist(spark, sf_dir):
+    """Every src0 doc appears 3 or 4 times (3.3 epochs), src1 exactly
+    once, src2 at most once (0.4 -> down-sample), src3 exactly twice;
+    non-whitelisted sources are dropped; epoch ids are contiguous from
+    0; and the whole mixture is rerun-deterministic."""
+    from collections import Counter
+
+    from salesdata_engineering_spark.datasets import load_tables
+    from salesdata_engineering_spark.ext.sampling import mixture_epochs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    e = {"src0": 3.3, "src1": 1.0, "src2": 0.4, "src3": 2.0}
+    out = mixture_epochs(docs, e, "doc_id").select("doc_id", "source", "epoch")
+    rows = out.collect()
+    assert {r.source for r in rows} == set(e)
+    per_doc = Counter((r.source, r.doc_id) for r in rows)
+    bounds = {"src0": (3, 4), "src1": (1, 1), "src2": (1, 1), "src3": (2, 2)}
+    for (src, _doc), n in per_doc.items():
+        lo, hi = bounds[src]
+        assert lo <= n <= hi, (src, n)
+    # fractional epochs actually split: some src0 docs got the 4th copy
+    src0 = [n for (s, _d), n in per_doc.items() if s == "src0"]
+    assert min(src0) == 3 and max(src0) == 4
+    # epochs contiguous from 0 per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r.source, r.doc_id), []).append(r.epoch)
+    for eps in by_doc.values():
+        assert sorted(eps) == list(range(len(eps)))
+    again = mixture_epochs(docs, e, "doc_id").select("doc_id", "source", "epoch")
+    assert set(rows) == set(again.collect())
+
+
+def test_global_row_number_equals_naive_window(spark, sf_dir):
+    """The two-pass offset scheme must produce EXACTLY the naive global
+    row_number for a total order — including across partition
+    boundaries (the offset arithmetic is the part under test)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from salesdata_engineering_spark.datasets import load_tables
+    from salesdata_engineering_spark.ops.sorts import global_row_number
+
+    o = load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_orderdate")
+    got = {
+        r.o_orderkey: r.rn
+        for r in global_row_number(
+            o, [F.col("o_orderdate"), F.col("o_orderkey")], n_parts=7
+        ).collect()
+    }
+    naive = {
+        r.o_orderkey: r.rn
+        for r in o.withColumn(
+            "rn", F.row_number().over(Window.orderBy("o_orderdate", "o_orderkey"))
+        ).collect()
+    }
+    assert got == naive

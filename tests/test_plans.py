@@ -598,3 +598,15 @@ def test_welch_ttest_broadcasts_dim_and_arms(spark, sf_dir):
     plan = plan_of(QUERIES["stats_welch_ttest"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_global_row_number_no_data_sized_single_partition(spark, sf_dir):
+    """The two-pass global numbering must range-partition the DATA and
+    confine any single-partition work to the tiny per-partition-counts
+    frame — the naive row_number() OVER (ORDER BY ...) would funnel the
+    whole table through one task."""
+    plan = plan_of(QUERIES["global_row_number_orders"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    # at most one SinglePartition exchange (the n_parts-row counts
+    # prefix sum); the orders-sized stream itself must never collapse
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
