@@ -1071,3 +1071,94 @@ def crossencoder_rerank_stub(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "rk", F.round("ce_score", 6).alias("ce_score"))
     )
+
+
+def pca_top_component(
+    corpus: DataFrame,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the (mean-centered) embedding cloud by
+    power iteration — the dimensionality-reduction primitive behind
+    whitening, OPQ rotation estimates, and embedding-drift monitoring:
+    v ← normalize(Σᵢ xᵢ·(xᵢ·v)), which converges to the leading
+    eigenvector of the covariance without ever materializing the d×d
+    Gram matrix (each iteration is one broadcast of v + one pass over
+    the corpus — the only shuffle is a dim-sized positional aggregate).
+    Returns (pos 1..dim, loading) for the final unit direction.
+
+    Cross-engine exactness (the Lloyd-trainer playbook, applied to
+    linear algebra):
+
+    * rows quantize ONCE to integer micro-units (floor(x·1e6 + 0.5)) —
+      the per-position mean is then an exact integer-sum / count, and
+      centered values are exact small integers held in doubles;
+    * per-row scores s = cx·v use the sequential fold (left-assoc IEEE,
+      identical to DuckDB's list_dot_product) and quantize to integers
+      before accumulation;
+    * the accumulate Σ cx·qs is a DECIMAL(38,0) sum of exactly-
+      representable double products (|cx·qs| < 2⁵³) — order-independent
+      across partial aggregates at any corpus size (the bigint trick
+      would overflow past ~100k rows; decimal/HUGEINT holds to 1e38);
+    * each new v is floor-quantized to 6 decimals, quenching last-ulp
+      drift so the NEXT iteration's inputs agree bit-for-bit.
+
+    Sign follows the deterministic v₀ (uniform 1/√dim); flip by
+    convention downstream if needed. The tiny v frame is
+    localCheckpoint'ed per pass (same lineage-cut as
+    :func:`ivf_train_centroids`)."""
+    import math
+
+    spark = corpus.sparkSession
+    q = _spread(corpus).selectExpr(
+        f"transform(`{vec_col}`, x -> CAST(floor(x * 1000000.0D + 0.5D)"
+        " AS BIGINT)) AS _qx"
+    ).persist()
+    by_pos = q.select(F.posexplode("_qx").alias("pos", "_q"))
+    means = by_pos.groupBy("pos").agg(
+        F.floor(F.sum("_q") / F.count("*") + 0.5).cast("bigint").alias("_mq")
+    )
+    marr = (
+        means.agg(F.array_sort(F.collect_list(F.struct("pos", "_mq"))).alias("_pm"))
+        .select(F.expr("transform(_pm, x -> x._mq)").alias("_marr"))
+    )
+    cx = (
+        q.crossJoin(F.broadcast(marr))
+        .selectExpr(
+            "transform(zip_with(_qx, _marr, (a, b) -> a - b),"
+            " x -> CAST(x AS DOUBLE)) AS _cx"
+        )
+        .persist()
+    )
+    v0 = round(1.0 / math.sqrt(dim), 6)
+    v = spark.range(1).select(
+        F.expr(f"transform(sequence(1, {dim}), i -> CAST({v0!r} AS DOUBLE))").alias("_v")
+    )
+    norm = ("sqrt(aggregate(transform(_a, y -> y * y), 0.0D,"
+            " (acc, y) -> acc + y))")
+    for _ in range(iters):
+        s = cx.crossJoin(F.broadcast(v)).select(
+            "_cx",
+            F.floor(dot("_cx", "_v", dim) + F.lit(0.5)).cast("bigint").alias("_qs"),
+        )
+        acc = (
+            s.select(F.posexplode("_cx").alias("pos", "_c"), "_qs")
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("_c") * F.col("_qs")).cast("decimal(38,0)")).alias("_acc")
+            )
+        )
+        a = (
+            acc.agg(F.array_sort(F.collect_list(F.struct("pos", "_acc"))).alias("_pa"))
+            .select(F.expr("transform(_pa, x -> CAST(x._acc AS DOUBLE))").alias("_a"))
+        )
+        v = a.select(
+            F.expr(
+                f"transform(_a, x -> floor(x / {norm} * 1000000.0D + 0.5D)"
+                " / 1000000.0D) AS _v"
+            )
+        ).localCheckpoint()
+    return v.select(F.posexplode("_v").alias("pos0", "loading")).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"), "loading"
+    )

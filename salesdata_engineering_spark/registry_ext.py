@@ -1910,6 +1910,65 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_power_iter(prev_v: str, out_v: str, i: int) -> str:
+    """One unrolled power iteration: integer-quantized scores against
+    the previous direction, HUGEINT positional accumulate, 6-decimal
+    floor-quantized renormalize — mirrors ext/similarity.py
+    pca_top_component step-for-step (same quench discipline as the
+    Lloyd oracle's _sql_lloyd_iter)."""
+    return f"""
+    s{i} AS (SELECT cv, CAST(floor(list_dot_product(cv, v) + 0.5) AS BIGINT) AS qs
+             FROM cx, {prev_v}),
+    ap{i} AS (SELECT i AS pos, SUM(CAST(cv[i] * qs AS HUGEINT)) AS acc
+              FROM s{i}, generate_series(1, 64) AS t(i) GROUP BY i),
+    al{i} AS (SELECT list(CAST(acc AS DOUBLE) ORDER BY pos) AS a FROM ap{i}),
+    {out_v} AS (SELECT list_transform(a,
+                    x -> floor(x / sqrt(list_dot_product(a, a)) * 1000000 + 0.5)
+                         / 1000000) AS v
+                FROM al{i})"""
+
+
+@register(
+    "embedding_pca_top_component",
+    f"""
+    WITH c0 AS (SELECT list_transform(embedding::DOUBLE[],
+                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qx
+                FROM embeddings),
+    mp AS (SELECT i AS pos,
+                  CAST(floor(SUM(qx[i]) / count(*) + 0.5) AS BIGINT) AS mq
+           FROM c0, generate_series(1, 64) AS t(i) GROUP BY i),
+    m AS (SELECT list(mq ORDER BY pos) AS marr FROM mp),
+    cx AS (SELECT list_transform(generate_series(1, 64),
+                      i -> CAST(qx[i] - marr[i] AS DOUBLE)) AS cv
+           FROM c0, m),
+    v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS v),
+    {_sql_power_iter("v0", "v1", 1)},
+    {_sql_power_iter("v1", "v2", 2)}
+    SELECT CAST(t.i AS INT) AS pos, v[t.i] AS loading
+    FROM v2, generate_series(1, 64) AS t(i)
+    """,
+    doc="Top principal direction of the mean-centered embedding cloud "
+    "by Gram-free power iteration (ext/similarity.py "
+    "pca_top_component) — the dimensionality-reduction primitive "
+    "behind whitening/OPQ/drift monitoring. Each pass is one broadcast "
+    "of the 64-float direction + one corpus scan; the only shuffle is "
+    "a dim-sized positional aggregate. Exactness: rows quantize once "
+    "to integer micro-units (exact integer mean), scores quantize "
+    "before accumulating, the accumulate is a DECIMAL(38,0)/HUGEINT "
+    "sum of exactly-representable products (order-independent at any "
+    "corpus size — a bigint would overflow past ~100k rows), and each "
+    "direction floor-quantizes to 6 decimals so the next iteration's "
+    "inputs agree bit-for-bit cross-engine. The oracle unrolls both "
+    "iterations in SQL and hash-matches.",
+)
+def q_embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import pca_top_component
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return pca_top_component(corpus, iters=2, dim=64)
+
+
 @register(
     "multimodal_frame_sample",
     """

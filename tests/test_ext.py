@@ -767,3 +767,26 @@ def test_global_row_number_equals_naive_window(spark, sf_dir):
         ).collect()
     }
     assert got == naive
+
+
+def test_pca_power_iteration_improves_rayleigh_quotient(spark, sf_dir, embs):
+    """The returned direction must be unit-norm and explain MORE
+    variance (Rayleigh quotient vᵀCv) than the uniform start — power
+    iteration increases the quotient monotonically, so a wiring bug
+    (wrong centering, transposed accumulate, bad normalize) shows up
+    as a flat or decreased quotient."""
+    import numpy as np
+
+    from salesdata_engineering_spark.ext.similarity import pca_top_component
+
+    out = pca_top_component(embs, iters=2, dim=64).collect()
+    v = np.array([r.loading for r in sorted(out, key=lambda r: r.pos)])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    x = np.array(
+        [r.embedding for r in embs.select("embedding").collect()], dtype=float
+    )
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc
+    v0 = np.full(64, 1 / 8.0)
+    rq = lambda u: float(u @ cov @ u) / float(u @ u)
+    assert rq(v) > rq(v0) * 1.02, (rq(v), rq(v0))
