@@ -158,3 +158,41 @@ def bfs_levels(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as
+    id-ORIENTED unique edges (src < dst, one row per edge) — the
+    clustering/cohesion primitive (clustering coefficients, community
+    seeds, spam-ring detection are all built on it).
+
+    Wedge enumeration on the oriented edge list: (a<b) ⋈ (b<c) gives
+    each candidate wedge exactly once with a<b<c, and the closing
+    (a,c) equi-join confirms the triangle — so every triangle is
+    counted once with NO dedup pass, and all three joins are
+    key-partitioned equi-joins (never a cross product). Per-node
+    counts explode each triangle into its three corners and hash-
+    aggregate.
+
+    Scale shape: wedge volume is Σ_b d⁻(b)·d⁺(b); at 100 TB the
+    standard refinement is to orient by DEGREE (low→high, tie on id)
+    instead of by id, which provably bounds per-node wedge work by
+    O(√|E|) — same joins, one extra degree computation. Id orientation
+    keeps the demo (and its SQL oracle) simple on the bounded edge
+    lists the registered query builds."""
+    e = edges.select(F.col(src_col).alias("_x"), F.col(dst_col).alias("_y"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1._y") == F.col("e2._x")).select(
+        F.col("e1._x").alias("_a"), F.col("e1._y").alias("_b"), F.col("e2._y").alias("_c")
+    )
+    tri = wedges.join(
+        e3, (F.col("_a") == F.col("e3._x")) & (F.col("_c") == F.col("e3._y"))
+    ).select("_a", "_b", "_c")
+    corners = (
+        tri.select(F.col("_a").alias("node"))
+        .unionAll(tri.select(F.col("_b").alias("node")))
+        .unionAll(tri.select(F.col("_c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

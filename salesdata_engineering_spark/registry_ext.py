@@ -1970,6 +1970,72 @@ def q_embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "graph_triangle_cliques",
+    """
+    WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem WHERE l_partkey < 200),
+    pc AS (SELECT a.s AS x, b.s AS y, count(*) AS cnt
+           FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+           GROUP BY 1, 2),
+    hist AS (SELECT cnt, count(*) AS c FROM pc GROUP BY 1),
+    cum AS (SELECT cnt, SUM(c) OVER (ORDER BY cnt
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   (SELECT count(*) FROM pc) AS n
+            FROM hist),
+    thr AS (SELECT min(cnt) AS t FROM cum WHERE cum * 20 >= 19 * n),
+    e AS (SELECT x, y FROM pc, thr WHERE cnt >= t),
+    tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+            FROM e e1
+            JOIN e e2 ON e1.y = e2.x
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+    GROUP BY 1
+    """,
+    doc="Per-supplier triangle counts over the strong co-supply graph "
+    "(ext/graph.py triangle_counts): suppliers are tied when they "
+    "co-supply a part (bounded: partkey < 200 keeps the demo edge "
+    "build deterministic-sized), the graph keeps only the strongest "
+    "~5% of ties — the p95 threshold computed by explicit INTEGER rank "
+    "arithmetic (cum*20 >= 19*n over the tie-strength histogram, no "
+    "float percentile boundary to disagree on) — and triangles among "
+    "strong ties expose tight trading cliques. Wedge enumeration on "
+    "the id-oriented edge list counts each triangle exactly once via "
+    "three equi-joins (no cross product, no dedup pass); at 100 TB "
+    "orient by degree instead (O(sqrt(|E|)) wedge bound, same joins).",
+)
+def q_graph_triangle_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .ext.graph import triangle_counts
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sp = (
+        li.filter(F.col("l_partkey") < 200)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    pc = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    hist = pc.groupBy("cnt").agg(F.count("*").alias("_c"))
+    wv = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("_cum", F.sum("_c").over(wv)).crossJoin(
+        F.broadcast(pc.agg(F.count("*").alias("_n")))
+    )
+    thr = cum.filter(F.col("_cum") * 20 >= 19 * F.col("_n")).agg(
+        F.min("cnt").alias("_t")
+    )
+    edges = pc.crossJoin(F.broadcast(thr)).filter(F.col("cnt") >= F.col("_t")).select("x", "y")
+    return triangle_counts(edges, "x", "y")
+
+
+@register(
     "multimodal_frame_sample",
     """
     SELECT doc_id AS media_id,

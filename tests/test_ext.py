@@ -790,3 +790,19 @@ def test_pca_power_iteration_improves_rayleigh_quotient(spark, sf_dir, embs):
     v0 = np.full(64, 1 / 8.0)
     rq = lambda u: float(u @ cov @ u) / float(u @ u)
     assert rq(v) > rq(v0) * 1.02, (rq(v), rq(v0))
+
+
+def test_triangle_counts_planted_cliques(spark):
+    """A triangle, a triangle-free square, and a 4-clique: per-node
+    counts must be 1 for triangle corners, absent for the square, and
+    3 for each 4-clique member (C(3,2) triangles through each)."""
+    from salesdata_engineering_spark.ext.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)]
+        + [(10, 11), (11, 12), (12, 13), (10, 13)]
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)],
+        "x int, y int",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges, "x", "y").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 20: 3, 21: 3, 22: 3, 23: 3}
