@@ -1214,3 +1214,89 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_value=F.sum(_dec_val()).cast("double"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "events_attribution_position",
+    """
+    WITH t AS (SELECT user_id, event_id AS touch_id, event_type AS channel,
+                      ts AS touch_ts
+               FROM events WHERE event_type IN ('view', 'click')),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS mc
+          FROM events WHERE event_type = 'purchase'),
+    pr AS (SELECT t.channel, t.touch_ts, t.touch_id, p.purchase_id, p.mc
+           FROM t JOIN p ON t.user_id = p.user_id
+            AND t.touch_ts <= p.purchase_ts
+            AND p.purchase_ts <= t.touch_ts + INTERVAL 7 DAY),
+    rk AS (SELECT *, row_number() OVER w AS rn,
+                  count(*) OVER (PARTITION BY purchase_id) AS n
+           FROM pr
+           WINDOW w AS (PARTITION BY purchase_id ORDER BY touch_ts, touch_id)),
+    sh AS (SELECT channel,
+                  CASE WHEN n = 1 THEN mc
+                       WHEN n = 2 AND rn = 1 THEN mc // 2
+                       WHEN n = 2 THEN mc - mc // 2
+                       WHEN rn = 1 OR rn = n THEN (mc * 2) // 5
+                       ELSE (mc // 5) // (n - 2) END AS share
+           FROM rk)
+    SELECT channel, count(*) AS n_touches,
+           SUM(share) / 1000000.0 AS attributed_revenue
+    FROM sh GROUP BY 1
+    """,
+    doc="Position-based (40/20/40) multi-touch marketing attribution: "
+    "each purchase's value is credited to the user's view/click "
+    "touches in the preceding 7 days — first and last touch 40% each, "
+    "middles splitting 20% — the standard position model between "
+    "last-touch (the as-of join) and linear. The touch-to-purchase "
+    "pairing is the banded interval equi-join (ops/interval.py — no "
+    "nested-loop scan at any scale); shares are integer MICRO-CENT "
+    "floor divisions (mc*2 div 5 etc.), so per-channel sums are exact "
+    "integer sums, order-independent across engines, with sub-micro-"
+    "cent truncation documented rather than float-drifted.",
+)
+def q_events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.interval import interval_join
+
+    e = _events(spark, sf_dir)
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        (F.col("value").cast("decimal(12,2)") * 1000000).cast("bigint").alias("_mc"),
+    )
+    pairs = interval_join(
+        touches, purch, ["user_id"], "touch_ts", "purchase_ts", "7 days"
+    )
+    w = Window.partitionBy("purchase_id").orderBy("touch_ts", "touch_id")
+    wn = Window.partitionBy("purchase_id")
+    rk = pairs.select(
+        "channel",
+        "_mc",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    share = (
+        F.when(F.col("_n") == 1, F.col("_mc"))
+        .when((F.col("_n") == 2) & (F.col("_rn") == 1), F.expr("_mc div 2"))
+        .when(F.col("_n") == 2, F.col("_mc") - F.expr("_mc div 2"))
+        .when(
+            (F.col("_rn") == 1) | (F.col("_rn") == F.col("_n")),
+            F.expr("(_mc * 2) div 5"),
+        )
+        .otherwise(F.expr("(_mc div 5) div (_n - 2)"))
+    )
+    return (
+        rk.select("channel", share.alias("_share"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            (F.sum("_share") / F.lit(1000000.0)).alias("attributed_revenue"),
+        )
+    )

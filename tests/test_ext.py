@@ -806,3 +806,69 @@ def test_triangle_counts_planted_cliques(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(edges, "x", "y").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 20: 3, 21: 3, 22: 3, 23: 3}
+
+
+def test_attribution_shares_conserve_and_position(spark):
+    """Hand-built journey: 4 touches before one 100.00 purchase must
+    split 40/[10,10]/40 (micro-cent integer divisions); a single-touch
+    journey gets 100%; a touch AFTER the purchase gets nothing."""
+    import datetime
+
+    from salesdata_engineering_spark.registry import QUERIES  # noqa: F401
+    from salesdata_engineering_spark.ops.interval import interval_join
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def ts(d, h=0):
+        return datetime.datetime(2024, 1, d, 10 + h)
+
+    events = spark.createDataFrame(
+        [
+            # user 1: view,click,view,click -> purchase 100.00
+            (1, 1, "view", ts(1), 0.0),
+            (2, 1, "click", ts(2), 0.0),
+            (3, 1, "view", ts(3), 0.0),
+            (4, 1, "click", ts(4), 0.0),
+            (5, 1, "purchase", ts(5), 100.0),
+            # user 2: one view -> purchase 50.00; later view ignored
+            (6, 2, "view", ts(1), 0.0),
+            (7, 2, "purchase", ts(2), 50.0),
+            (8, 2, "view", ts(3), 0.0),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    touches = events.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        (F.col("value").cast("decimal(12,2)") * 1000000).cast("bigint").alias("_mc"),
+    )
+    pairs = interval_join(
+        touches, purch, ["user_id"], "touch_ts", "purchase_ts", "7 days"
+    )
+    w = Window.partitionBy("purchase_id").orderBy("touch_ts", "touch_id")
+    wn = Window.partitionBy("purchase_id")
+    rk = pairs.select(
+        "channel", "touch_id", "_mc",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    share = (
+        F.when(F.col("_n") == 1, F.col("_mc"))
+        .when((F.col("_n") == 2) & (F.col("_rn") == 1), F.expr("_mc div 2"))
+        .when(F.col("_n") == 2, F.col("_mc") - F.expr("_mc div 2"))
+        .when((F.col("_rn") == 1) | (F.col("_rn") == F.col("_n")), F.expr("(_mc * 2) div 5"))
+        .otherwise(F.expr("(_mc div 5) div (_n - 2)"))
+    )
+    got = {r.touch_id: r.s for r in rk.select("touch_id", share.alias("s")).collect()}
+    # 100.00 -> 40.00 / 10.00 / 10.00 / 40.00 in micro-cents
+    assert got[1] == 40_000_000 and got[4] == 40_000_000
+    assert got[2] == 10_000_000 and got[3] == 10_000_000
+    assert got[6] == 50_000_000  # single touch gets all of 50.00
+    assert 8 not in got  # touch after the purchase never pairs
