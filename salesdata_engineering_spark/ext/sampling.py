@@ -268,3 +268,50 @@ def mixture_epochs(
         out.withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)))
         .drop("_reps")
     )
+
+
+def negative_pair_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    salt: str = "neg",
+    payload: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor row, ``k`` pseudo-random OTHER rows drawn uniformly
+    (with replacement) from the corpus — the (anchor, negative) pair
+    generator behind embedding-model and reranker training sets.
+
+    neg(anchor, j) = md5(salt:anchor:j) mod N, with the self-collision
+    deterministically rejected to (neg+1) mod N. A pure function of
+    (salt, anchor, j): the same pairs on every rerun, engine, layout,
+    and cluster size, and independent pair sets per salt. Requires a
+    dense 0-based integer id space (same contract as the PQ codebook
+    sampler — the modulus IS the id map). ``payload`` columns are
+    joined back from the corpus for the sampled negatives, which also
+    proves each drawn id exists.
+
+    Scale shape: one tiny count broadcast onto the corpus, a k-way
+    explode, and (with payload) one id-equi-join — no shuffle beyond
+    that join, no RNG state."""
+    n_frame = df.agg(F.count("*").alias("_n"))
+    expanded = (
+        df.select(F.col(id_col).alias("anchor_id"))
+        .crossJoin(F.broadcast(n_frame))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    )
+    h = md5_long(
+        F.concat(
+            F.col("anchor_id").cast("string"), F.lit(":"), F.col("j").cast("string")
+        ),
+        salt,
+    )
+    cand = F.pmod(h, F.col("_n"))
+    neg = F.when(cand == F.col("anchor_id"), F.pmod(cand + 1, F.col("_n"))).otherwise(
+        cand
+    )
+    out = expanded.select("anchor_id", "j", neg.alias("neg_id"))
+    if payload:
+        right = df.select(F.col(id_col).alias("neg_id"), *payload)
+        out = out.join(right, "neg_id").select("anchor_id", "j", "neg_id", *payload)
+    return out

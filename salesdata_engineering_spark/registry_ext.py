@@ -1363,6 +1363,88 @@ def q_global_row_number_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_negative_pairs",
+    f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    a AS (SELECT doc_id AS anchor_id,
+                 unnest(generate_series(0, 3)) AS j, n.n
+          FROM documents, n),
+    c AS (SELECT anchor_id, j, n,
+                 ({SQL_HASH60.format(
+                     x="'neg:' || anchor_id || ':' || j")}) % n AS cand
+          FROM a),
+    neg AS (SELECT anchor_id, CAST(j AS INT) AS j,
+                   CASE WHEN cand = anchor_id THEN (cand + 1) % n
+                        ELSE cand END AS neg_id
+            FROM c)
+    SELECT neg.anchor_id, neg.j, neg.neg_id, d.source AS neg_source
+    FROM neg JOIN documents d ON neg.neg_id = d.doc_id
+    """,
+    doc="Deterministic contrastive negative sampling (ext/sampling.py "
+    "negative_pair_sample): k=4 uniform with-replacement negatives per "
+    "anchor via md5(salt:anchor:j) mod N with deterministic "
+    "self-collision rejection — the (anchor, negative) pair generator "
+    "for embedding/reranker training sets, reproducible across "
+    "engines/reruns/layout with independent sets per salt. The "
+    "payload join (neg_source) doubles as an existence proof for "
+    "every drawn id. One tiny count broadcast + k-way explode + one "
+    "id-equi-join; no RNG state anywhere.",
+)
+def q_sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.sampling import negative_pair_sample
+
+    out = negative_pair_sample(_docs(spark, sf_dir), "doc_id", k=4, payload=("source",))
+    return out.select(
+        "anchor_id", F.col("j").cast("int").alias("j"), "neg_id",
+        F.col("source").alias("neg_source"),
+    )
+
+
+@register(
+    "profile_equidepth_histogram",
+    """
+    WITH rn AS (SELECT o_totalprice,
+                       row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                           AS rn,
+                       (SELECT count(*) FROM orders) AS n
+                FROM orders)
+    SELECT CAST(((rn - 1) * 10) // n AS INT) AS bucket,
+           count(*) AS n_rows,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM rn GROUP BY 1
+    """,
+    doc="Equi-depth (equal-frequency) 10-bucket histogram of order "
+    "totals — the optimizer/profiling statistic fixed-width histograms "
+    "miss on skewed data (profile_price_histogram is the fixed-width "
+    "twin). Bucket = floor((rank-1)*10/N) by explicit integer "
+    "arithmetic over the scalable two-pass global row numbering "
+    "(ops/sorts.py global_row_number), so no data-sized single-task "
+    "window anywhere and the bucket boundaries are deterministic — "
+    "the oracle's naive global window computes the identical ranks.",
+)
+def q_profile_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_row_number
+
+    o = load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice")
+    rn = global_row_number(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")], alias="_rn"
+    ).crossJoin(F.broadcast(o.agg(F.count("*").alias("_n"))))
+    return (
+        rn.select(
+            F.expr("CAST(((_rn - 1) * 10) div _n AS INT)").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
     "text_unigram_logprob",
     f"""
     WITH tk AS (

@@ -872,3 +872,25 @@ def test_attribution_shares_conserve_and_position(spark):
     assert got[2] == 10_000_000 and got[3] == 10_000_000
     assert got[6] == 50_000_000  # single touch gets all of 50.00
     assert 8 not in got  # touch after the purchase never pairs
+
+
+def test_negative_pairs_never_self_and_deterministic(spark, sf_dir):
+    """No sampled negative may equal its anchor; ids must exist in the
+    corpus; per-anchor count is exactly k; different salts give
+    different (independent) pair sets; same salt reproduces exactly."""
+    from salesdata_engineering_spark.datasets import load_tables
+    from salesdata_engineering_spark.ext.sampling import negative_pair_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = negative_pair_sample(docs, "doc_id", k=3).collect()
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all(r.neg_id != r.anchor_id for r in out)
+    assert all(r.neg_id in ids for r in out)
+    from collections import Counter
+
+    per_anchor = Counter(r.anchor_id for r in out)
+    assert set(per_anchor.values()) == {3}
+    again = {(r.anchor_id, r.j, r.neg_id) for r in negative_pair_sample(docs, "doc_id", k=3).collect()}
+    assert {(r.anchor_id, r.j, r.neg_id) for r in out} == again
+    other = {(r.anchor_id, r.j, r.neg_id) for r in negative_pair_sample(docs, "doc_id", k=3, salt="neg2").collect()}
+    assert other != again
