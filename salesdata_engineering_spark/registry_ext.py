@@ -1445,6 +1445,136 @@ def q_profile_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "text_zipf_fit",
+    f"""
+    WITH tk AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS f FROM tk WHERE term <> '' GROUP BY 1),
+    top AS (SELECT term, f FROM tf ORDER BY f DESC, term LIMIT 200),
+    rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM top),
+    q AS (SELECT CAST(floor(ln(r) * 1000000 + 0.5) AS BIGINT) AS qx,
+                 CAST(floor(ln(f) * 1000000 + 0.5) AS BIGINT) AS qy
+          FROM rk),
+    s AS (SELECT count(*) AS n, SUM(qx) AS sx, SUM(qy) AS sy,
+                 SUM(qx * qy) AS sxy, SUM(qx * qx) AS sxx FROM q),
+    fit AS (SELECT n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+            FROM s)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           floor(slope * 1000000 + 0.5) / 1000000 AS zipf_slope,
+           floor((syd - slope * sxd) / n / 1000000 * 1000000 + 0.5) / 1000000
+               AS intercept_nats
+    FROM fit
+    """,
+    doc="Zipf-law fit over the corpus vocabulary (corpus-statistics "
+    "audit for training data): OLS slope of ln(freq) on ln(rank) for "
+    "the top-200 terms — natural text sits near -1; a slope far off "
+    "flags boilerplate/templated corpora the quality gates miss. "
+    "Top-200 selection is TakeOrderedAndProject (no vocab-sized sort); "
+    "the 200-row rank window coalesces to one tiny partition; ln "
+    "values quantize to integer micro-nats so every OLS power sum is "
+    "an exact integer sum (the Welch/OLS discipline), and the "
+    "slope/intercept arithmetic is an identical fixed IEEE sequence "
+    "in both engines, floor-quantized at 1e-6 on output.",
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .ext.text import tokens
+
+    d = _docs(spark, sf_dir)
+    tk = d.select(F.explode(tokens("text")).alias("term")).filter(F.col("term") != "")
+    tf = tk.groupBy("term").agg(F.count("*").alias("f"))
+    top = tf.orderBy(F.col("f").desc(), "term").limit(200)
+    w = Window.orderBy(F.col("f").desc(), "term")
+    rk = top.coalesce(1).select("f", F.row_number().over(w).alias("r"))
+    q = rk.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("qx"),
+        F.floor(F.log(F.col("f").cast("double")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("qy"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+    )
+    nd, sxd = F.col("n").cast("double"), F.col("sx").cast("double")
+    syd, sxyd, sxxd = (
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (F.floor(slope * 1000000 + 0.5) / 1000000).alias("zipf_slope"),
+        (
+            F.floor((syd - slope * sxd) / F.col("n") / 1000000 * 1000000 + 0.5)
+            / 1000000
+        ).alias("intercept_nats"),
+    )
+
+
+@register(
+    "dq_chisq_uniform_priority",
+    """
+    WITH c AS (SELECT o_orderpriority AS category, count(*) AS o
+               FROM orders GROUP BY 1),
+    s AS (SELECT count(*) AS k, SUM(o) AS n FROM c),
+    dev AS (SELECT (k * o - n) * (k * o - n) AS num, k, n FROM c, s)
+    SELECT CAST(max(k) AS INT) AS k_categories,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(k) - 1 AS INT) AS dof,
+           floor(CAST(SUM(num) AS DOUBLE) / CAST(max(k) * max(n) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS chi2
+    FROM dev
+    """,
+    doc="Chi-square goodness-of-fit against the uniform distribution "
+    "over order priorities — the categorical drift/balance audit next "
+    "to the Benford digit test: chi2 = sum((O-E)^2/E) computed as the "
+    "algebraically identical integer form sum((k*O - n)^2) / (k*n), so "
+    "every deviation term is an exact integer and only the final "
+    "division touches doubles (floor-quantized at 1e-6). One tiny "
+    "aggregate over the category counts; compare chi2 against the "
+    "chi-square critical value for dof externally.",
+)
+def q_dq_chisq_uniform_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    c = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count("*").alias("o")
+    )
+    s = c.agg(F.count("*").alias("k"), F.sum("o").alias("n"))
+    dev = c.crossJoin(F.broadcast(s)).select(
+        ((F.col("k") * F.col("o") - F.col("n"))
+         * (F.col("k") * F.col("o") - F.col("n"))).alias("num"),
+        "k",
+        "n",
+    )
+    return dev.agg(
+        F.max("k").cast("int").alias("k_categories"),
+        F.max("n").cast("long").alias("n_rows"),
+        (F.max("k") - 1).cast("int").alias("dof"),
+        (
+            F.floor(
+                F.sum("num").cast("double")
+                / (F.max("k") * F.max("n")).cast("double")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("chi2"),
+    )
+
+
+@register(
     "text_unigram_logprob",
     f"""
     WITH tk AS (

@@ -610,3 +610,20 @@ def test_global_row_number_no_data_sized_single_partition(spark, sf_dir):
     # at most one SinglePartition exchange (the n_parts-row counts
     # prefix sum); the orders-sized stream itself must never collapse
     assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+
+
+def test_attribution_interval_join_no_nested_loop(spark, sf_dir):
+    """The touch->purchase pairing must ride the banded equi-join —
+    a naive ts-inequality join would plan BroadcastNestedLoopJoin and
+    scan |touches|x|purchases| pairs."""
+    plan = plan_of(QUERIES["events_attribution_position"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_join_chain_stays_equi(spark, sf_dir):
+    """Wedge enumeration + closing join must all be equi-joins on node
+    keys; a cross product here is the O(n^3) failure mode."""
+    plan = plan_of(QUERIES["graph_triangle_cliques"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
