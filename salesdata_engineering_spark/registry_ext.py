@@ -2243,7 +2243,16 @@ def q_graph_triangle_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = cum.filter(F.col("_cum") * 20 >= 19 * F.col("_n")).agg(
         F.min("cnt").alias("_t")
     )
-    edges = pc.crossJoin(F.broadcast(thr)).filter(F.col("cnt") >= F.col("_t")).select("x", "y")
+    # persist: the triangle chain references the edge frame THREE times
+    # (e1/e2/e3) and Catalyst does not share the subtree — without the
+    # cut the expensive pair aggregation (and its threshold scalar)
+    # would recompute once per alias
+    from .ext.caching import swap_persist
+
+    edges = swap_persist(
+        "triangle_edges",
+        pc.crossJoin(F.broadcast(thr)).filter(F.col("cnt") >= F.col("_t")).select("x", "y"),
+    )
     return triangle_counts(edges, "x", "y")
 
 

