@@ -242,8 +242,9 @@ def main() -> None:
     # last-line, or scan-any-line) by moving the bulky sf1 per-query
     # detail out of stdout:
     #   * stdout — one compact line: headline metric/value/queries/extras
-    #     plus an sf1 SUMMARY (total, worst ratio, runs, spread ceiling);
-    #     compact separators, ~1.2 KB, comfortably inside the tail budget.
+    #     plus an sf1 SUMMARY (total, timed runs, worst ratio + which
+    #     query, and a pointer to the detail file); compact separators,
+    #     ~1.2 KB, comfortably inside the tail budget.
     #   * BENCH_LOCAL.json (repo root) — the full record including the
     #     per-query sf1 timings/ratios/spreads, for the judge and for
     #     round-over-round diffs.

@@ -291,9 +291,27 @@ def negative_pair_sample(
     joined back from the corpus for the sampled negatives, which also
     proves each drawn id exists.
 
-    Scale shape: one tiny count broadcast onto the corpus, a k-way
-    explode, and (with payload) one id-equi-join — no shuffle beyond
-    that join, no RNG state."""
+    Scale shape: one tiny stats aggregate broadcast onto the corpus, a
+    k-way explode, and (with payload) one id-equi-join — no shuffle
+    beyond that join, no RNG state."""
+    if k < 1:
+        # Spark's sequence(0, k-1) would auto-step DOWNWARD for k<=0
+        # and emit [0, -1] per anchor instead of nothing
+        raise ValueError(f"negative_pair_sample: k must be >= 1, got {k}")
+    # dense-id precondition asserted loudly (same contract — and same
+    # silent-corruption failure mode — as the PQ codebook sampler): on
+    # sparse/offset ids the modulus draws ids that don't exist, so the
+    # payload join silently under-delivers negatives per anchor
+    lo, hi, n = df.agg(
+        F.min(id_col), F.max(id_col), F.count("*")
+    ).first()
+    if lo != 0 or hi != n - 1:
+        raise ValueError(
+            f"negative_pair_sample: '{id_col}' must be a dense 0-based "
+            f"integer id space (ids 0..N-1); got min={lo}, max={hi}, "
+            f"count={n}. Re-key the corpus first, e.g. with a "
+            "row_number over a deterministic order."
+        )
     n_frame = df.agg(F.count("*").alias("_n"))
     expanded = (
         df.select(F.col(id_col).alias("anchor_id"))

@@ -763,7 +763,12 @@ def _pq_chunks_expr(n_sub: int, d_sub: int) -> str:
 
 
 def _pq_codebooks(
-    corpus: DataFrame, n_codes: int, chunks: str, id_col: str, vec_col: str
+    corpus: DataFrame,
+    n_codes: int,
+    chunks: str,
+    id_col: str,
+    vec_col: str,
+    n: int | None = None,
 ) -> Column:
     """Broadcast (s, c, _cchunk, _cc) codebook frame: code c of subspace
     s = the s-th chunk of the corpus vector with id ``c * step``
@@ -774,9 +779,12 @@ def _pq_codebooks(
     sparse or offset ids the ``id % step`` filter silently yields fewer
     (or zero) codebook vectors and a degraded/empty candidate set, so
     the precondition is asserted with a clear error instead (ADVICE
-    r6). The check reuses the count() the step computation already
-    pays, plus one pushed-filter scan of the ~n_codes sample rows."""
-    n = corpus.count()
+    r6). Pass ``n`` when the caller already knows the corpus count
+    (the IVF stride computation does) — each count() here is a
+    driver-blocking job; the density check itself is one pushed-filter
+    scan of the ~n_codes sample rows."""
+    if n is None:
+        n = corpus.count()
     step = max(1, n // n_codes)
     sample = corpus.filter(
         (F.col(id_col) % step == 0) & (F.col(id_col) < n_codes * step)
@@ -846,6 +854,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with an ADC (asymmetric distance
     computation) scan — the third index family next to LSH buckets and
@@ -894,7 +903,9 @@ def pq_adc_topk(
     of the codes are ever scanned."""
     d_sub = dim // n_sub
     chunks = _pq_chunks_expr(n_sub, d_sub)
-    cents_b = _pq_codebooks(corpus, n_codes, chunks, id_col, vec_col)
+    cents_b = _pq_codebooks(
+        corpus, n_codes, chunks, id_col, vec_col, n=corpus_count
+    )
 
     corpus_chunks = _spread(corpus).select(
         F.col(id_col),
@@ -935,6 +946,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     small_queries: bool = True,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: IVF cell pruning composed in front of the PQ-ADC scan —
     the standard production ANN shape (an inverted-file index whose
@@ -980,7 +992,9 @@ def ivf_pq_topk(
 
     d_sub = dim // n_sub
     chunks = _pq_chunks_expr(n_sub, d_sub)
-    cents_b = _pq_codebooks(corpus, n_codes, chunks, id_col, vec_col)
+    cents_b = _pq_codebooks(
+        corpus, n_codes, chunks, id_col, vec_col, n=corpus_count
+    )
     # encode the CELL-ASSIGNED corpus so each code row carries its cid —
     # the carry rides the same (id, s) hash aggregate for free (cid is
     # functionally dependent on id, so the extra group key adds no rows)
@@ -1110,11 +1124,19 @@ def pca_top_component(
     :func:`ivf_train_centroids`)."""
     import math
 
+    from .caching import swap_persist
+
     spark = corpus.sparkSession
-    q = _spread(corpus).selectExpr(
-        f"transform(`{vec_col}`, x -> CAST(floor(x * 1000000.0D + 0.5D)"
-        " AS BIGINT)) AS _qx"
-    ).persist()
+    # swap-persisted, not bare persist: the quantized and centered
+    # frames are corpus-sized and a bare persist would leak one cache
+    # entry per invocation (ext/caching.py, review round 5)
+    q = swap_persist(
+        "pca_quantized",
+        _spread(corpus).selectExpr(
+            f"transform(`{vec_col}`, x -> CAST(floor(x * 1000000.0D + 0.5D)"
+            " AS BIGINT)) AS _qx"
+        ),
+    )
     by_pos = q.select(F.posexplode("_qx").alias("pos", "_q"))
     means = by_pos.groupBy("pos").agg(
         F.floor(F.sum("_q") / F.count("*") + 0.5).cast("bigint").alias("_mq")
@@ -1123,13 +1145,12 @@ def pca_top_component(
         means.agg(F.array_sort(F.collect_list(F.struct("pos", "_mq"))).alias("_pm"))
         .select(F.expr("transform(_pm, x -> x._mq)").alias("_marr"))
     )
-    cx = (
-        q.crossJoin(F.broadcast(marr))
-        .selectExpr(
+    cx = swap_persist(
+        "pca_centered",
+        q.crossJoin(F.broadcast(marr)).selectExpr(
             "transform(zip_with(_qx, _marr, (a, b) -> a - b),"
             " x -> CAST(x AS DOUBLE)) AS _cx"
-        )
-        .persist()
+        ),
     )
     v0 = round(1.0 / math.sqrt(dim), 6)
     v = spark.range(1).select(

@@ -51,19 +51,23 @@ def global_row_number(
 
     Equal to the naive global row_number for any TOTAL order (ties
     would make both forms nondeterministic — pass a tie-breaking key).
-    The partitioned frame is persisted: both the counts pass and the
-    numbering pass read it, and without the cut the range sort runs
-    twice. Cost: one range exchange + one tiny aggregate — the same
+    The partitioned frame is swap-persisted (ext/caching.py): both the
+    counts pass and the numbering pass read it, and without the cut
+    the range sort runs twice — while a BARE persist here would leak
+    one data-sized cache entry per invocation for the session's
+    lifetime. Cost: one range exchange + one tiny aggregate — the same
     price as ``orderBy``, and every stage is 100 TB-parallel."""
     from pyspark.sql import Window
 
+    from ..ext.caching import swap_persist
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
+    ranged = swap_persist(
+        "global_row_number",
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .withColumn("_pid", F.spark_partition_id()),
     )
     counts = ranged.groupBy("_pid").count()
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

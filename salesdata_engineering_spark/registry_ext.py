@@ -2112,13 +2112,19 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,  # the A/B against the linear pq_adc scan is the story
 )
 def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from .ext.similarity import ivf_pq_topk
 
     emb = _embs(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    # ONE count job serves both the IVF stride and the PQ codebook
+    # step (each count is a driver-blocking job on a benched query)
+    n = corpus.count()
     return ivf_pq_topk(
         corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64,
-        stride=_ivf_stride(corpus), nprobe=_IVF_NPROBE,
+        stride=max(1, round(math.sqrt(n))), nprobe=_IVF_NPROBE,
+        corpus_count=n,
     )
 
 
