@@ -1708,3 +1708,85 @@ def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(aov, 4).alias("avg_order_value"),
         F.round(aov / F.col("overall_avg"), 6).alias("seasonal_index"),
     )
+
+
+@register(
+    "stats_spearman_qty_price",
+    """
+    WITH src AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    hx AS (SELECT x, count(*) AS c FROM src GROUP BY 1),
+    rx AS (SELECT x, 2 * (SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                          - c) + c + 1 AS r2
+           FROM hx),
+    hy AS (SELECT y, count(*) AS c FROM src GROUP BY 1),
+    ry AS (SELECT y, 2 * (SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                          - c) + c + 1 AS r2
+           FROM hy),
+    rr AS (SELECT rx.r2 AS a, ry.r2 AS b
+           FROM src JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (SELECT count(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+                 SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+          FROM rr)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS spearman_r
+    FROM s
+    """,
+    doc="Spearman rank correlation with exact tie handling (quantity "
+    "vs price over lineitem) — the robust monotonic-association "
+    "audit next to the Pearson OLS family: ranks are TIE-AVERAGED via "
+    "the value histogram (rank = cum_before + (c+1)/2, held as exact "
+    "integer HALF-units 2*cum_before + c + 1 — the scale factor "
+    "cancels out of the correlation), so no data-sized sort and no "
+    "float rank anywhere: each variable needs only its distinct-value "
+    "histogram + a tiny cumulative window, rows join their ranks by "
+    "value, and all five power sums are exact integer sums (HUGEINT/"
+    "DECIMAL(38,0) — row-level products reach ~1e12 and their sums "
+    "overflow bigint at scale). Only the final correlation arithmetic "
+    "touches doubles, as one fixed IEEE sequence floor-quantized at "
+    "1e-6.",
+)
+def q_stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    src = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+
+    def rank2(col: str) -> DataFrame:
+        h = src.groupBy(col).agg(F.count("*").alias("_c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return h.select(
+            col,
+            (2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1).alias("_r2"),
+        )
+
+    rr = (
+        src.join(F.broadcast(rank2("x").withColumnRenamed("_r2", "_a")), "x")
+        .join(rank2("y").withColumnRenamed("_r2", "_b"), "y")
+        .select("_a", "_b")
+    )
+    s = rr.agg(
+        F.count("*").alias("n"),
+        F.sum("_a").alias("sa"),
+        F.sum("_b").alias("sb"),
+        F.sum((F.col("_a") * F.col("_b")).cast("decimal(38,0)")).alias("sab"),
+        F.sum((F.col("_a") * F.col("_a")).cast("decimal(38,0)")).alias("saa"),
+        F.sum((F.col("_b") * F.col("_b")).cast("decimal(38,0)")).alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sab, saa, sbb = (
+        F.col("sab").cast("double"),
+        F.col("saa").cast("double"),
+        F.col("sbb").cast("double"),
+    )
+    r = (nd * sab - sa * sb) / F.sqrt(
+        (nd * saa - sa * sa) * (nd * sbb - sb * sb)
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        (F.floor(r * 1000000 + 0.5) / 1000000).alias("spearman_r"),
+    )

@@ -62,3 +62,36 @@ def test_hll_sketch_union_equals_direct_estimate(spark, sf_dir, tables):
     assert merged == direct, (merged, direct)
     exact = o.agg(F.countDistinct("o_custkey").alias("n")).collect()[0].n
     assert abs(direct - exact) / exact < 0.03, (direct, exact)
+
+
+def test_spearman_matches_scipy_free_reference(spark, sf_dir):
+    """Tie-averaged integer half-rank Spearman must equal the textbook
+    Pearson-on-tie-averaged-ranks computed independently in numpy."""
+    import numpy as np
+
+    from salesdata_engineering_spark.datasets import load_tables
+    from salesdata_engineering_spark.registry import QUERIES
+
+    got = QUERIES["stats_spearman_qty_price"].fn(spark, sf_dir).collect()[0]
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_quantity", "l_extendedprice"
+    ).toPandas()
+    x, y = li.l_quantity.to_numpy(), li.l_extendedprice.to_numpy()
+
+    def avg_rank(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_rank(x), avg_rank(y)
+    ref = np.corrcoef(rx, ry)[0, 1]
+    assert got.n_rows == len(x)
+    assert abs(got.spearman_r - ref) < 1e-5, (got.spearman_r, ref)
