@@ -947,6 +947,7 @@ def ivf_pq_topk(
     query_id_col: str = "query_id",
     small_queries: bool = True,
     corpus_count: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: IVF cell pruning composed in front of the PQ-ADC scan —
     the standard production ANN shape (an inverted-file index whose
@@ -974,10 +975,13 @@ def ivf_pq_topk(
     as the IVF oracles, and the ADC terms are floor-quantized integer
     picounits, so candidate sets — and therefore results — are
     bit-identical in the DuckDB oracle, which rebuilds the entire
-    composed index in SQL."""
-    centroids = corpus.filter(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
-    )
+    composed index in SQL. Pass ``centroids`` (cid, _cvec — e.g. from
+    :func:`ivf_train_centroids`) to search a trained index with the
+    same cell/probe/ADC machinery (the trained IVF-PQ serving shape)."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
+        )
     cents = F.broadcast(
         centroids.select("cid", "_cvec", norm_fold("_cvec", dim).alias("_cn"))
     )

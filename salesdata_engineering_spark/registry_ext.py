@@ -2128,6 +2128,111 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_pq_trained_topk",
+    f"""
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
+    {_sql_lloyd_iter("cents0", "cents1", 1)},
+    {_sql_lloyd_iter("cents1", "cents2", 2)},
+    cells AS (
+        SELECT vec_id, cid
+        FROM (SELECT c0.vec_id, cents2.cid,
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents2.cv")} AS cs
+              FROM c0, cents2
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid) = 1)
+    ),
+    probes AS (
+        SELECT query_id, cid
+        FROM (SELECT c0.vec_id AS query_id, cents2.cid,
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents2.cv")} AS cs
+              FROM c0, cents2 WHERE c0.vec_id < 10
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
+                      <= {_IVF_NPROBE})
+    ),
+    subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+    pqc AS (
+        SELECT CAST(vec_id // {_PQ_STEP} AS INT) AS c, s,
+               v[s*8 + 1 : s*8 + 8] AS cchunk,
+               list_dot_product(v[s*8 + 1 : s*8 + 8],
+                                v[s*8 + 1 : s*8 + 8]) AS cc
+        FROM c0, subs
+        WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < 64 * {_PQ_STEP}
+    ),
+    enc AS (
+        SELECT vec_id, s, c AS code
+        FROM (SELECT c0.vec_id, pqc.s, pqc.c,
+                     CAST(floor((pqc.cc - 2 * list_dot_product(
+                         c0.v[pqc.s*8 + 1 : pqc.s*8 + 8], pqc.cchunk))
+                         * 1e12 + 0.5) AS BIGINT) AS d
+              FROM c0, pqc
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id, pqc.s
+                                         ORDER BY d, pqc.c) = 1)
+    ),
+    encc AS (SELECT enc.vec_id, cells.cid, enc.s, enc.code
+             FROM enc JOIN cells ON enc.vec_id = cells.vec_id),
+    dt AS (
+        SELECT c0.vec_id AS query_id, pqc.s, pqc.c,
+               CAST(floor((pqc.cc - 2 * list_dot_product(
+                   c0.v[pqc.s*8 + 1 : pqc.s*8 + 8], pqc.cchunk))
+                   * 1e12 + 0.5) AS BIGINT) AS qd
+        FROM c0, pqc WHERE c0.vec_id < 10
+    ),
+    adc AS (
+        SELECT dt.query_id, encc.vec_id, sum(dt.qd) AS dist
+        FROM encc
+        JOIN probes p ON encc.cid = p.cid
+        JOIN dt ON dt.query_id = p.query_id
+               AND encc.s = dt.s AND encc.code = dt.c
+        WHERE encc.vec_id <> dt.query_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist, vec_id) AS rn
+            FROM adc) WHERE rn <= 40
+    ),
+    rr AS (
+        SELECT cand.query_id, cand.vec_id,
+               {{cos}} AS sim
+        FROM cand JOIN c0 c ON cand.vec_id = c.vec_id
+                  JOIN c0 q ON cand.query_id = q.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rk, round(sim, 6) AS cosine_sim
+    FROM (SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= 5
+    """.format(cos=_SQL_COSINE.format(a="c.v", b="q.v")),
+    doc="Trained IVF-PQ (ext/similarity.py ivf_pq_topk over "
+    "ivf_train_centroids): the full production serving shape — "
+    "k-means-trained inverted cells (2 Lloyd iterations, 6-decimal "
+    "mean quench per pass) gating the PQ-ADC code scan on "
+    "(cid, s, code), exact re-rank of the survivors. Completes the "
+    "ANN family matrix (strided/trained centroids x flat/IVF x "
+    "float/int8/PQ); everything — Lloyd means, cell boundaries, ADC "
+    "picounit sums — is quantized so the oracle rebuilds the trained "
+    "composed index in SQL and hash-matches.",
+)
+def q_sim_ivf_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from .ext.similarity import ivf_pq_topk, ivf_train_centroids
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    n = corpus.count()
+    stride = max(1, round(math.sqrt(n)))
+    cents = ivf_train_centroids(corpus, stride=stride, iters=2)
+    return ivf_pq_topk(
+        corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64,
+        stride=stride, nprobe=_IVF_NPROBE, corpus_count=n, centroids=cents,
+    )
+
+
 def _sql_power_iter(prev_v: str, out_v: str, i: int) -> str:
     """One unrolled power iteration: integer-quantized scores against
     the previous direction, HUGEINT positional accumulate, 6-decimal
