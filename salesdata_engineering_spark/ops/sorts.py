@@ -80,3 +80,49 @@ def global_row_number(
         .withColumn(alias, F.row_number().over(w_in) + F.col("_off"))
         .drop("_pid", "_off")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list[Column | str],
+    value: str,
+    alias: str = "cum",
+    n_parts: int | None = None,
+    persist_key: str = "global_cumsum",
+) -> DataFrame:
+    """Running sum of ``value`` over a TOTAL order — the same two-pass
+    offset scheme as :func:`global_row_number`, for cumulative SUMS:
+    a bare ``sum().over(Window.orderBy(...))`` funnels the whole frame
+    through one task, which is fine for a 50-row histogram and a scale
+    bug for a near-unique one. Range-partition by the order, prefix-sum
+    the tiny per-partition totals, add the broadcast offset to the
+    partition-local running sum. Pass a distinct ``persist_key`` per
+    concurrent use inside one query (swap_persist keeps ONE live frame
+    per key)."""
+    from pyspark.sql import Window
+
+    from ..ext.caching import swap_persist
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = swap_persist(
+        persist_key,
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id()),
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value).alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_t").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, F.sum(value).over(w_in) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

@@ -1756,11 +1756,18 @@ def q_stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
 
     def rank2(col: str) -> DataFrame:
+        # the price histogram is near-unique (≈ data-sized), so the
+        # cumulative count rides the two-pass global_cumsum — a bare
+        # Window.orderBy here would single-task-sort the histogram
+        from .ops.sorts import global_cumsum
+
         h = src.groupBy(col).agg(F.count("*").alias("_c"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        return h.select(
+        cum = global_cumsum(
+            h, [col], "_c", alias="_cum", persist_key=f"spearman_rank_{col}"
+        )
+        return cum.select(
             col,
-            (2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1).alias("_r2"),
+            (2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1).alias("_r2"),
         )
 
     rr = (

@@ -894,3 +894,34 @@ def test_negative_pairs_never_self_and_deterministic(spark, sf_dir):
     assert {(r.anchor_id, r.j, r.neg_id) for r in out} == again
     other = {(r.anchor_id, r.j, r.neg_id) for r in negative_pair_sample(docs, "doc_id", k=3, salt="neg2").collect()}
     assert other != again
+
+
+def test_global_cumsum_equals_naive_window(spark, sf_dir):
+    """Two-pass cumulative sum must equal the naive global running sum
+    for a total order — offsets across range-partition boundaries are
+    the part under test."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from salesdata_engineering_spark.datasets import load_tables
+    from salesdata_engineering_spark.ops.sorts import global_cumsum
+
+    h = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .groupBy("l_extendedprice")
+        .agg(F.count("*").alias("c"))
+    )
+    got = {
+        r.l_extendedprice: r.cum
+        for r in global_cumsum(
+            h, ["l_extendedprice"], "c", n_parts=7, persist_key="t_cum"
+        ).collect()
+    }
+    w = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        r.l_extendedprice: r.cum
+        for r in h.withColumn("cum", F.sum("c").over(w)).collect()
+    }
+    assert got == naive
