@@ -301,22 +301,35 @@ def negative_pair_sample(
     # dense-id precondition asserted loudly (same contract — and same
     # silent-corruption failure mode — as the PQ codebook sampler): on
     # sparse/offset ids the modulus draws ids that don't exist, so the
-    # payload join silently under-delivers negatives per anchor
-    lo, hi, n = df.agg(
-        F.min(id_col), F.max(id_col), F.count("*")
+    # payload join silently under-delivers negatives per anchor. The
+    # distinct count closes the duplicate-with-gap loophole (ids
+    # [0,1,1,3] have min=0, max=n-1, count=n but are NOT dense), and
+    # the dtype check rejects fractional id columns the min/max/count
+    # arithmetic cannot see.
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            f"negative_pair_sample: '{id_col}' must be an integral "
+            f"column, got {df.schema[id_col].dataType.simpleString()}"
+        )
+    lo, hi, n, nd = df.agg(
+        F.min(id_col), F.max(id_col), F.count("*"), F.countDistinct(id_col)
     ).first()
-    if lo != 0 or hi != n - 1:
+    if lo != 0 or hi != n - 1 or nd != n:
         raise ValueError(
             f"negative_pair_sample: '{id_col}' must be a dense 0-based "
             f"integer id space (ids 0..N-1); got min={lo}, max={hi}, "
-            f"count={n}. Re-key the corpus first, e.g. with a "
-            "row_number over a deterministic order."
+            f"count={n}, distinct={nd}. Re-key the corpus first, e.g. "
+            "with a row_number over a deterministic order."
         )
-    n_frame = df.agg(F.count("*").alias("_n"))
-    expanded = (
-        df.select(F.col(id_col).alias("anchor_id"))
-        .crossJoin(F.broadcast(n_frame))
-        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    # n is a concrete int here — embedding it as a literal avoids a
+    # SECOND corpus-count aggregate riding the plan via a crossJoin
+    expanded = df.select(F.col(id_col).alias("anchor_id")).withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
     )
     h = md5_long(
         F.concat(
@@ -324,8 +337,8 @@ def negative_pair_sample(
         ),
         salt,
     )
-    cand = F.pmod(h, F.col("_n"))
-    neg = F.when(cand == F.col("anchor_id"), F.pmod(cand + 1, F.col("_n"))).otherwise(
+    cand = F.pmod(h, F.lit(n))
+    neg = F.when(cand == F.col("anchor_id"), F.pmod(cand + 1, F.lit(n))).otherwise(
         cand
     )
     out = expanded.select("anchor_id", "j", neg.alias("neg_id"))

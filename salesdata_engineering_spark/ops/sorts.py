@@ -32,6 +32,7 @@ def global_row_number(
     order: list[Column | str],
     alias: str = "rn",
     n_parts: int | None = None,
+    persist_key: str = "global_row_number",
 ) -> DataFrame:
     """Global contiguous 1-based row numbering by a TOTAL order — the
     sharding primitive of a training-data pipeline (deterministic
@@ -64,7 +65,7 @@ def global_row_number(
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     ranged = swap_persist(
-        "global_row_number",
+        persist_key,
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id()),

@@ -1724,8 +1724,11 @@ def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM hy),
     rr AS (SELECT rx.r2 AS a, ry.r2 AS b
            FROM src JOIN rx USING (x) JOIN ry USING (y)),
-    s AS (SELECT count(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
-                 SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+    s AS (SELECT count(*) AS n,
+                 SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+                 SUM(CAST(a AS HUGEINT) * b) AS sab,
+                 SUM(CAST(a AS HUGEINT) * a) AS saa,
+                 SUM(CAST(b AS HUGEINT) * b) AS sbb
           FROM rr)
     SELECT CAST(n AS BIGINT) AS n_rows,
            floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
@@ -1775,13 +1778,19 @@ def q_stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rank2("y").withColumnRenamed("_r2", "_b"), "y")
         .select("_a", "_b")
     )
+    # cast ONE operand to decimal BEFORE multiplying (and the plain
+    # rank sums too): half-ranks reach ~2N, so a long product 4N^2
+    # wraps silently past ~1.5e9 rows — inside the 100 TB envelope —
+    # while decimal keeps every sum exact (the oracle uses HUGEINT)
+    a38 = F.col("_a").cast("decimal(38,0)")
+    b38 = F.col("_b").cast("decimal(38,0)")
     s = rr.agg(
         F.count("*").alias("n"),
-        F.sum("_a").alias("sa"),
-        F.sum("_b").alias("sb"),
-        F.sum((F.col("_a") * F.col("_b")).cast("decimal(38,0)")).alias("sab"),
-        F.sum((F.col("_a") * F.col("_a")).cast("decimal(38,0)")).alias("saa"),
-        F.sum((F.col("_b") * F.col("_b")).cast("decimal(38,0)")).alias("sbb"),
+        F.sum(a38).alias("sa"),
+        F.sum(b38).alias("sb"),
+        F.sum(a38 * F.col("_b")).alias("sab"),
+        F.sum(a38 * F.col("_a")).alias("saa"),
+        F.sum(b38 * F.col("_b")).alias("sbb"),
     )
     nd = F.col("n").cast("double")
     sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")

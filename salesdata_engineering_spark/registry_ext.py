@@ -584,10 +584,14 @@ _SQL_STRIDE = (
 )
 
 
-def _ivf_stride(corpus: DataFrame) -> int:
+def _ivf_stride(corpus: DataFrame, n: int | None = None) -> int:
+    """Centroid stride = round(sqrt(N)) — ONE definition shared by every
+    Python call site (pass ``n`` when the count is already known) and
+    mirrored by _SQL_STRIDE; an inline copy that drifts from the SQL
+    arithmetic silently desynchronizes the index the oracle rebuilds."""
     import math
 
-    return max(1, round(math.sqrt(corpus.count())))
+    return max(1, round(math.sqrt(corpus.count() if n is None else n)))
 
 
 @register(
@@ -2112,8 +2116,6 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,  # the A/B against the linear pq_adc scan is the story
 )
 def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from .ext.similarity import ivf_pq_topk
 
     emb = _embs(spark, sf_dir)
@@ -2123,7 +2125,7 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = corpus.count()
     return ivf_pq_topk(
         corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64,
-        stride=max(1, round(math.sqrt(n))), nprobe=_IVF_NPROBE,
+        stride=_ivf_stride(corpus, n), nprobe=_IVF_NPROBE,
         corpus_count=n,
     )
 
@@ -2218,14 +2220,12 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composed index in SQL and hash-matches.",
 )
 def q_sim_ivf_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from .ext.similarity import ivf_pq_topk, ivf_train_centroids
 
     emb = _embs(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     n = corpus.count()
-    stride = max(1, round(math.sqrt(n)))
+    stride = _ivf_stride(corpus, n)
     cents = ivf_train_centroids(corpus, stride=stride, iters=2)
     return ivf_pq_topk(
         corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64,

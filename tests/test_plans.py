@@ -639,3 +639,21 @@ def test_triangle_join_chain_stays_equi(spark, sf_dir):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) >= 3, plan[:1500]
+
+
+def test_triangle_counts_joins_pure_equi_on_plain_edges(spark):
+    """triangle_counts on a MATERIALIZED edge frame (no cached subtree
+    muddying the plan text): the wedge + closing joins must plan as
+    hash/sort-merge equi-joins — zero nested-loop joins, zero cross
+    products. This is the assertion the registry-level test cannot
+    make, because there the persisted edge subtree's plan text repeats
+    under every consumer."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(0, 40) for b in range(a + 1, 40) if (a * b) % 3 == 0],
+        "x long, y long",
+    )
+    from salesdata_engineering_spark.ext.graph import triangle_counts
+
+    plan = plan_of(triangle_counts(edges, "x", "y"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
