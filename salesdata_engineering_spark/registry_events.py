@@ -1300,3 +1300,85 @@ def q_events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.sum("_share") / F.lit(1000000.0)).alias("attributed_revenue"),
         )
     )
+
+
+@register(
+    "events_hourly_holt",
+    """
+    WITH RECURSIVE c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, hour, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i
+        FROM c),
+    r AS (
+        SELECT event_type, hour, i, CAST(n AS DOUBLE) AS l,
+               CAST(0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS f
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT idx.event_type, idx.hour, idx.i,
+               CAST(0.25 AS DOUBLE) * CAST(idx.n AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * (r.l + r.b),
+               CAST(0.5 AS DOUBLE)
+                 * ((CAST(0.25 AS DOUBLE) * CAST(idx.n AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * (r.l + r.b)) - r.l)
+                 + CAST(0.5 AS DOUBLE) * r.b,
+               r.l + r.b
+        FROM r JOIN idx ON idx.event_type = r.event_type
+                       AND idx.i = r.i + 1)
+    SELECT event_type, hour,
+           floor(l * 1000000 + 0.5) / 1000000 AS level,
+           floor(b * 1000000 + 0.5) / 1000000 AS trend,
+           floor(f * 1000000 + 0.5) / 1000000 AS forecast
+    FROM r
+    """,
+    doc="Holt double-exponential smoothing of hourly event volume per "
+    "type (alpha=0.25, beta=0.5; level seeded at the first "
+    "observation, trend at 0): the trend-aware successor to the EWMA "
+    "baseline, emitting level, trend, and the one-step-ahead forecast "
+    "(l+b of the previous step) that anomaly gates compare against. A "
+    "COUPLED two-variable sequential recurrence — beyond both window "
+    "frames and single-state closed forms — run partition-locally as "
+    "an array fold with struct state in Spark and as the identical "
+    "recursive CTE in the oracle; alpha/beta are exact binary "
+    "fractions and both engines execute the same IEEE sequence per "
+    "step, so level/trend/forecast match bit-for-bit "
+    "(floor-quantized at 1e-6 on output). Shuffle key is event_type, "
+    "exactly like the EWMA twin.",
+)
+def q_events_hourly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    series = c.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "n"))).alias("xs")
+    )
+    lnew = (
+        "0.25D * CAST(x.n AS DOUBLE)"
+        " + 0.75D * (element_at(acc, -1).l + element_at(acc, -1).b)"
+    )
+    fold = (
+        "aggregate(xs,"
+        " CAST(array() AS ARRAY<STRUCT<hour: TIMESTAMP, l: DOUBLE,"
+        " b: DOUBLE, f: DOUBLE>>),"
+        " (acc, x) -> concat(acc, array("
+        " CASE WHEN size(acc) = 0"
+        " THEN struct(x.hour AS hour, CAST(x.n AS DOUBLE) AS l,"
+        "             0.0D AS b, CAST(NULL AS DOUBLE) AS f)"
+        f" ELSE struct(x.hour AS hour, {lnew} AS l,"
+        f"   0.5D * (({lnew}) - element_at(acc, -1).l)"
+        "    + 0.5D * element_at(acc, -1).b AS b,"
+        "   element_at(acc, -1).l + element_at(acc, -1).b AS f)"
+        " END)))"
+    )
+    out = series.select("event_type", F.explode(F.expr(fold)).alias("p"))
+    micro = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return out.select(
+        "event_type",
+        F.col("p.hour").alias("hour"),
+        micro(F.col("p.l")).alias("level"),
+        micro(F.col("p.b")).alias("trend"),
+        micro(F.col("p.f")).alias("forecast"),
+    )
