@@ -1,0 +1,235 @@
+"""Persisted IVF-PQ index: build once, serve many.
+
+Every composed-ANN query in this engine (``ivf_quantized_topk``,
+``ivf_pq_topk``) rebuilds its index — centroids, cell assignment, PQ
+codebooks, corpus codes — inside the query, so the benched wall time is
+dominated by index CONSTRUCTION, not search (classified in
+PERF_NOTES.md).  A production deployment does neither: it builds the
+index once, persists it next to the corpus, and serves every query
+against the persisted artifact.  This module is that split.
+
+Layout on disk (all vanilla parquet, so the index lives wherever the
+corpus lives — local FS here, an object store on a cluster):
+
+* ``<dir>/centroids``  — (cid, _cvec, _cn): the √N IVF centroids with
+  their norms.  Tiny; broadcast at serve time.
+* ``<dir>/codebooks``  — (s, c, _cchunk, _cc): the PQ codebooks
+  (n_sub·n_codes rows).  Tiny; broadcast at serve time.
+* ``<dir>/codes``      — (id, s, code) **partitioned by cid**: the
+  inverted file.  Partitioning by cell is the point: a query probing
+  ``nprobe`` of the √N cells pushes ``cid IN (...)`` into the scan as a
+  PARTITION filter, so serving reads only the probed posting lists —
+  ~nprobe/√N of the index, a fraction that shrinks as the corpus grows.
+* ``<dir>/meta``       — one-row parquet recording the build parameters
+  (dim, n_sub, n_codes, stride, corpus count); serve-time mismatches
+  raise instead of silently searching a differently-shaped index.
+
+Publication is crash-safe the same way ``ops/layout.compact_parquet_dir``
+swaps: build into ``<dir>.new``, then one FileSystem rename — readers
+either see the old complete index or the new complete index, never a
+half-written one.
+
+Determinism: the build re-uses the exact machinery of the in-query
+composed ANN (strided centroids, cc − 2·dot argmin encode with integer
+picounits, lowest-code ties), and doubles round-trip parquet exactly, so
+a search over the persisted index returns bit-identical results to
+``ivf_pq_topk`` on the same corpus — the same DuckDB oracle covers both.
+
+Reference parity: the reference has no ANN at all; this extends the X2
+similarity family (SURVEY §2.12) with the serving-side shape the round-6
+verdict asked the round-7 composed ANN to grow into.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..ops.partitioning import spread as _spread
+from .similarity import (
+    _assign_cells,
+    _exact_rerank,
+    _pq_chunks_expr,
+    _pq_codebooks,
+    _pq_encode,
+    _pq_query_tables,
+    norm_fold,
+)
+
+
+def build_ivf_pq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    stride: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+) -> str:
+    """Build and atomically publish an IVF-PQ index for ``corpus``.
+
+    Exactly the stage-0/stage-1 work of :func:`ext.similarity.ivf_pq_topk`
+    (strided centroids → cell assignment → strided codebooks → argmin
+    PQ encode), materialized instead of consumed: the coded inverted
+    file is written partitioned by ``cid`` so serve-time cell probes
+    become partition pruning.  Returns ``index_dir``.
+    """
+    from ..fsops import _fs_and_path
+
+    n = corpus.count() if corpus_count is None else corpus_count
+    centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")
+    )
+    cents = F.broadcast(
+        centroids.select("cid", "_cvec", norm_fold("_cvec", dim).alias("_cn"))
+    )
+    cells = _assign_cells(
+        _spread(corpus).select(id_col, vec_col), cents, id_col, 1, vec_col, dim
+    )
+    chunks = _pq_chunks_expr(n_sub, dim // n_sub)
+    cents_b = _pq_codebooks(corpus, n_codes, chunks, id_col, vec_col, n=n)
+    corpus_chunks = cells.select(
+        F.col(id_col),
+        "cid",
+        F.posexplode(F.expr(chunks.format(v=vec_col))).alias("s", "_vchunk"),
+    )
+    enc = _pq_encode(corpus_chunks, cents_b, [id_col, "cid"])
+
+    new_dir = f"{index_dir}.new"
+    fs, live_p = _fs_and_path(spark, index_dir)
+    new_p = _fs_and_path(spark, new_dir)[1]
+    if fs.exists(new_p):  # leftover from a crashed build — never partial-live
+        fs.delete(new_p, True)
+    centroids.select("cid", "_cvec").write.mode("overwrite").parquet(
+        f"{new_dir}/centroids"
+    )
+    # select() fixes the column order; partitionBy moves cid into the path
+    enc.select(id_col, "s", "code", "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{new_dir}/codes")
+    spark.createDataFrame(
+        [(dim, n_sub, n_codes, stride, n, id_col)],
+        "dim int, n_sub int, n_codes int, stride int, n bigint, id_col string",
+    ).write.mode("overwrite").parquet(f"{new_dir}/meta")
+    cents_b.select("s", "c", "_cchunk", "_cc").write.mode("overwrite").parquet(
+        f"{new_dir}/codebooks"
+    )
+
+    if fs.exists(live_p):
+        fs.delete(live_p, True)
+    if not fs.rename(new_p, live_p):
+        raise IOError(f"publish failed: rename {new_dir} -> {index_dir}")
+    return index_dir
+
+
+def search_ivf_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    m_cand: int = 20,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    small_queries: bool = True,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF-PQ index.
+
+    The serve plan touches, in order: the broadcast centroid/codebook
+    frames (tiny), the probed PARTITIONS of the coded inverted file
+    (``cid IN (...)`` is collected from the bounded |Q|·nprobe probe set
+    — a metadata-sized collect, like ingest's file list — and pushed
+    into the scan as a partition filter), and full-precision vectors for
+    the |Q|·m_cand re-rank survivors only.  The corpus itself is never
+    scanned for candidate generation — that is the whole point of
+    persisting the index.
+    """
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    dim, n_sub = meta["dim"], meta["n_sub"]
+    cents_raw = spark.read.parquet(f"{index_dir}/centroids")
+    cents = F.broadcast(
+        cents_raw.select("cid", "_cvec", norm_fold("_cvec", dim).alias("_cn"))
+    )
+    probes = _assign_cells(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        cents, query_id_col, nprobe, vec_col, dim,
+        tiny=small_queries, with_vec=False,
+    )
+    probe_rows = probes.collect()  # bounded: |Q| · nprobe rows
+    probe_cids = sorted({r["cid"] for r in probe_rows})
+    # re-create from the collected rows (schema derived, not hardcoded)
+    # so the probe subtree is not recomputed for the join below
+    probes_b = F.broadcast(spark.createDataFrame(probe_rows, probes.schema))
+    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("cid").isin(probe_cids)
+    )
+    cb = F.broadcast(spark.read.parquet(f"{index_dir}/codebooks"))
+    chunks = _pq_chunks_expr(n_sub, dim // n_sub)
+    dt = _pq_query_tables(queries, cb, chunks, query_id_col, vec_col)
+    dtp = dt.withColumnRenamed("c", "code").join(probes_b, query_id_col)
+    adc = (
+        codes.join(F.broadcast(dtp), ["cid", "s", "code"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_qd").alias("_adc"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy("_adc", id_col)
+    cand = (
+        adc.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= m_cand)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col, dim
+    )
+
+
+def corpus_fingerprint(data_dir: str, table: str = "embeddings.parquet") -> str:
+    """Content key for index caching: md5 over the corpus parquet file
+    inventory (path, size, mtime_ns).  Any regeneration of the testdata
+    — same path, same row count, different values — changes mtimes and
+    therefore the key, so a cached index can never silently serve stale
+    results.  Pure os.stat metadata: no data is read."""
+    p = os.path.join(data_dir, table)
+    entries = []
+    if os.path.isdir(p):
+        for root, _dirs, files in os.walk(p):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                entries.append(f"{root}/{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        entries.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()
+
+
+def ensure_ivf_pq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    sf_dir: str,
+    cache_root: str,
+    **build_kwargs,
+) -> str:
+    """Build-or-reuse: the persisted index for ``sf_dir``'s embeddings,
+    keyed by corpus fingerprint + build parameters.  First call builds
+    (one-time cost); every later call — across sessions — returns the
+    published directory immediately.  The crash-safe ``.new`` swap in
+    :func:`build_ivf_pq_index` makes a concurrent double-build benign:
+    both publish identical bits, last rename wins atomically."""
+    key_src = corpus_fingerprint(sf_dir) + repr(sorted(build_kwargs.items()))
+    key = hashlib.md5(key_src.encode()).hexdigest()[:16]
+    index_dir = os.path.join(cache_root, f"ivf_pq_{key}")
+    if os.path.isdir(index_dir) and os.path.isdir(f"{index_dir}/codes"):
+        return index_dir
+    os.makedirs(cache_root, exist_ok=True)
+    return build_ivf_pq_index(spark, corpus, index_dir, **build_kwargs)

@@ -2025,9 +2025,10 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ivf_pq_topk",
-    f"""
+#: Shared by sim_ivf_pq_topk (in-query index) and sim_ivf_pq_index_serve
+#: (persisted index): both materialize the SAME deterministic composed
+#:  index, so one oracle covers both execution paths.
+_SQL_IVF_PQ = f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
     cells AS (
@@ -2101,7 +2102,12 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY sim DESC, vec_id) AS rk
           FROM rr)
     WHERE rk <= 5
-    """.format(cos=_SQL_COSINE.format(a="c.v", b="q.v")),
+    """.format(cos=_SQL_COSINE.format(a="c.v", b="q.v"))
+
+
+@register(
+    "sim_ivf_pq_topk",
+    _SQL_IVF_PQ,
     doc="X2 IVF-PQ ANN (ext/similarity.py ivf_pq_topk) — IVF cell "
     "pruning composed in front of the PQ-ADC scan, the standard "
     "production ANN shape (inverted file whose postings are PQ codes) "
@@ -2127,6 +2133,48 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64,
         stride=_ivf_stride(corpus, n), nprobe=_IVF_NPROBE,
         corpus_count=n,
+    )
+
+
+@register(
+    "sim_ivf_pq_index_serve",
+    _SQL_IVF_PQ,
+    doc="X2 persisted-index ANN serving (ext/ann_index.py) — the "
+    "build/serve split every in-query composed ANN here amortizes "
+    "away: build_ivf_pq_index materializes the exact IVF-PQ index of "
+    "sim_ivf_pq_topk (strided centroids, cid-partitioned PQ posting "
+    "lists, broadcast codebooks) to parquet ONCE with a crash-safe "
+    ".new swap, and search_ivf_pq_index serves queries against it — "
+    "cell probes collect a bounded |Q|*nprobe cid set and push it "
+    "into the codes scan as a PARTITION filter, so serving reads "
+    "~nprobe/sqrt(N) of the index and never scans the corpus for "
+    "candidates. Doubles round-trip parquet exactly and the build "
+    "reuses the in-query encode machinery, so results are "
+    "bit-identical to sim_ivf_pq_topk and the SAME oracle covers "
+    "both paths. The registered entry keys the cached index by a "
+    "corpus-file fingerprint (size+mtime) — stale testdata can never "
+    "serve a stale index.",
+    bench=True,  # the serve-vs-build A/B against sim_ivf_pq_topk
+)
+def q_sim_ivf_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .ext.ann_index import ensure_ivf_pq_index, search_ivf_pq_index
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    n = corpus.count()
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".data", "ann_index",
+    )
+    idx = ensure_ivf_pq_index(
+        spark, corpus, sf_dir, cache_root,
+        stride=_ivf_stride(corpus, n), n_codes=64, corpus_count=n,
+    )
+    return search_ivf_pq_index(
+        spark, idx, corpus, _queries_subset(corpus),
+        k=5, m_cand=40, nprobe=_IVF_NPROBE,
     )
 
 

@@ -5,6 +5,8 @@ broadcast, partial aggregation, top-k without a global sort.)"""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -551,6 +553,25 @@ def test_ivf_pq_adc_scan_is_cell_gated(spark, sf_dir):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin [cid#" in plan, plan[:1500]
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:1500]
+
+
+def test_index_serve_scan_is_partition_pruned(spark, sf_dir):
+    """Persisted-index serving must read only the PROBED cells of the
+    cid-partitioned posting-list parquet: the codes scan carries a
+    PartitionFilters entry on cid (partition pruning, not a post-scan
+    filter), stays pure JVM, and never cross-products. The only
+    nested-loop pair scan allowed is the tiny broadcast-centroid query
+    probe (the corpus-side assignment happened at BUILD time and is not
+    in the serve plan at all)."""
+    plan = plan_of(QUERIES["sim_ivf_pq_index_serve"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN(SET)?\b", plan)
+    assert m, plan[:2500]
+    # serving joins the pruned codes scan on (cid, s, code); the cid
+    # partition column reads back INT and the probe side is BIGINT, so
+    # the join key may carry a cast
+    assert re.search(r"BroadcastHashJoin \[(cast\()?cid#", plan), plan[:1500]
 
 
 def test_rerank_python_stage_is_candidate_bounded(spark, sf_dir):
