@@ -100,6 +100,25 @@ def global_cumsum(
     partition-local running sum. Pass a distinct ``persist_key`` per
     concurrent use inside one query (swap_persist keeps ONE live frame
     per key)."""
+    return global_cumsum_multi(
+        df, order, {alias: value}, n_parts=n_parts, persist_key=persist_key
+    )
+
+
+def global_cumsum_multi(
+    df: DataFrame,
+    order: list[Column | str],
+    values: dict[str, str],
+    n_parts: int | None = None,
+    persist_key: str = "global_cumsum_multi",
+) -> DataFrame:
+    """Several running sums (``{alias: value_col}``) over ONE shared
+    total order, in one two-pass pipeline: one range exchange, one tiny
+    per-partition totals frame carrying every column, one broadcast of
+    the offsets. Two-sample statistics (KS distance, rank sums) need
+    two parallel ECDF cumulations over the same value histogram —
+    calling :func:`global_cumsum` per column would range-shuffle the
+    histogram once per statistic."""
     from pyspark.sql import Window
 
     from ..ext.caching import swap_persist
@@ -112,18 +131,23 @@ def global_cumsum(
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id()),
     )
-    totals = ranged.groupBy("_pid").agg(F.sum(value).alias("_t"))
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_t_{a}") for a, v in values.items()]
+    )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_t").over(w_off), F.lit(0))
-    ).select("_pid", "_off")
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{a}").over(w_off), F.lit(0)).alias(f"_off_{a}")
+            for a in values
+        ],
+    )
     w_in = (
         Window.partitionBy("_pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn(alias, F.sum(value).over(w_in) + F.col("_off"))
-        .drop("_pid", "_off")
-    )
+    out = ranged.join(F.broadcast(offsets), "_pid")
+    for a, v in values.items():
+        out = out.withColumn(a, F.sum(v).over(w_in) + F.col(f"_off_{a}"))
+    return out.drop("_pid", *[f"_off_{a}" for a in values])

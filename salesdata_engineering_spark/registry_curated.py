@@ -1806,3 +1806,224 @@ def q_stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         (F.floor(r * 1000000 + 0.5) / 1000000).alias("spearman_r"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    """
+    WITH g AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS gu,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        FROM orders),
+    h AS (SELECT y, SUM(gu) AS c1, COUNT(*) - SUM(gu) AS c2 FROM g GROUP BY 1),
+    c AS (SELECT y,
+                 SUM(c1) OVER (ORDER BY y) AS cum1,
+                 SUM(c2) OVER (ORDER BY y) AS cum2
+          FROM h),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+          FROM h),
+    d AS (SELECT y,
+                 abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)
+                     AS dnum
+          FROM c, t),
+    m AS (SELECT max(dnum) AS md FROM d)
+    SELECT n1, n2,
+           round(CAST(md AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+           CAST(min(y) AS DOUBLE) AS ks_at
+    FROM d, m, t
+    WHERE dnum = md
+    GROUP BY n1, n2, md
+    """,
+    doc="Kolmogorov-Smirnov two-sample distance between URGENT and "
+    "non-URGENT order-value distributions — the nonparametric "
+    "did-the-distribution-shift test (drift detection over any metric "
+    "column). Exactness: D = max|F1-F2| is evaluated as the INTEGER "
+    "max of |cum1*n2 - cum2*n1| over the pooled value histogram — no "
+    "float until the final division — so the argmax row (ks_at, tie "
+    "-> smallest value) and the distance are engine-independent. "
+    "Scale: the ECDF cumulation rides the two-pass global_cumsum_multi "
+    "(one range exchange computes BOTH group cumulations; a bare "
+    "ORDER-BY window would single-task the near-unique price "
+    "histogram), and everything after the histogram is "
+    "histogram-sized, not data-sized.",
+)
+def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_cumsum_multi
+
+    o = load_tables(spark, sf_dir)["orders"]
+    g = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("gu"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    h = g.groupBy("y").agg(
+        F.sum("gu").alias("c1"),
+        (F.count("*") - F.sum("gu")).alias("c2"),
+    )
+    cum = global_cumsum_multi(
+        h, ["y"], {"cum1": "c1", "cum2": "c2"}, persist_key="ks_ecdf"
+    )
+    # totals read the persisted ranged histogram inside the cum frame —
+    # no second scan of orders
+    tot = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "y",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+        ).alias("dnum"),
+    )
+    m = d.agg(F.max("dnum").alias("md"))
+    return (
+        d.join(F.broadcast(m), d["dnum"] == m["md"])
+        .groupBy("n1", "n2", "md")
+        .agg(F.min("y").alias("ymin"))
+        .select(
+            "n1",
+            "n2",
+            F.round(
+                F.col("md").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                6,
+            ).alias("ks_d"),
+            F.col("ymin").cast("double").alias("ks_at"),
+        )
+    )
+
+
+@register(
+    "stats_mannwhitney_u",
+    """
+    WITH g AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS gu,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        FROM orders),
+    h AS (SELECT y, SUM(gu) AS c1, COUNT(*) AS c FROM g GROUP BY 1),
+    c AS (SELECT y, c1, c, SUM(c) OVER (ORDER BY y) AS cum FROM h),
+    s AS (SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+                 CAST(SUM(c - c1) AS HUGEINT) AS n2,
+                 SUM(CAST(c1 AS HUGEINT) * (2 * (cum - c) + c + 1)) AS r12,
+                 SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+          FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(2 * n1 * n2 + n1 * (n1 + 1) - r12 AS DOUBLE) / 2, 1)
+               AS u1,
+           round((CAST(2 * n1 * n2 + n1 * (n1 + 1) - r12 AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))),
+                 6) AS z_stat
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test (URGENT vs non-URGENT order "
+    "values) with the tie-corrected normal approximation — the "
+    "nonparametric alternative to stats_welch_ttest when values are "
+    "skewed. Exactness: the half-rank trick from stats_spearman (2x "
+    "average tied rank is an integer) keeps the rank sum R1, U, and "
+    "the tie term sum(t^3 - t) EXACT integers off one pooled value "
+    "histogram; only the final mu/sigma/z assembly is a fixed double "
+    "sequence spelled identically in the oracle. Scale: one histogram "
+    "aggregate + the two-pass global cumsum; every later frame is "
+    "histogram-sized.",
+)
+def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_cumsum
+
+    o = load_tables(spark, sf_dir)["orders"]
+    g = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("gu"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    h = g.groupBy("y").agg(F.sum("gu").alias("c1"), F.count("*").alias("c"))
+    cum = global_cumsum(h, ["y"], "c", alias="cum", persist_key="mwu_ecdf")
+    c1d = F.col("c1").cast("decimal(38,0)")
+    cd = F.col("c").cast("decimal(38,0)")
+    r2 = 2 * (F.col("cum") - F.col("c")) + F.col("c") + 1
+    s = cum.agg(
+        F.sum(c1d).alias("n1"),
+        F.sum(cd - F.col("c1")).alias("n2"),
+        F.sum(c1d * r2).alias("r12"),
+        F.sum(cd * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
+    )
+    u2 = 2 * F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) - F.col("r12")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    var = n1d * n2d / 12 * ((nd + 1) - F.col("ties").cast("double") / (nd * (nd - 1)))
+    u1 = u2.cast("double") / 2
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+@register(
+    "revenue_gini_by_nation",
+    """
+    WITH rev AS (
+        SELECT c_nationkey AS nation, c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+    r AS (SELECT nation, x,
+                 row_number() OVER (PARTITION BY nation ORDER BY x, c_custkey)
+                     AS i
+          FROM rev),
+    s AS (SELECT nation, COUNT(*) AS n_customers,
+                 SUM(x) AS sx, SUM(i * x) AS six
+          FROM r GROUP BY 1)
+    SELECT nation, n_customers,
+           CAST(sx AS DOUBLE) AS total_revenue,
+           round(CAST(2 * six - (n_customers + 1) * sx AS DOUBLE)
+                 / CAST(n_customers * sx AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of customer revenue concentration per nation "
+    "(Lorenz-curve inequality: 0 = revenue spread evenly, ->1 = one "
+    "customer is the book) — the concentration readout behind "
+    "parts_abc_analysis's 80/20 cut, as one number per market. "
+    "Exactness: G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) over "
+    "ranks i ordered by (x, custkey) — rank-weighted DECIMAL sums are "
+    "exact and order-independent, one double division at the end. "
+    "Scale: the rank window partitions BY NATION (bounded per-market "
+    "cardinality), so no global sort; the customer rollup is one "
+    "hash aggregate off the fact scan.",
+)
+def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("x", "c_custkey")
+    r = rev.withColumn("i", F.row_number().over(w))
+    s = r.groupBy("nation").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    num = 2 * F.col("six") - (F.col("n_customers") + 1) * F.col("sx")
+    den = F.col("n_customers") * F.col("sx")
+    return s.select(
+        "nation",
+        "n_customers",
+        F.col("sx").cast("double").alias("total_revenue"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )
