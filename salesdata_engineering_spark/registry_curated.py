@@ -2027,3 +2027,174 @@ def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").cast("double").alias("total_revenue"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
     )
+
+
+@register(
+    "concentration_entropy_hhi",
+    """
+    WITH k AS (SELECT c_nationkey AS nation, o_orderpriority AS cat,
+                      count(*) AS k
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1, 2),
+    t AS (SELECT nation, CAST(SUM(k) AS BIGINT) AS n,
+                 count(*) AS n_categories
+          FROM k GROUP BY 1),
+    s AS (SELECT k.nation,
+                 CAST(round(k.k * ln(CAST(t.n AS DOUBLE) / k.k) * 1000000)
+                      AS BIGINT) AS term,
+                 CAST(k.k AS HUGEINT) * k.k AS k2
+          FROM k JOIN t ON k.nation = t.nation)
+    SELECT t.nation, t.n AS n_orders, t.n_categories,
+           round(CAST(SUM(s.term) AS DOUBLE) / t.n / 1000000, 6)
+               AS entropy_nats,
+           round(CAST(SUM(s.k2) AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n), 6)
+               AS hhi
+    FROM s JOIN t ON s.nation = t.nation
+    GROUP BY 1, 2, 3
+    """,
+    doc="Shannon entropy + Herfindahl-Hirschman index of the "
+    "order-priority mix per nation — the two standard concentration "
+    "readouts (entropy: how even is the mix; HHI: how dominated). "
+    "Exactness: each entropy term k*ln(n/k) is quantized to integer "
+    "micro-nats BEFORE summing (the text_bigram_logprob discipline — "
+    "integer sums are order-independent where a double sum is not), "
+    "and HHI's sum(k^2) is an exact integer; one double division each "
+    "at the end. Scale: one fact-shuffle hash aggregate to (nation, "
+    "category) counts; everything after is category-mix-sized.",
+)
+def q_concentration_entropy_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), F.col("o_orderpriority").alias("cat"))
+        .agg(F.count("*").alias("k"))
+    )
+    tot = k.groupBy("nation").agg(
+        F.sum("k").cast("long").alias("n"), F.count("*").alias("n_categories")
+    )
+    s = k.join(tot, "nation").select(
+        "nation",
+        "n",
+        "n_categories",
+        F.round(F.col("k") * F.log(F.col("n").cast("double") / F.col("k")) * 1000000)
+        .cast("bigint")
+        .alias("term"),
+        (F.col("k").cast("decimal(38,0)") * F.col("k")).alias("k2"),
+    )
+    return s.groupBy("nation", F.col("n").alias("n_orders"), "n_categories").agg(
+        F.round(F.sum("term").cast("double") / F.first("n") / 1000000, 6).alias(
+            "entropy_nats"
+        ),
+        F.round(
+            F.sum("k2").cast("double")
+            / (F.first("n").cast("double") * F.first("n")),
+            6,
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    """
+    WITH cust AS (SELECT o_custkey,
+                         min(CAST(o_orderdate AS DATE)) AS f,
+                         max(CAST(o_orderdate AS DATE)) AS l
+                  FROM orders GROUP BY 1),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+    obs AS (SELECT date_diff('day', f, l) AS d,
+                   CASE WHEN date_diff('day', l, m) > 365 THEN 1 ELSE 0 END
+                       AS event
+            FROM cust, mx),
+    h AS (SELECT d, CAST(SUM(event) AS BIGINT) AS deaths,
+                 count(*) AS m_count
+          FROM obs GROUP BY 1),
+    t AS (SELECT CAST(SUM(m_count) AS BIGINT) AS n_total FROM h),
+    c AS (SELECT d, deaths, m_count,
+                 t.n_total - SUM(m_count) OVER (ORDER BY d) + m_count AS r
+          FROM h, t),
+    terms AS (SELECT d, deaths, r,
+                     CASE WHEN deaths > 0 AND r > deaths
+                          THEN CAST(round(ln(CAST(r AS DOUBLE) / (r - deaths))
+                                          * 1000000) AS BIGINT)
+                          ELSE 0 END AS term,
+                     CASE WHEN deaths > 0 AND r = deaths THEN 1 ELSE 0 END
+                         AS dead_end
+              FROM c),
+    km AS (SELECT d, deaths, r,
+                  SUM(term) OVER (ORDER BY d) AS cumterm,
+                  SUM(dead_end) OVER (ORDER BY d) AS cumdead
+           FROM terms)
+    SELECT d AS duration_days, CAST(r AS BIGINT) AS at_risk, deaths,
+           CASE WHEN cumdead = 0
+                THEN round(-CAST(cumterm AS DOUBLE) / 1000000, 6) END
+               AS log_survival
+    FROM km WHERE deaths > 0
+    """,
+    doc="Kaplan-Meier survival estimator over customer lifetimes "
+    "(duration = days between first and last order; churn event = "
+    "last order more than 365 days before the dataset's end, else "
+    "censored): the product-limit curve behind every retention/LTV "
+    "readout, emitted at each event time with the at-risk count. "
+    "Exactness: the survival product is carried in LOG space as a "
+    "cumulative sum of integer micro-nat terms ln(r/(r-d)) — "
+    "order-independent, no cross-engine exp drift; S(t) = "
+    "exp(log_survival), and log_survival is NULL past a time where "
+    "the whole risk set dies (S = 0). Scale: one customer rollup "
+    "(hash agg on the order fact), then everything is "
+    "duration-histogram-sized — durations in days are "
+    "calendar-bounded, so the cumulation windows ride a bounded "
+    "series, not the data.",
+)
+def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    od = F.col("o_orderdate").cast("date")
+    cust = o.groupBy("o_custkey").agg(F.min(od).alias("f"), F.max(od).alias("l"))
+    mx = o.agg(F.max(od).alias("m"))
+    obs = cust.crossJoin(F.broadcast(mx)).select(
+        F.datediff("l", "f").alias("d"),
+        F.when(F.datediff("m", "l") > 365, 1).otherwise(0).alias("event"),
+    )
+    h = obs.groupBy("d").agg(
+        F.sum("event").cast("long").alias("deaths"), F.count("*").alias("m_count")
+    )
+    t = h.agg(F.sum("m_count").cast("long").alias("n_total"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = h.crossJoin(F.broadcast(t)).withColumn(
+        "r", F.col("n_total") - F.sum("m_count").over(w) + F.col("m_count")
+    )
+    terms = c.select(
+        "d",
+        "deaths",
+        "r",
+        F.when(
+            (F.col("deaths") > 0) & (F.col("r") > F.col("deaths")),
+            F.round(
+                F.log(F.col("r").cast("double") / (F.col("r") - F.col("deaths")))
+                * 1000000
+            ).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("term"),
+        F.when((F.col("deaths") > 0) & (F.col("r") == F.col("deaths")), 1)
+        .otherwise(0)
+        .alias("dead_end"),
+    )
+    km = terms.select(
+        "d",
+        "deaths",
+        "r",
+        F.sum("term").over(w).alias("cumterm"),
+        F.sum("dead_end").over(w).alias("cumdead"),
+    )
+    return km.filter(F.col("deaths") > 0).select(
+        F.col("d").alias("duration_days"),
+        F.col("r").cast("long").alias("at_risk"),
+        "deaths",
+        F.when(
+            F.col("cumdead") == 0,
+            F.round(-F.col("cumterm").cast("double") / 1000000, 6),
+        ).alias("log_survival"),
+    )

@@ -1382,3 +1382,94 @@ def q_events_hourly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.col("p.b")).alias("trend"),
         micro(F.col("p.f")).alias("forecast"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+               FROM events GROUP BY 1),
+    r AS (SELECT hour,
+                 CAST(row_number() OVER (ORDER BY hour) AS HUGEINT) AS i,
+                 CAST(SUM(n) OVER (ORDER BY hour) AS HUGEINT) AS s
+          FROM c),
+    t AS (SELECT CAST(count(*) AS HUGEINT) AS cnt,
+                 CAST(SUM(n) AS HUGEINT) AS st FROM c),
+    d AS (SELECT hour, i, s, abs(cnt * s - i * st) AS dnum FROM r, t),
+    m AS (SELECT max(dnum) AS md FROM d),
+    pick AS (SELECT min(i) AS pi FROM d, m WHERE dnum = md)
+    SELECT d.hour AS change_hour,
+           CAST(t.cnt AS BIGINT) AS n_hours,
+           CAST(t.st AS BIGINT) AS total_events,
+           round(CAST(m.md AS DOUBLE) / CAST(t.cnt AS DOUBLE), 6) AS cusum_dev,
+           round(CAST(d.s AS DOUBLE) / CAST(d.i AS DOUBLE), 6) AS mean_before,
+           CASE WHEN t.cnt > d.i
+                THEN round(CAST(t.st - d.s AS DOUBLE)
+                           / CAST(t.cnt - d.i AS DOUBLE), 6) END AS mean_after
+    FROM d, m, t, pick WHERE d.dnum = m.md AND d.i = pick.pi
+    """,
+    doc="CUSUM changepoint over hourly event volume: the hour i* "
+    "maximizing |S_i - (i/n)S_n| — where the cumulative count diverges "
+    "most from the constant-rate line — plus the mean rates either "
+    "side of the cut (the before/after levels a monitoring alert "
+    "shows). Exactness: the deviation is ranked on the INTEGER "
+    "|n*S_i - i*S_n| (no float until the final readout divisions), so "
+    "argmax and tie-break (earliest hour) are engine-independent; "
+    "mean_after is gated on cnt > i with the same expression in both "
+    "engines (argmax can land on the last hour only for a constant "
+    "series). Scale: everything after the one hash aggregate is "
+    "series-sized (hours are calendar-bounded, not data-bounded); the "
+    "cumulation window rides that bounded series like the other "
+    "hourly-series entries.",
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("hour")
+    r = c.select(
+        "hour",
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    t = c.agg(
+        F.count("*").cast("decimal(38,0)").alias("cnt"),
+        F.sum("n").cast("decimal(38,0)").alias("st"),
+    )
+    d = r.crossJoin(F.broadcast(t)).select(
+        "hour",
+        "i",
+        "s",
+        "cnt",
+        "st",
+        F.abs(F.col("cnt") * F.col("s") - F.col("i") * F.col("st")).alias("dnum"),
+    )
+    m = d.agg(F.max("dnum").alias("md"))
+    dm = d.join(F.broadcast(m), d["dnum"] == m["md"])
+    pick = dm.groupBy().agg(F.min("i").alias("pi"))
+    out = dm.join(F.broadcast(pick), dm["i"] == pick["pi"])
+    return out.select(
+        F.col("hour").alias("change_hour"),
+        F.col("cnt").cast("long").alias("n_hours"),
+        F.col("st").cast("long").alias("total_events"),
+        F.round(F.col("md").cast("double") / F.col("cnt").cast("double"), 6).alias(
+            "cusum_dev"
+        ),
+        F.round(F.col("s").cast("double") / F.col("i").cast("double"), 6).alias(
+            "mean_before"
+        ),
+        F.when(
+            F.col("cnt") > F.col("i"),
+            F.round(
+                (F.col("st") - F.col("s")).cast("double")
+                / (F.col("cnt") - F.col("i")).cast("double"),
+                6,
+            ),
+        ).alias("mean_after"),
+    )
