@@ -1473,3 +1473,76 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("mean_after"),
     )
+
+
+@register(
+    "events_markov_two_step",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    cells AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+              FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    rowt AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+    terms AS (SELECT c1.a AS from_type, c2.b AS to_type,
+                     CAST(round((c1.n / CAST(r1.r AS DOUBLE))
+                                * (c2.n / CAST(r2.r AS DOUBLE))
+                                * 1000000000000) AS BIGINT) AS term
+              FROM cells c1
+              JOIN rowt r1 ON c1.a = r1.a
+              JOIN cells c2 ON c1.b = c2.a
+              JOIN rowt r2 ON c2.a = r2.a)
+    SELECT from_type, to_type,
+           round(CAST(SUM(term) AS DOUBLE) / 1000000000000, 6) AS p2
+    FROM terms GROUP BY 1, 2
+    """,
+    doc="Two-step Markov transition probabilities P^2(a,c) = "
+    "sum_b P(a,b)*P(b,c) over the same per-user event chains as "
+    "events_transition_matrix — where does a user land two actions "
+    "from now (the lookahead behind journey simulation). Exactness: "
+    "each path term P(a,b)*P(b,c) is two deterministic divisions of "
+    "exact integer counts, quantized to integer PICO-units before the "
+    "sum over intermediate states b — the summation-order-free "
+    "discipline of the micro-nat entries, at 1e12 because products of "
+    "two probabilities need the headroom. Scale: one user-window pass "
+    "builds the |types|^2 cell frame; the matrix square is a "
+    "cells-by-cells join on b — |types|^3 work on a frame that never "
+    "grows with data.",
+)
+def q_events_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.groupBy(
+        F.col("event_type").alias("a"), F.col("next_type").alias("b")
+    ).agg(F.count("*").alias("n"))
+    rowt = cells.groupBy("a").agg(F.sum("n").cast("long").alias("r"))
+    c1 = (
+        cells.join(rowt, "a")
+        .select(
+            F.col("a").alias("from_type"),
+            F.col("b").alias("mid"),
+            (F.col("n") / F.col("r").cast("double")).alias("pa"),
+        )
+    )
+    c2 = (
+        cells.join(rowt, "a")
+        .select(
+            F.col("a").alias("mid"),
+            F.col("b").alias("to_type"),
+            (F.col("n") / F.col("r").cast("double")).alias("pb"),
+        )
+    )
+    terms = c1.join(c2, "mid").select(
+        "from_type",
+        "to_type",
+        F.round(F.col("pa") * F.col("pb") * 1000000000000).cast("bigint").alias("term"),
+    )
+    return terms.groupBy("from_type", "to_type").agg(
+        F.round(F.sum("term").cast("double") / 1000000000000, 6).alias("p2")
+    )

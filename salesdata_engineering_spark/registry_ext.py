@@ -2605,3 +2605,136 @@ def q_sim_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     cand = cosine_topk(corpus, _queries_subset(corpus), k=20)
     return crossencoder_rerank_stub(cand, k=5)
+
+
+@register(
+    "graph_link_prediction",
+    """
+    WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem WHERE l_partkey < 200),
+    deg AS (SELECT s, count(*) AS d FROM sp GROUP BY 1),
+    pdeg AS (SELECT p, count(*) AS dp FROM sp GROUP BY 1),
+    pairs AS (SELECT a.s AS s1, b.s AS s2, a.p AS p
+              FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s),
+    sc AS (SELECT s1, s2, count(*) AS cn,
+                  SUM(CAST(round(1000000.0 / ln(CAST(dp AS DOUBLE)))
+                           AS BIGINT)) AS aa_micro
+           FROM pairs JOIN pdeg ON pairs.p = pdeg.p
+           GROUP BY 1, 2)
+    SELECT s1, s2, cn,
+           round(CAST(cn AS DOUBLE) / (d1.d + d2.d - cn), 6) AS jaccard,
+           round(CAST(aa_micro AS DOUBLE) / 1000000, 6) AS adamic_adar
+    FROM sc JOIN deg d1 ON sc.s1 = d1.s JOIN deg d2 ON sc.s2 = d2.s
+    WHERE cn >= 2
+    """,
+    doc="Link prediction over the supplier/part bipartite graph: for "
+    "each supplier pair sharing >= 2 parts, the three standard "
+    "neighborhood scores — common-neighbor count, Jaccard overlap of "
+    "part sets, and Adamic-Adar (shared parts weighted 1/ln(degree), "
+    "so rare parts count more than hub parts). Exactness: counts and "
+    "degrees are exact integers; each Adamic-Adar term is quantized "
+    "to integer micro-units before the order-free sum; Jaccard is one "
+    "final division. Scale: the pair generation is the inverted-index "
+    "join of the n-gram dedup family (join BY PART, never all supplier "
+    "pairs) — the partkey < 200 cap bounds the demo like "
+    "graph_triangle_cliques, and a production run would cap hub parts "
+    "by degree (the df_cap guard) so pair fan-out stays "
+    "sum-of-squares-of-part-degrees, not |S|^2.",
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sp = (
+        li.filter(F.col("l_partkey") < 200)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    from .ext.caching import swap_persist
+
+    sp = swap_persist("link_pred_sp", sp)
+    deg = sp.groupBy("s").agg(F.count("*").alias("d"))
+    pdeg = sp.groupBy("p").agg(F.count("*").alias("dp"))
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s"))).select(
+        F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), F.col("a.p").alias("p")
+    )
+    sc = (
+        pairs.join(F.broadcast(pdeg), "p")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(
+                F.round(F.lit(1000000.0) / F.log(F.col("dp").cast("double"))).cast(
+                    "bigint"
+                )
+            ).alias("aa_micro"),
+        )
+        .filter(F.col("cn") >= 2)
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        sc.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa_micro").cast("double") / 1000000, 6).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+
+
+@register(
+    "sample_weighted_priority",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln(({sql_md5_long("doc_id::VARCHAR", "aes")} % 1000000000 + 1)
+                  / 1000000000.0) / n_chars AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           round(k * 1000000000, 6) AS priority_key
+    FROM keyed
+    ORDER BY k DESC, doc_id LIMIT 100
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES): each document draws a deterministic uniform u from the "
+    "shared 60-bit md5 convention and gets priority key ln(u)/w with "
+    "w = n_chars; the global top-k by key IS a weighted sample "
+    "without replacement — longer documents proportionally more "
+    "likely, yet any fixed k is reproducible and mergeable across "
+    "partitions (the property reservoir sampling loses under "
+    "parallelism). Exactness: u is integer md5 arithmetic mirrored in "
+    "the oracle; ln and the divide are single IEEE ops on identical "
+    "doubles; ties broken by doc_id. Scale: keys are computed "
+    "scan-side and the top-k is TakeOrderedAndProject — per-partition "
+    "heads + driver merge, no global sort, the same shape as "
+    "global_topk_orders.",
+)
+def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.hashing import md5_long
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    u = (md5_long(F.col("doc_id").cast("string"), "aes") % 1000000000 + 1) / F.lit(
+        1000000000.0
+    )
+    keyed = d.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("k") * 1000000000, 6).alias("priority_key"),
+        )
+    )
