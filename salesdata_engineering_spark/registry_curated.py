@@ -2198,3 +2198,58 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.col("cumterm").cast("double") / 1000000, 6),
         ).alias("log_survival"),
     )
+
+
+@register(
+    "orders_open_backlog_daily",
+    """
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS d0,
+               max(CAST(l.l_shipdate AS DATE)) AS d1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+    delta AS (
+        SELECT day, CAST(SUM(x) AS BIGINT) AS dx FROM (
+            SELECT d0 AS day, 1 AS x FROM spans
+            UNION ALL
+            SELECT d1 + 1 AS day, -1 AS x FROM spans)
+        GROUP BY 1)
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(SUM(dx) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM delta
+    """,
+    doc="Open-order backlog as a daily step function: each order is "
+    "open from its order date through its last line's ship date; "
+    "the classic interval-stabbing sweep turns every span into a +1 "
+    "at the start and a -1 the day after the end, and the running sum "
+    "over change days IS the backlog — O(|orders|) events instead of "
+    "the O(|orders| x days) explode a per-day join would cost. All "
+    "integer counts, so the curve is exact. Scale: one hash aggregate "
+    "per order for the span, one tiny change-day histogram "
+    "(calendar-bounded), and the cumulation rides the two-pass "
+    "global_cumsum — no data-sized single-partition window.",
+)
+def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_cumsum
+
+    t = load_tables(spark, sf_dir)
+    spans = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("d0"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("d1"))
+    )
+    delta = (
+        spans.select(F.col("d0").alias("day"), F.lit(1).alias("x"))
+        .unionAll(
+            spans.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("x"))
+        )
+        .groupBy("day")
+        .agg(F.sum("x").cast("long").alias("dx"))
+    )
+    out = global_cumsum(delta, ["day"], "dx", alias="open_orders", persist_key="backlog_cum")
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("open_orders").cast("long").alias("open_orders"),
+    )

@@ -1546,3 +1546,70 @@ def q_events_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("from_type", "to_type").agg(
         F.round(F.sum("term").cast("double") / 1000000000000, 6).alias("p2")
     )
+
+
+@register(
+    "events_conversion_latency_pct",
+    """
+    WITH c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) = 1
+    ),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT epoch_us(p.ts) - epoch_us(c.ts) AS lat
+          FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+    h AS (SELECT lat, count(*) AS cnt FROM m GROUP BY 1),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+    cum AS (SELECT lat, SUM(cnt) OVER (ORDER BY lat) AS c FROM h)
+    SELECT t.n AS n_pairs,
+           min(CASE WHEN cum.c * 2 >= t.n THEN lat END) AS p50_us,
+           min(CASE WHEN cum.c * 10 >= 9 * t.n THEN lat END) AS p90_us,
+           min(CASE WHEN cum.c * 100 >= 99 * t.n THEN lat END) AS p99_us
+    FROM cum, t GROUP BY t.n
+    """,
+    doc="Time-to-convert percentiles: for every purchase, the latency "
+    "since the same user's most recent click (the as-of pair from "
+    "ops/asof.py, matched purchases only), then p50/p90/p99 picked by "
+    "explicit INTEGER rank arithmetic over the microsecond-latency "
+    "histogram (cum*100 >= q*n — the graph_triangle_cliques threshold "
+    "pattern; no float percentile boundary to disagree on, and "
+    "latencies are exact integer microsecond differences). Scale: the "
+    "as-of pairing is the union+window-last composition (one user "
+    "shuffle, no range blowup); the percentile cumulation rides the "
+    "two-pass global_cumsum over the latency histogram.",
+)
+def q_events_conversion_latency_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.asof import asof_join
+    from .ops.sorts import global_cumsum
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    m = asof_join(
+        purchases, clicks, keys=["user_id"], ts="ts", payload=[], tiebreak="event_id"
+    ).filter(F.col("ts_matched").isNotNull())
+    lat = m.select(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_matched").cast("timestamp"))
+        ).alias("lat")
+    )
+    h = lat.groupBy("lat").agg(F.count("*").alias("cnt"))
+    cum = global_cumsum(h, ["lat"], "cnt", alias="c", persist_key="conv_lat_cum")
+    t = cum.agg(F.sum("cnt").cast("long").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy(F.col("n").alias("n_pairs"))
+        .agg(
+            F.min(F.when(F.col("c") * 2 >= F.col("n"), F.col("lat"))).alias("p50_us"),
+            F.min(F.when(F.col("c") * 10 >= 9 * F.col("n"), F.col("lat"))).alias(
+                "p90_us"
+            ),
+            F.min(F.when(F.col("c") * 100 >= 99 * F.col("n"), F.col("lat"))).alias(
+                "p99_us"
+            ),
+        )
+    )
