@@ -678,3 +678,68 @@ def test_triangle_counts_joins_pure_equi_on_plain_edges(spark):
     plan = plan_of(triangle_counts(edges, "x", "y"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_ks_two_sample_shared_two_pass_cumsum(spark, sf_dir):
+    """Both ECDF cumulations must share ONE range exchange (the
+    multi-column two-pass cumsum): a per-statistic global_cumsum would
+    range-shuffle the near-unique value histogram twice, and a naive
+    ORDER BY window would single-task it."""
+    plan = plan_of(QUERIES["stats_ks_two_sample"].fn(spark, sf_dir))
+    # plan TEXT repeats the persisted ranged subtree per consumer, so
+    # presence (not count) is the assertable signal; the in-memory scan
+    # proves the range exchange executes once
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    # the data-sized histogram itself never rides a global sort (the
+    # two-pass scheme only sorts WITHIN range partitions, global=false)
+    import re
+
+    assert re.search(r"Sort \[y#[^\]]*\], true", plan) is None, plan[:1500]
+
+
+def test_mannwhitney_two_pass_cumsum(spark, sf_dir):
+    """The pooled-rank cumulation must ride the range-partitioned
+    two-pass scheme, not a single-task global window."""
+    plan = plan_of(QUERIES["stats_mannwhitney_u"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert "InMemoryTableScan" in plan, plan[:1500]
+
+
+def test_weighted_priority_take_ordered(spark, sf_dir):
+    """A-ES weighted sampling is a global top-k: the plan must use
+    TakeOrderedAndProject (per-partition heads + driver merge), never
+    a full global sort of the corpus."""
+    plan = plan_of(QUERIES["sample_weighted_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_link_prediction_inverted_index_shape(spark, sf_dir):
+    """Pair generation must be the inverted-index equi-join BY PART —
+    no cross product — and the thrice-referenced part-supplier frame
+    must be persisted so the distinct runs once."""
+    plan = plan_of(QUERIES["graph_link_prediction"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "InMemoryTableScan" in plan, plan[:1500]
+
+
+def test_backlog_sweep_two_pass_cumsum(spark, sf_dir):
+    """The backlog running sum must range-partition the change-day
+    frame; single-partition work stays on the tiny per-partition
+    totals."""
+    plan = plan_of(QUERIES["orders_open_backlog_daily"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert "InMemoryTableScan" in plan, plan[:1500]
+
+
+def test_conversion_latency_two_pass_cumsum(spark, sf_dir):
+    """The latency-histogram percentile cumulation rides the two-pass
+    cumsum; the as-of pairing contributes exactly one user_id
+    exchange (union+window-last, no range-join blowup)."""
+    plan = plan_of(QUERIES["events_conversion_latency_pct"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    # the as-of pairing stays a union+window composition: no range-join
+    # blowup anywhere in the plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:1500]
