@@ -2253,3 +2253,129 @@ def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("timestamp").alias("day"),
         F.col("open_orders").cast("long").alias("open_orders"),
     )
+
+
+@register(
+    "stats_trimmed_mean",
+    """
+    WITH v AS (SELECT o_orderpriority AS grp,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS y
+               FROM orders),
+    h AS (SELECT grp, y, count(*) AS c FROM v GROUP BY 1, 2),
+    t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    cum AS (SELECT h.grp, h.y, h.c, t.n,
+                   CAST(floor(t.n / 20) AS BIGINT) AS d,
+                   SUM(h.c) OVER (PARTITION BY h.grp ORDER BY h.y) AS cm
+            FROM h JOIN t ON h.grp = t.grp),
+    kept AS (SELECT grp, n, d,
+                    greatest(least(cm, n - d) - greatest(cm - c, d),
+                             0) AS k,
+                    y
+             FROM cum)
+    SELECT grp, n AS n_rows, CAST(n - 2 * d AS BIGINT) AS n_kept,
+           round(CAST(SUM(k * y) AS DOUBLE) / (n - 2 * d), 6)
+               AS trimmed_mean
+    FROM kept GROUP BY grp, n, d
+    """,
+    doc="5%-trimmed mean of order value per priority: drop the lowest "
+    "and highest floor(n/20) rows by value, average the rest — the "
+    "outlier-robust center. Exactness AND scale come from the same "
+    "move: ranks live on the VALUE HISTOGRAM, not the rows — each "
+    "value bucket contributes kept = clamp(cum, d..n-d) - clamp(cum-c)"
+    " rows (pure integer arithmetic, the graph-threshold pattern), "
+    "its decimal y times an integer, summed exactly. No per-row "
+    "window at all: a naive row_number over 5 giant priority "
+    "partitions would funnel the fact through 5 tasks at 100 TB, the "
+    "histogram cumulation is bucket-sized.",
+)
+def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    h = v.groupBy("grp", "y").agg(F.count("*").alias("c"))
+    t = h.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        h.join(F.broadcast(t), "grp")
+        .withColumn("d", F.floor(F.col("n") / 20).cast("long"))
+        .withColumn("cm", F.sum("c").over(w))
+    )
+    kept = cum.select(
+        "grp",
+        "n",
+        "d",
+        "y",
+        F.greatest(
+            F.least(F.col("cm"), F.col("n") - F.col("d"))
+            - F.greatest(F.col("cm") - F.col("c"), F.col("d")),
+            F.lit(0),
+        ).alias("k"),
+    )
+    return kept.groupBy("grp", F.col("n").alias("n_rows"), "d").agg(
+        F.round(
+            F.sum(F.col("k") * F.col("y")).cast("double")
+            / (F.first("n") - 2 * F.first("d")),
+            6,
+        ).alias("trimmed_mean")
+    ).select(
+        "grp",
+        "n_rows",
+        (F.col("n_rows") - 2 * F.col("d")).cast("long").alias("n_kept"),
+        "trimmed_mean",
+    )
+
+
+@register(
+    "feature_target_encoding_loo",
+    """
+    WITH o AS (SELECT o_orderkey, c_mktsegment AS seg,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS y
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT seg, SUM(y) AS sy, count(*) AS n FROM o GROUP BY 1)
+    SELECT o.o_orderkey, o.seg,
+           CASE WHEN g.n > 1
+                THEN round(CAST(g.sy - o.y AS DOUBLE) / (g.n - 1), 6)
+           END AS seg_loo_mean
+    FROM o JOIN g ON o.seg = g.seg
+    """,
+    doc="Leave-one-out target encoding: each order's market segment "
+    "encoded as the mean order value of the OTHER orders in that "
+    "segment, (sum - y)/(n - 1) — the leakage-safe categorical "
+    "feature every tabular training pipeline builds (plain "
+    "mean-encoding leaks the row's own label). Exactness: group sums "
+    "are exact decimals, the subtraction is decimal, one double "
+    "division per row; singleton groups gate to NULL with the same "
+    "expression both engines. Scale: one hash aggregate to the tiny "
+    "per-segment frame, broadcast back over the fact — the encode "
+    "pass never shuffles the fact.",
+)
+def q_feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        )
+    )
+    g = o.groupBy("seg").agg(F.sum("y").alias("sy"), F.count("*").alias("n"))
+    return o.join(F.broadcast(g), "seg").select(
+        "o_orderkey",
+        "seg",
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("sy") - F.col("y")).cast("double") / (F.col("n") - 1), 6
+            ),
+        ).alias("seg_loo_mean"),
+    )

@@ -1613,3 +1613,70 @@ def q_events_conversion_latency_pct(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@register(
+    "events_theil_sen_trend",
+    """
+    WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+               FROM events GROUP BY 1),
+    r AS (SELECT n, row_number() OVER (ORDER BY hour) AS i FROM c),
+    pairs AS (SELECT a.i AS i, b.i AS j,
+                     (b.n - a.n) / CAST(b.i - a.i AS DOUBLE) AS slope
+              FROM r a JOIN r b ON b.i > a.i),
+    t AS (SELECT count(*) AS n_pairs,
+                 (count(*) + 1) // 2 AS k
+          FROM pairs),
+    ranked AS (SELECT slope,
+                      row_number() OVER (ORDER BY slope, i, j) AS rk
+               FROM pairs)
+    SELECT (SELECT count(*) FROM c) AS n_hours,
+           t.n_pairs,
+           round(ranked.slope, 6) AS ts_slope
+    FROM ranked, t WHERE ranked.rk = t.k
+    """,
+    doc="Theil-Sen slope of hourly event volume: the (lower) median of "
+    "all pairwise slopes (c_j - c_i)/(j - i) — the robust trend "
+    "estimator a single traffic spike cannot drag the way OLS's is "
+    "(stats_bivariate_regression's robust sibling). Exactness: counts "
+    "and hour indexes are integers, each slope is ONE IEEE division "
+    "identical cross-engine, and the median is an order-statistic "
+    "PICK (rank k = (m+1)//2 by (slope, i, j) — never an average of "
+    "two floats); ties broken on the integer pair. Scale: the hourly "
+    "series is calendar-bounded, so the all-pairs frame is "
+    "series^2-bounded — independent of data volume; the one "
+    "data-sized operation is the initial hash aggregate.",
+)
+def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    from .ext.caching import swap_persist
+
+    r = swap_persist(
+        "theil_sen_series",
+        c.select("n", F.row_number().over(Window.orderBy("hour")).alias("i")),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(b, F.col("b.i") > F.col("a.i")).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (
+            (F.col("b.n") - F.col("a.n"))
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("slope"),
+    )
+    t = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.floor((F.count("*") + 1) / 2).cast("long").alias("k"),
+    )
+    ranked = pairs.withColumn(
+        "rk", F.row_number().over(Window.orderBy("slope", "i", "j"))
+    )
+    nh = c.agg(F.count("*").alias("n_hours"))
+    return (
+        ranked.join(F.broadcast(t), ranked["rk"] == t["k"])
+        .crossJoin(F.broadcast(nh))
+        .select("n_hours", "n_pairs", F.round("slope", 6).alias("ts_slope"))
+    )
