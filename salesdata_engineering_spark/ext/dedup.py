@@ -555,3 +555,47 @@ def substring_dup_spans(
             F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A∩B|/|A| per candidate pair —
+    the subset-detection measure Jaccard misses: a short document
+    fully embedded in a long one has low Jaccard (union is big) but
+    containment 1.0. Same inverted-index join as
+    :func:`ngram_jaccard_pairs`; a pair is emitted when EITHER
+    direction reaches ``threshold``, with both directions reported."""
+    sh = word_shingles(df, text_col, id_col, n)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("df") <= df_cap)), "shingle")
+        sh = sh.select("id", "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("cont_a", F.round(F.col("n_inter") / F.col("n_a"), 6))
+        .withColumn("cont_b", F.round(F.col("n_inter") / F.col("n_b"), 6))
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
+        )
+    )
+    return out.select("id_a", "id_b", "n_inter", "cont_a", "cont_b")

@@ -2379,3 +2379,75 @@ def q_feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         ).alias("seg_loo_mean"),
     )
+
+
+@register(
+    "stats_chisq_independence",
+    """
+    WITH cells AS (SELECT o_orderpriority AS pri, c_mktsegment AS seg,
+                          count(*) AS k
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   GROUP BY 1, 2),
+    rt AS (SELECT pri, CAST(SUM(k) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT seg, CAST(SUM(k) AS BIGINT) AS c FROM cells GROUP BY 1),
+    t AS (SELECT CAST(SUM(k) AS BIGINT) AS n,
+                 (count(DISTINCT pri) - 1) * (count(DISTINCT seg) - 1) AS df
+          FROM cells),
+    terms AS (SELECT CAST(round((k - CAST(rt.r AS DOUBLE) * ct.c / t.n)
+                                * (k - CAST(rt.r AS DOUBLE) * ct.c / t.n)
+                                / (CAST(rt.r AS DOUBLE) * ct.c / t.n)
+                                * 1000000) AS BIGINT) AS term,
+                    t.n, t.df
+             FROM cells JOIN rt ON cells.pri = rt.pri
+                        JOIN ct ON cells.seg = ct.seg
+                        CROSS JOIN t)
+    SELECT n, df, round(CAST(SUM(term) AS DOUBLE) / 1000000, 6) AS chi2
+    FROM terms GROUP BY n, df
+    """,
+    doc="Chi-square test of independence on the order-priority x "
+    "market-segment contingency table — is the priority mix the same "
+    "across segments (dq_chisq_uniform_priority's two-way sibling; "
+    "the categorical-drift test between any two columns). Exactness: "
+    "observed counts and margins are exact integers; each cell's "
+    "(o-e)^2/e is a fixed IEEE sequence quantized to integer "
+    "micro-units before the order-free sum. NOTE the contingency "
+    "assumes every (pri, seg) cell observed (true for this data); "
+    "zero cells would need a margins cross join. Scale: one fact "
+    "aggregate to a |pri|x|seg| cell frame; everything after is "
+    "cell-sized.",
+)
+def q_stats_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count("*").alias("k"))
+    )
+    rt = cells.groupBy("pri").agg(F.sum("k").cast("long").alias("r"))
+    ct = cells.groupBy("seg").agg(F.sum("k").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("k").cast("long").alias("n"),
+        (
+            (F.count_distinct("pri") - 1) * (F.count_distinct("seg") - 1)
+        ).alias("df"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "df",
+            F.round((F.col("k") - e) * (F.col("k") - e) / e * 1000000)
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("n", "df").agg(
+        F.round(F.sum("term").cast("double") / 1000000, 6).alias("chi2")
+    )

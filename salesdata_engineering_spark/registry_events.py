@@ -1680,3 +1680,81 @@ def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nh))
         .select("n_hours", "n_pairs", F.round("slope", 6).alias("ts_slope"))
     )
+
+
+@register(
+    "events_hourly_acf",
+    """
+    WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+               FROM events GROUP BY 1),
+    r AS (SELECT n, row_number() OVER (ORDER BY hour) AS i FROM c),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(SUM(n) AS BIGINT) AS s,
+                 CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
+          FROM r),
+    lagged AS (SELECT b.i - a.i AS lag,
+                      count(*) AS n_pairs,
+                      CAST(SUM(CAST(a.n AS HUGEINT) * b.n) AS HUGEINT) AS sab,
+                      CAST(SUM(a.n) AS BIGINT) AS sa,
+                      CAST(SUM(b.n) AS BIGINT) AS sb
+               FROM r a JOIN r b ON b.i > a.i AND b.i <= a.i + 24
+               GROUP BY 1)
+    SELECT lag, n_pairs,
+           round((CAST(sab AS DOUBLE)
+                  - CAST(s AS DOUBLE) / m * (sa + sb)
+                  + n_pairs * (CAST(s AS DOUBLE) / m)
+                            * (CAST(s AS DOUBLE) / m))
+                 / (CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m), 6) AS acf
+    FROM lagged, g
+    """,
+    doc="Autocorrelation function of hourly event volume at lags 1-24 "
+    "— the seasonality fingerprint (a daily cycle shows as the lag-24 "
+    "peak) feeding the Holt/seasonal-index entries. Exactness: every "
+    "inner sum (sum c_i*c_{i+L}, head/tail sums, global moments) is "
+    "an exact integer off the lag equi-join; the mean-centered "
+    "numerator and variance denominator are assembled in one fixed "
+    "double sequence spelled identically in the oracle. Scale: the "
+    "hourly series is calendar-bounded, so the 24-lag banded "
+    "self-join is series-sized — independent of event volume; the "
+    "one data-sized pass is the initial hash aggregate.",
+)
+def q_events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    from .ext.caching import swap_persist
+
+    r = swap_persist(
+        "acf_series",
+        c.select("n", F.row_number().over(Window.orderBy("hour")).alias("i")),
+    )
+    g = r.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("s2"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    lagged = (
+        a.join(b, (F.col("b.i") > F.col("a.i")) & (F.col("b.i") <= F.col("a.i") + 24))
+        .groupBy((F.col("b.i") - F.col("a.i")).alias("lag"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("a.n").cast("decimal(38,0)") * F.col("b.n")).alias("sab"),
+            F.sum("a.n").cast("long").alias("sa"),
+            F.sum("b.n").cast("long").alias("sb"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("m")
+    num = (
+        F.col("sab").cast("double")
+        - mean * (F.col("sa") + F.col("sb"))
+        + F.col("n_pairs") * mean * mean
+    )
+    den = F.col("s2").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("m")
+    return lagged.crossJoin(F.broadcast(g)).select(
+        "lag", "n_pairs", F.round(num / den, 6).alias("acf")
+    )

@@ -2738,3 +2738,36 @@ def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("k") * 1000000000, 6).alias("priority_key"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_sql_shingles(3)},
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / sa.n_sh, 6) AS cont_a,
+           round(n_inter / sb.n_sh, 6) AS cont_b
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_inter / sa.n_sh, 6) >= 0.7
+       OR round(n_inter / sb.n_sh, 6) >= 0.7
+    """,
+    doc="Asymmetric n-gram CONTAINMENT near-dup (ext/dedup.py "
+    "containment_pairs): |A∩B|/|A| per direction over the word-3-gram "
+    "inverted index — catches short-document-embedded-in-long pairs "
+    "whose Jaccard stays under any threshold because the union is "
+    "dominated by the long side (the quote/boilerplate-inclusion case "
+    "every corpus dedup needs next to dedup_ngram_jaccard). Exact "
+    "integer intersection counts; thresholding on the same round-6 "
+    "value both engines compute. Scale: identical inverted-index "
+    "shape as the Jaccard pass (join BY SHINGLE, df_cap guard "
+    "available), sizes broadcast.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.7)
