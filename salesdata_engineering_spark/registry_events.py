@@ -1758,3 +1758,73 @@ def q_events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.crossJoin(F.broadcast(g)).select(
         "lag", "n_pairs", F.round(num / den, 6).alias("acf")
     )
+
+
+@register(
+    "events_power_user_share",
+    """
+    WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+    h AS (SELECT c, count(*) AS users,
+                 CAST(c AS HUGEINT) * count(*) AS ev
+          FROM u GROUP BY 1),
+    t AS (SELECT CAST(SUM(users) AS BIGINT) AS n_users,
+                 CAST(SUM(ev) AS BIGINT) AS total_events,
+                 CAST(floor((SUM(users) + 99) / 100) AS BIGINT) AS k
+          FROM h),
+    cum AS (SELECT c,
+                   SUM(users) OVER (ORDER BY c DESC) AS cu,
+                   SUM(ev) OVER (ORDER BY c DESC) AS ce
+            FROM h),
+    pick AS (SELECT min(cu) AS cu_pick FROM cum, t WHERE cu >= t.k)
+    SELECT t.n_users, t.k AS k_users, t.total_events,
+           CAST(cum.ce - (cum.cu - t.k) * cum.c AS BIGINT) AS topk_events,
+           round(CAST(cum.ce - (cum.cu - t.k) * cum.c AS DOUBLE)
+                 / t.total_events, 6) AS share
+    FROM cum, t, pick WHERE cum.cu = pick.cu_pick
+    """,
+    doc="Power-user concentration: what share of all events comes from "
+    "the top 1% of users (k = ceil(n/100)) — the Pareto readout next "
+    "to revenue_gini_by_nation, computed WITHOUT ranking users: the "
+    "cut lives on the events-per-user HISTOGRAM (descending "
+    "cumulative users/events, boundary bucket corrected by exact "
+    "integer (cu - k) * c), so every quantity including the share "
+    "numerator is an exact integer and the one division is the "
+    "readout. Scale: one user-keyed aggregate, then "
+    "histogram-sized frames; the cumulation is over distinct count "
+    "VALUES (sub-linear in users), ridden by an ordinary window here "
+    "because the count histogram is frequency-bounded.",
+)
+def q_events_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    h = u.groupBy("c").agg(
+        F.count("*").alias("users"),
+        (F.col("c").cast("decimal(38,0)") * F.count("*")).alias("ev"),
+    )
+    from .ext.caching import swap_persist
+
+    h = swap_persist("power_user_hist", h)
+    t = h.agg(
+        F.sum("users").cast("long").alias("n_users"),
+        F.sum("ev").cast("long").alias("total_events"),
+        F.floor((F.sum("users") + 99) / 100).cast("long").alias("k"),
+    )
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        "c",
+        F.sum("users").over(w).alias("cu"),
+        F.sum("ev").over(w).alias("ce"),
+    )
+    ct = cum.crossJoin(F.broadcast(t))
+    pick = ct.filter(F.col("cu") >= F.col("k")).agg(F.min("cu").alias("cu_pick"))
+    top = ct.join(F.broadcast(pick), ct["cu"] == pick["cu_pick"])
+    topk_ev = F.col("ce") - (F.col("cu") - F.col("k")) * F.col("c")
+    return top.select(
+        "n_users",
+        F.col("k").alias("k_users"),
+        "total_events",
+        topk_ev.cast("long").alias("topk_events"),
+        F.round(topk_ev.cast("double") / F.col("total_events"), 6).alias("share"),
+    )

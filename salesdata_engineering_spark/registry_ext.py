@@ -2771,3 +2771,64 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.dedup import containment_pairs
 
     return containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.7)
+
+
+@register(
+    "sim_embedding_clusters",
+    f"""
+    WITH RECURSIVE p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
+    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+           FROM embeddings, p),
+    k AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
+          FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM k a JOIN k b USING (tbl, bucket) WHERE a.vec_id < b.vec_id
+    ),
+    prs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN c0 va ON cand.id_a = va.vec_id
+                  JOIN c0 vb ON cand.id_b = vb.vec_id
+        WHERE {_SQL_COSINE.format(a="va.v", b="vb.v")} >= 0.4
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN sym e ON r.id = e.u
+    )
+    SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+           CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS keep
+    FROM reach GROUP BY id
+    """,
+    doc="SEMANTIC dedup clusters: the embedding near-dup graph "
+    "(sim_embedding_near_dup's LSH-bucketed candidate join + exact "
+    "cosine >= 0.4) fed through the same min-label connected "
+    "components as the lexical dedup_cluster_components — one "
+    "canonical keeper per semantic cluster. This is the "
+    "paraphrase-dedup step lexical shingles cannot do, composed "
+    "entirely from existing machinery (LSH buckets -> verify -> "
+    "propagate). Oracle recomputes the fixpoint with a recursive "
+    "reachability CTE over the identical edge set. Scale: LSH "
+    "candidate join (never all-pairs) + O(diameter) label rounds, "
+    "all node-keyed shuffles.",
+)
+def q_sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import connected_components
+    from .ext.similarity import embedding_near_dup_lsh
+
+    emb = _embs(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = embedding_near_dup_lsh(
+        emb, threshold=0.4, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        F.when(F.col("component") == F.col("id"), 1).otherwise(0).alias("keep"),
+    )
