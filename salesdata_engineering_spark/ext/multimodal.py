@@ -187,3 +187,40 @@ def resize_images(df: DataFrame, max_side: int = 224, batch_size: int | None = N
 
     _cap_arrow_batch(df, batch_size)
     return needs.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def audio_segment_plan(
+    df: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio segmentation *plan*: one output row per overlapping
+    analysis window (decode stubbed), the ASR/feature-extraction
+    sibling of :func:`frame_sample_plan`. Rows multiply by
+    duration/hop BEFORE the (stubbed) per-segment decode, so segment
+    work parallelizes across tasks; ``n_samples`` is the exact sample
+    count a 16 kHz decoder would hand each window (16 samples per
+    ms), computed from metadata alone — the real codec plugs into the
+    per-row seam exactly like ``decode_media``."""
+    start = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+            F.lit(hop_ms),
+        )
+    )
+    out = (
+        df.filter(F.col("kind") == "audio")
+        .withColumn("seg_start_ms", start)
+        .withColumn(
+            "seg_end_ms",
+            F.least(F.col("seg_start_ms") + window_ms, F.col("meta.duration_ms")),
+        )
+    )
+    return out.select(
+        "media_id",
+        (F.col("seg_start_ms") / hop_ms).cast("long").alias("seg_idx"),
+        "seg_start_ms",
+        "seg_end_ms",
+        ((F.col("seg_end_ms") - F.col("seg_start_ms")) * 16).alias("n_samples"),
+        "payload",
+        "meta",
+    )

@@ -2832,3 +2832,64 @@ def q_sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("cluster_id"),
         F.when(F.col("component") == F.col("id"), 1).otherwise(0).alias("keep"),
     )
+
+
+@register(
+    "multimodal_audio_segments",
+    """
+    WITH seg AS (
+        SELECT doc_id AS media_id, text, n_chars,
+               unnest(generate_series(0, greatest(n_chars - 1, 0), 500))
+                   AS seg_start_ms
+        FROM documents)
+    SELECT media_id,
+           CAST(floor(seg_start_ms / 500.0) AS BIGINT) AS seg_idx,
+           seg_start_ms,
+           least(seg_start_ms + 1000, n_chars) AS seg_end_ms,
+           (least(seg_start_ms + 1000, n_chars) - seg_start_ms) * 16
+               AS n_samples,
+           md5(seg_start_ms::VARCHAR || '-'
+               || least(seg_start_ms + 1000, n_chars)::VARCHAR
+               || ':' || text) AS segment_digest
+    FROM seg
+    """,
+    doc="Audio analysis-window plumbing (ext/multimodal.py "
+    "audio_segment_plan): one row per overlapping 1000 ms window at "
+    "500 ms hop across meta.duration_ms, exploded BEFORE the stubbed "
+    "per-segment decode — the shape an ASR/VAD feature extractor "
+    "plugs into, with the exact 16 kHz sample count each window "
+    "receives computed from metadata alone. Stand-in media: document "
+    "text as payload, n_chars as duration. The window arithmetic "
+    "(inclusive hop grid, end clamp, sample count) and the JVM-side "
+    "segment digest are the value-checked parts.",
+)
+def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.multimodal import audio_segment_plan
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(16000).alias("sample_rate"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    segs = audio_segment_plan(media, window_ms=1000, hop_ms=500)
+    return segs.select(
+        "media_id",
+        "seg_idx",
+        "seg_start_ms",
+        "seg_end_ms",
+        "n_samples",
+        F.md5(
+            F.concat(
+                F.col("seg_start_ms").cast("string"),
+                F.lit("-"),
+                F.col("seg_end_ms").cast("string"),
+                F.lit(":"),
+                F.decode("payload", "utf-8"),
+            )
+        ).alias("segment_digest"),
+    )

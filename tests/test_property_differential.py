@@ -181,3 +181,75 @@ def test_bigram_logprob_matches_python_reference(spark):
         for d, ss in per_doc.items()
     }
     assert got == expect
+
+
+def test_global_cumsum_multi_equals_naive_window(spark):
+    """The two-pass multi-column cumsum must equal the naive
+    single-partition ORDER BY window for ANY partition count — the
+    range/offset scheme changes only the shuffle shape."""
+    from pyspark.sql import Window
+
+    from salesdata_engineering_spark.ops.sorts import global_cumsum_multi
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.permutation(5_000),
+            "a": rng.integers(0, 100, 5_000),
+            "b": rng.integers(0, 100, 5_000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        r.k: (r.ca, r.cb)
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    for parts in (1, 3, 32):
+        got = {
+            r.k: (r.ca, r.cb)
+            for r in global_cumsum_multi(
+                df, ["k"], {"ca": "a", "cb": "b"}, n_parts=parts,
+                persist_key=f"prop_cumsum_{parts}",
+            ).collect()
+        }
+        assert got == naive, f"n_parts={parts} changed the cumsums"
+
+
+def test_containment_pairs_matches_python_reference(spark):
+    """Containment |A∩B|/|A| against a brute-force Python shingle
+    computation on a small corpus with planted subset documents."""
+    from salesdata_engineering_spark.ext.dedup import containment_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # subset of 1
+        (3, "a completely different document about spark engines at scale"),
+        (4, "document about spark engines at scale"),  # subset-ish of 3
+        (5, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+    ]
+    n = 3
+
+    def shingles(text):
+        t = text.split()
+        if len(t) <= n - 1:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    expect = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            ca, cb = round(inter / len(sa), 6), round(inter / len(sb), 6)
+            if inter and (ca >= 0.7 or cb >= 0.7):
+                expect[(ia, ib)] = (inter, ca, cb)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.cont_a, r.cont_b)
+        for r in containment_pairs(df, n=n, threshold=0.7).collect()
+    }
+    assert got == expect
