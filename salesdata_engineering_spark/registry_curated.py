@@ -2451,3 +2451,92 @@ def q_stats_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("n", "df").agg(
         F.round(F.sum("term").cast("double") / 1000000, 6).alias("chi2")
     )
+
+
+@register(
+    "dq_iqr_outliers",
+    """
+    WITH v AS (SELECT o_orderpriority AS grp,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS y
+               FROM orders),
+    h AS (SELECT grp, y, count(*) AS c FROM v GROUP BY 1, 2),
+    t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    cum AS (SELECT h.grp, h.y, h.c, t.n,
+                   SUM(h.c) OVER (PARTITION BY h.grp ORDER BY h.y) AS cm
+            FROM h JOIN t ON h.grp = t.grp),
+    q AS (SELECT grp, max(n) AS n,
+                 min(CASE WHEN cm * 4 >= n THEN y END) AS q1,
+                 min(CASE WHEN cm * 4 >= 3 * n THEN y END) AS q3
+          FROM cum GROUP BY grp),
+    b AS (SELECT grp, n, q1, q3,
+                 q1 - (q3 - q1) * 1.5 AS lo,
+                 q3 + (q3 - q1) * 1.5 AS hi
+          FROM q)
+    SELECT b.grp, b.n AS n_rows,
+           CAST(b.q1 AS DOUBLE) AS q1, CAST(b.q3 AS DOUBLE) AS q3,
+           CAST(SUM(CASE WHEN h.y < b.lo THEN h.c ELSE 0 END) AS BIGINT)
+               AS n_low,
+           CAST(SUM(CASE WHEN h.y > b.hi THEN h.c ELSE 0 END) AS BIGINT)
+               AS n_high
+    FROM h JOIN b ON h.grp = b.grp
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="IQR outlier audit per order priority: nearest-rank q1/q3 "
+    "picked by integer rank arithmetic on the value histogram "
+    "(cum*4 >= n / 3n — exact order statistics, never interpolated "
+    "floats), Tukey fences q1/q3 -/+ 1.5*IQR in exact DECIMAL "
+    "arithmetic, and the out-of-fence row counts — the distributional "
+    "DQ rule next to dq_expectations_orders' schema rules. Scale: "
+    "the same histogram-not-rows discipline as stats_trimmed_mean — "
+    "one fact aggregate, then every frame is bucket-sized, the "
+    "cumulation partitioned per group.",
+)
+def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    h = v.groupBy("grp", "y").agg(F.count("*").alias("c"))
+    from .ext.caching import swap_persist
+
+    h = swap_persist("iqr_hist", h)
+    t = h.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.join(F.broadcast(t), "grp").withColumn("cm", F.sum("c").over(w))
+    q = cum.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cm") * 4 >= F.col("n"), F.col("y"))).alias("q1"),
+        F.min(F.when(F.col("cm") * 4 >= 3 * F.col("n"), F.col("y"))).alias("q3"),
+    )
+    b = q.select(
+        "grp",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - (F.col("q3") - F.col("q1")) * F.lit(1.5)).alias("lo"),
+        (F.col("q3") + (F.col("q3") - F.col("q1")) * F.lit(1.5)).alias("hi"),
+    )
+    return (
+        h.join(F.broadcast(b), "grp")
+        .groupBy(
+            "grp",
+            F.col("n").alias("n_rows"),
+            F.col("q1").cast("double").alias("q1"),
+            F.col("q3").cast("double").alias("q3"),
+        )
+        .agg(
+            F.sum(F.when(F.col("y") < F.col("lo"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("y") > F.col("hi"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
