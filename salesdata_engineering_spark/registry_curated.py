@@ -2342,7 +2342,8 @@ def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT seg, SUM(y) AS sy, count(*) AS n FROM o GROUP BY 1)
     SELECT o.o_orderkey, o.seg,
            CASE WHEN g.n > 1
-                THEN round(CAST(g.sy - o.y AS DOUBLE) / (g.n - 1), 6)
+                THEN floor(CAST(g.sy - o.y AS DOUBLE) / (g.n - 1)
+                           * 1000000 + 0.5) / 1000000
            END AS seg_loo_mean
     FROM o JOIN g ON o.seg = g.seg
     """,
@@ -2374,9 +2375,17 @@ def q_feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame
         "seg",
         F.when(
             F.col("n") > 1,
-            F.round(
-                (F.col("sy") - F.col("y")).cast("double") / (F.col("n") - 1), 6
-            ),
+            # floor-quantize, not round(_, 6): at sf1's 1.5M output rows
+            # the engines' double-round implementations disagree in the
+            # last digit near rounding boundaries (the events-interpolate
+            # finding); floor(x*1e6 + 0.5) is the same IEEE ops in both
+            F.floor(
+                (F.col("sy") - F.col("y")).cast("double")
+                / (F.col("n") - 1)
+                * 1000000
+                + 0.5
+            )
+            / 1000000,
         ).alias("seg_loo_mean"),
     )
 
