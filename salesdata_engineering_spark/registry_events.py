@@ -1828,3 +1828,95 @@ def q_events_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_ev.cast("long").alias("topk_events"),
         F.round(topk_ev.cast("double") / F.col("total_events"), 6).alias("share"),
     )
+
+
+@register(
+    "events_funnel_time_capped",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(ts) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts > t1
+            AND ts <= t1 + INTERVAL 1 HOUR GROUP BY 1),
+    p AS (SELECT e.user_id, min(ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts > t2
+            AND ts <= t2 + INTERVAL 1 HOUR GROUP BY 1),
+    s AS (
+        SELECT 1 AS step_no, 'view' AS step, count(*) AS users FROM v
+        UNION ALL SELECT 2, 'click', count(*) FROM c
+        UNION ALL SELECT 3, 'purchase', count(*) FROM p
+    )
+    SELECT step_no, step, users,
+           round(CAST(users AS DOUBLE)
+                 / lag(users, 1, users) OVER (ORDER BY step_no), 6)
+               AS step_conversion
+    FROM s
+    """,
+    doc="Time-capped ordered funnel (view -> click -> purchase, each "
+    "step within ONE HOUR of the previous step's first qualifying "
+    "event) with per-step conversion rates — the standard "
+    "product-analytics definition where stale conversions do not "
+    "count, beside events_funnel_conversion's uncapped variant. "
+    "Exactness: per-user step timestamps are exact min-aggregates, "
+    "the interval predicate is identical timestamp arithmetic in both "
+    "engines, and each rate is one division of exact counts. Scale: "
+    "same single-shuffle-key shape as the uncapped funnel — every "
+    "join and aggregate keys on user_id.",
+)
+def q_events_funnel_time_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s = (
+        v.agg(F.count("*").alias("users"))
+        .select(F.lit(1).alias("step_no"), F.lit("view").alias("step"), "users")
+        .unionByName(
+            c.agg(F.count("*").alias("users")).select(
+                F.lit(2).alias("step_no"), F.lit("click").alias("step"), "users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("users")).select(
+                F.lit(3).alias("step_no"), F.lit("purchase").alias("step"), "users"
+            )
+        )
+    )
+    w = Window.orderBy("step_no")
+    return s.select(
+        "step_no",
+        "step",
+        "users",
+        F.round(
+            F.col("users").cast("double")
+            / F.lag("users", 1, None).over(w).cast("double"),
+            6,
+        ).alias("step_conversion"),
+    ).withColumn(
+        "step_conversion",
+        F.when(F.col("step_no") == 1, F.lit(1.0)).otherwise(F.col("step_conversion")),
+    )

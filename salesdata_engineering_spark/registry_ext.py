@@ -2893,3 +2893,49 @@ def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("segment_digest"),
     )
+
+
+@register(
+    "dedup_chunk_exact",
+    f"""
+    WITH sp AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+    ex AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   greatest(CAST(ceil(len(t) / 50.0) AS INT), 1) - 1))
+                   AS chunk_id,
+               t
+        FROM sp
+    ),
+    ch AS (SELECT doc_id, chunk_id,
+                  array_to_string(t[chunk_id * 50 + 1 : chunk_id * 50 + 50],
+                                  ' ') AS chunk_text
+           FROM ex)
+    SELECT md5(chunk_text) AS fingerprint,
+           count(*) AS n_copies,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM ch GROUP BY 1 HAVING count(*) > 1
+    """,
+    doc="Chunk-level exact dedup: non-overlapping 50-token chunks "
+    "(ext/text.py chunk_documents with overlap 0 — the same "
+    "segmentation the packing step consumes), md5-fingerprinted and "
+    "grouped; chunks appearing more than once are the repeated "
+    "boilerplate/quotation blocks a corpus pipeline strips BETWEEN "
+    "whole-doc dedup (too coarse) and gram-span dedup (finer but "
+    "costlier) — the middle granularity of the dedup ladder. Scale: "
+    "one tokenize+explode, one 16-byte-key hash aggregate; no joins.",
+)
+def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import chunk_documents
+
+    ch = chunk_documents(_docs(spark, sf_dir), chunk_tokens=50, overlap=0)
+    return (
+        ch.groupBy(F.md5("chunk_text").alias("fingerprint"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
