@@ -143,20 +143,20 @@ def gram_hashes(
     return out.distinct() if distinct else out
 
 
-def ngram_jaccard_pairs(
+def _shingle_intersection(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.8,
-    df_cap: int | None = None,
+    text_col: str,
+    id_col: str,
+    n: int,
+    df_cap: int | None,
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs via shingle inverted-index join.
-
-    |A∩B| from the self-join on shingle; |A∪B| = |A|+|B|−|A∩B|.
-    ``df_cap`` drops shingles occurring in more than that many docs
-    (skew + quadratic-blowup guard; exact results for corpora where
-    true near-dups share at least one sub-cap shingle)."""
+    """Shared candidate-pair machinery for every shingle-overlap
+    measure: inverted-index self-join BY SHINGLE (never all doc
+    pairs), optional ``df_cap`` dropping shingles in more than that
+    many docs (skew + quadratic-blowup guard), per-doc sizes attached.
+    Returns (id_a, id_b, n_inter, n_a, n_b) with id_a < id_b — the
+    one place the join/guard lives so Jaccard and containment cannot
+    drift apart."""
     sh = word_shingles(df, text_col, id_col, n)
     if df_cap is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -171,9 +171,25 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle inverted-index join.
+
+    |A∩B| from the self-join on shingle; |A∪B| = |A|+|B|−|A∩B|.
+    ``df_cap`` drops shingles occurring in more than that many docs
+    (skew + quadratic-blowup guard; exact results for corpora where
+    true near-dups share at least one sub-cap shingle)."""
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        _shingle_intersection(df, text_col, id_col, n, df_cap)
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
@@ -364,6 +380,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 15,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Dedup clustering: near-dup PAIRS → components → canonical keeper.
 
@@ -392,6 +409,7 @@ def connected_components(
     labels = (
         sym.select(F.col("u").alias("id")).distinct().select("id", F.col("id").alias("component"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels.id)
@@ -415,7 +433,16 @@ def connected_components(
         )
         labels = new_labels
         if changed.isEmpty():
+            converged = True
             break
+    if require_converged and not converged:
+        # a silent non-fixpoint would return WRONG labels (and diverge
+        # from any fixpoint oracle); callers on loose edge sets — long
+        # chains are plausible there — must get an error, not bad data
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component diameter exceeds the cap — raise max_iter"
+        )
     return labels
 
 
@@ -569,29 +596,11 @@ def containment_pairs(
     the subset-detection measure Jaccard misses: a short document
     fully embedded in a long one has low Jaccard (union is big) but
     containment 1.0. Same inverted-index join as
-    :func:`ngram_jaccard_pairs`; a pair is emitted when EITHER
+    :func:`ngram_jaccard_pairs` (shared via
+    :func:`_shingle_intersection`); a pair is emitted when EITHER
     direction reaches ``threshold``, with both directions reported."""
-    sh = word_shingles(df, text_col, id_col, n)
-    if df_cap is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("df") <= df_cap)), "shingle")
-        sh = sh.select("id", "shingle")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        _shingle_intersection(df, text_col, id_col, n, df_cap)
         .withColumn("cont_a", F.round(F.col("n_inter") / F.col("n_a"), 6))
         .withColumn("cont_b", F.round(F.col("n_inter") / F.col("n_b"), 6))
         .filter(

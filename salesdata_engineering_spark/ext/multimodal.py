@@ -197,8 +197,8 @@ def audio_segment_plan(
     sibling of :func:`frame_sample_plan`. Rows multiply by
     duration/hop BEFORE the (stubbed) per-segment decode, so segment
     work parallelizes across tasks; ``n_samples`` is the exact sample
-    count a 16 kHz decoder would hand each window (16 samples per
-    ms), computed from metadata alone — the real codec plugs into the
+    count the decoder would hand each window (from the row's own
+    ``meta.sample_rate``), computed from metadata alone — the real codec plugs into the
     per-row seam exactly like ``decode_media``."""
     start = F.explode(
         F.sequence(
@@ -215,12 +215,19 @@ def audio_segment_plan(
             F.least(F.col("seg_start_ms") + window_ms, F.col("meta.duration_ms")),
         )
     )
+    # n_samples derives from the row's OWN sample rate — a hardcoded
+    # 16/ms would be silently ~2.8x off for 44.1 kHz media
+    n_samples = F.floor(
+        (F.col("seg_end_ms") - F.col("seg_start_ms"))
+        * F.col("meta.sample_rate")
+        / 1000
+    ).cast("long")
     return out.select(
         "media_id",
         (F.col("seg_start_ms") / hop_ms).cast("long").alias("seg_idx"),
         "seg_start_ms",
         "seg_end_ms",
-        ((F.col("seg_end_ms") - F.col("seg_start_ms")) * 16).alias("n_samples"),
+        n_samples.alias("n_samples"),
         "payload",
         "meta",
     )

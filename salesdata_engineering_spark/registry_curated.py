@@ -1910,9 +1910,9 @@ def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
           FROM c)
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-           round(CAST(2 * n1 * n2 + n1 * (n1 + 1) - r12 AS DOUBLE) / 2, 1)
+           round(CAST(r12 - n1 * (n1 + 1) AS DOUBLE) / 2, 1)
                AS u1,
-           round((CAST(2 * n1 * n2 + n1 * (n1 + 1) - r12 AS DOUBLE) / 2
+           round((CAST(r12 - n1 * (n1 + 1) AS DOUBLE) / 2
                   - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
                         * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
@@ -1952,7 +1952,10 @@ def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c1d * r2).alias("r12"),
         F.sum(cd * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
     )
-    u2 = 2 * F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) - F.col("r12")
+    # U1 = R1 - n1(n1+1)/2, carried doubled so it stays an exact
+    # integer; the review pass caught the original 2*n1*n2 + ... form,
+    # which is U2 = n1*n2 - U1 and inverts the z sign
+    u2 = F.col("r12") - F.col("n1") * (F.col("n1") + 1)
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     nd = n1d + n2d
     var = n1d * n2d / 12 * ((nd + 1) - F.col("ties").cast("double") / (nd * (nd - 1)))
@@ -2478,14 +2481,14 @@ def q_stats_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                  min(CASE WHEN cm * 4 >= 3 * n THEN y END) AS q3
           FROM cum GROUP BY grp),
     b AS (SELECT grp, n, q1, q3,
-                 q1 - (q3 - q1) * 1.5 AS lo,
-                 q3 + (q3 - q1) * 1.5 AS hi
+                 5 * q1 - 3 * q3 AS lo2,
+                 5 * q3 - 3 * q1 AS hi2
           FROM q)
     SELECT b.grp, b.n AS n_rows,
            CAST(b.q1 AS DOUBLE) AS q1, CAST(b.q3 AS DOUBLE) AS q3,
-           CAST(SUM(CASE WHEN h.y < b.lo THEN h.c ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN 2 * h.y < b.lo2 THEN h.c ELSE 0 END) AS BIGINT)
                AS n_low,
-           CAST(SUM(CASE WHEN h.y > b.hi THEN h.c ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN 2 * h.y > b.hi2 THEN h.c ELSE 0 END) AS BIGINT)
                AS n_high
     FROM h JOIN b ON h.grp = b.grp
     GROUP BY 1, 2, 3, 4
@@ -2493,8 +2496,8 @@ def q_stats_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IQR outlier audit per order priority: nearest-rank q1/q3 "
     "picked by integer rank arithmetic on the value histogram "
     "(cum*4 >= n / 3n — exact order statistics, never interpolated "
-    "floats), Tukey fences q1/q3 -/+ 1.5*IQR in exact DECIMAL "
-    "arithmetic, and the out-of-fence row counts — the distributional "
+    "floats), Tukey fences compared as 2y vs 5*q1-3*q3 so 1.5*IQR "
+    "stays in exact DECIMAL arithmetic, and the out-of-fence counts — the distributional "
     "DQ rule next to dq_expectations_orders' schema rules. Scale: "
     "the same histogram-not-rows discipline as stats_trimmed_mean — "
     "one fact aggregate, then every frame is bucket-sized, the "
@@ -2524,13 +2527,17 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cm") * 4 >= F.col("n"), F.col("y"))).alias("q1"),
         F.min(F.when(F.col("cm") * 4 >= 3 * F.col("n"), F.col("y"))).alias("q3"),
     )
+    # fences scaled by 2 so Tukey's 1.5*IQR stays in EXACT decimal
+    # arithmetic: y < q1 - 1.5*(q3-q1)  <=>  2y < 5*q1 - 3*q3 — a
+    # float 1.5 literal would coerce the whole fence to double and the
+    # strict comparisons could flip on boundary rows vs the oracle
     b = q.select(
         "grp",
         "n",
         "q1",
         "q3",
-        (F.col("q1") - (F.col("q3") - F.col("q1")) * F.lit(1.5)).alias("lo"),
-        (F.col("q3") + (F.col("q3") - F.col("q1")) * F.lit(1.5)).alias("hi"),
+        (5 * F.col("q1") - 3 * F.col("q3")).alias("lo2"),
+        (5 * F.col("q3") - 3 * F.col("q1")).alias("hi2"),
     )
     return (
         h.join(F.broadcast(b), "grp")
@@ -2541,10 +2548,10 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q3").cast("double").alias("q3"),
         )
         .agg(
-            F.sum(F.when(F.col("y") < F.col("lo"), F.col("c")).otherwise(0))
+            F.sum(F.when(2 * F.col("y") < F.col("lo2"), F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_low"),
-            F.sum(F.when(F.col("y") > F.col("hi"), F.col("c")).otherwise(0))
+            F.sum(F.when(2 * F.col("y") > F.col("hi2"), F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_high"),
         )

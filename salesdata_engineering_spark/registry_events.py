@@ -1644,8 +1644,10 @@ def q_events_conversion_latency_pct(spark: SparkSession, sf_dir: str) -> DataFra
     "PICK (rank k = (m+1)//2 by (slope, i, j) — never an average of "
     "two floats); ties broken on the integer pair. Scale: the hourly "
     "series is calendar-bounded, so the all-pairs frame is "
-    "series^2-bounded — independent of data volume; the one "
-    "data-sized operation is the initial hash aggregate.",
+    "series^2-bounded — independent of data volume but NOT small (a "
+    "2-year series is ~150M pairs), so the rank pick rides the "
+    "two-pass global_row_number, never a single-task global window; "
+    "the one data-sized operation is the initial hash aggregate.",
 )
 def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
@@ -1671,8 +1673,14 @@ def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.floor((F.count("*") + 1) / 2).cast("long").alias("k"),
     )
-    ranked = pairs.withColumn(
-        "rk", F.row_number().over(Window.orderBy("slope", "i", "j"))
+    # two-pass global rank: a bare row_number() OVER (ORDER BY ...)
+    # would funnel the series^2 pairs frame (153M rows for a 2-year
+    # hourly series) through ONE task; the range/offset scheme keeps
+    # the order-statistic pick fully parallel
+    from .ops.sorts import global_row_number
+
+    ranked = global_row_number(
+        pairs, ["slope", "i", "j"], alias="rk", persist_key="theil_sen_rank"
     )
     nh = c.agg(F.count("*").alias("n_hours"))
     return (

@@ -2826,7 +2826,13 @@ def q_sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_dup_lsh(
         emb, threshold=0.4, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
     ).select("id_a", "id_b")
-    cc = connected_components(pairs, "id_a", "id_b")
+    # the 0.4 demo threshold admits LOOSE components whose diameter can
+    # exceed the lexical-dedup default cap; the oracle computes the true
+    # fixpoint, so a silent non-converged return would be wrong data —
+    # fail loudly instead
+    cc = connected_components(
+        pairs, "id_a", "id_b", max_iter=40, require_converged=True
+    )
     return cc.select(
         F.col("id").alias("vec_id"),
         F.col("component").cast("long").alias("cluster_id"),

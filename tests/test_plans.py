@@ -743,3 +743,12 @@ def test_conversion_latency_two_pass_cumsum(spark, sf_dir):
     # blowup anywhere in the plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_theil_sen_rank_two_pass(spark, sf_dir):
+    """The median-of-slopes pick must ride the two-pass global rank —
+    a bare row_number window over the series^2 pairs frame would
+    single-task ~150M rows for a multi-year series."""
+    plan = plan_of(QUERIES["events_theil_sen_trend"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert "InMemoryTableScan" in plan, plan[:1500]
