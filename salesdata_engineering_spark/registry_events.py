@@ -1928,3 +1928,96 @@ def q_events_funnel_time_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step_conversion",
         F.when(F.col("step_no") == 1, F.lit(1.0)).otherwise(F.col("step_conversion")),
     )
+
+
+@register(
+    "events_peak_concurrency",
+    f"""
+    WITH lagd AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    flag AS (
+        SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= {21600}
+                       THEN 1 ELSE 0 END AS new_s
+        FROM lagd
+    ),
+    isl AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    ),
+    sess AS (SELECT user_id, sid, epoch_us(min(ts)) AS s_us,
+                    epoch_us(max(ts)) + 1 AS e_us
+             FROM isl GROUP BY 1, 2),
+    delta AS (SELECT us, CAST(SUM(dx) AS BIGINT) AS dx FROM (
+        SELECT s_us AS us, 1 AS dx FROM sess
+        UNION ALL SELECT e_us, -1 AS dx FROM sess) GROUP BY 1),
+    cum AS (SELECT us, SUM(dx) OVER (ORDER BY us) AS conc FROM delta),
+    m AS (SELECT max(conc) AS peak FROM cum),
+    t AS (SELECT count(*) AS n_sessions FROM sess)
+    SELECT t.n_sessions, CAST(m.peak AS BIGINT) AS peak_concurrency,
+           CAST(min(cum.us) AS BIGINT) AS at_epoch_us
+    FROM cum, m, t WHERE cum.conc = m.peak GROUP BY 1, 2
+    """,
+    doc="Peak concurrent sessions: 6h-gap sessionization (the "
+    "events_session_windows islands), each session an active interval "
+    "[first event, last event], swept with the same +1/-1 boundary "
+    "technique as orders_open_backlog_daily in exact integer "
+    "microseconds — the capacity-planning number (how many users were "
+    "on AT ONCE, and when). Closed intervals: the -1 fires one "
+    "microsecond after the last event, so touching sessions both "
+    "count. Exactness: all integers until none — peak, argmax time "
+    "(earliest, by integer min) and session count are exact. Scale: "
+    "one user-window pass, one session aggregate, then the boundary "
+    "histogram rides the two-pass global cumsum.",
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_cumsum
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flag = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+                >= 21600
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    isl = flag.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = isl.groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("s_us"),
+        (F.unix_micros(F.max("ts").cast("timestamp")) + 1).alias("e_us"),
+    )
+    from .ext.caching import swap_persist
+
+    sess = swap_persist("peak_conc_sessions", sess)
+    delta = (
+        sess.select(F.col("s_us").alias("us"), F.lit(1).alias("dx"))
+        .unionAll(sess.select(F.col("e_us").alias("us"), F.lit(-1).alias("dx")))
+        .groupBy("us")
+        .agg(F.sum("dx").cast("long").alias("dx"))
+    )
+    cum = global_cumsum(delta, ["us"], "dx", alias="conc", persist_key="peak_conc_cum")
+    m = cum.agg(F.max("conc").alias("peak"))
+    t = sess.agg(F.count("*").alias("n_sessions"))
+    return (
+        cum.join(F.broadcast(m), cum["conc"] == m["peak"])
+        .crossJoin(F.broadcast(t))
+        .groupBy("n_sessions", F.col("peak").cast("long").alias("peak_concurrency"))
+        .agg(F.min("us").cast("long").alias("at_epoch_us"))
+    )
