@@ -256,6 +256,57 @@ def minhash_sig_expr(shingles_expr: str, k: int) -> str:
     )
 
 
+def _minhash_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n: int,
+    persist_key: str = "minhash_docs",
+) -> DataFrame:
+    """Per-doc frame carrying BOTH the shingle set and the k min-hash
+    signatures — ONE groupBy(id) computes both: one shuffle, one pass
+    over the shingle rows. PERSISTED: consumers (banding + verify
+    sides) get different column-pruned subtrees, so Spark's exchange
+    reuse never fires and the aggregate would execute 3x (measured
+    9.5s->6.3s at sf0.1). One row per doc — tiny relative to input.
+    The md5 base is hoisted below the agg: agg-expr subtrees get no
+    cross-expression CSE, so an inline base ran the md5 k times per
+    shingle row. Bounded persist via swap_persist (repeated
+    invocations in one session must not accumulate cache entries)."""
+    sh_rows = word_shingles(df, text_col, id_col, n)
+    docs = (
+        sh_rows.withColumn("hv", _minhash_base())
+        .groupBy("id")
+        .agg(
+            F.collect_set("shingle").alias("sh"),
+            *[F.min(perm_hash(F.col("hv"), h)).alias(f"sig_{h}") for h in range(k)],
+        )
+    )
+    return swap_persist(persist_key, docs)
+
+
+def _band_candidates(docs: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH banding over a :func:`_minhash_docs` frame: band r = k/bands
+    consecutive sigs into one md5 bucket key; docs sharing any
+    (band, key) bucket become candidate pairs (id_a < id_b)."""
+    r = k // bands
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(f"sig_{t * r + j}").cast("string") for j in range(r)]))
+            for t in range(bands)
+        ]
+    )
+    banded = docs.select("id", F.posexplode(band_keys).alias("band", "bucket"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -272,42 +323,8 @@ def minhash_lsh_pairs(
     (P[candidate] ≈ 1−(1−j^r)^b); exact Jaccard then removes false
     positives. False negatives are inherent to LSH — the oracle mirrors
     the identical construction, so results still match exactly."""
-    r = k // bands
-    sh_rows = word_shingles(df, text_col, id_col, n)
-    # ONE groupBy(id) computes both the k min-hash sigs and the shingle
-    # set (verify input) — one shuffle, one pass over the shingle rows.
-    # PERSIST it: the three consumers below (banding + both verify
-    # sides) get different column-pruned subtrees, so Spark's exchange
-    # reuse never fires and the aggregate would execute 3× (measured
-    # 9.5s→6.3s at sf0.1). One row per doc — tiny relative to input.
-    # The md5 base is hoisted below the agg (see _sig_cols): agg-expr
-    # subtrees get no cross-expression CSE, so an inline base ran the
-    # md5 k× per shingle row.
-    docs = (
-        sh_rows.withColumn("hv", _minhash_base())
-        .groupBy("id")
-        .agg(
-            F.collect_set("shingle").alias("sh"),
-            *[F.min(perm_hash(F.col("hv"), h)).alias(f"sig_{h}") for h in range(k)],
-        )
-    )
-    # bounded persist: repeated invocations in one session (driver loops,
-    # check_all) must not accumulate cache entries — see ext/caching.py
-    docs = swap_persist("minhash_docs", docs)
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws(",", *[F.col(f"sig_{t * r + j}").cast("string") for j in range(r)]))
-            for t in range(bands)
-        ]
-    )
-    banded = docs.select("id", F.posexplode(band_keys).alias("band", "bucket"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))
-              & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    docs = _minhash_docs(df, text_col, id_col, k, n)
+    cand = _band_candidates(docs, k, bands)
     # verify candidates with exact Jaccard via array_intersect — joins
     # shingle arrays for the (rare) candidates only, no inverted index.
     da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -608,3 +625,53 @@ def containment_pairs(
         )
     )
     return out.select("id_a", "id_b", "n_inter", "cont_a", "cont_b")
+
+
+def minhash_estimate_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Estimator-quality eval for MinHash: over the LSH candidate
+    pairs, compare the k-signature Jaccard ESTIMATE (matching sigs /
+    k) against the exact shingle Jaccard; returns one row with the
+    pair count, mean absolute error, and signed bias — the
+    measure-don't-guess harness for choosing k (the MinHash sibling
+    of sim_ann_recall_eval). Per-pair errors are quantized to integer
+    micro-units before averaging (order-free sums)."""
+    docs = _minhash_docs(df, text_col, id_col, k, n, persist_key="minhash_eval_docs")
+    cand = _band_candidates(docs, k, bands)
+    da = docs.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"sig_{h}").alias(f"sa_{h}") for h in range(k)],
+    )
+    db = docs.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"sig_{h}").alias(f"sb_{h}") for h in range(k)],
+    )
+    m = sum(
+        F.when(F.col(f"sa_{h}") == F.col(f"sb_{h}"), 1).otherwise(0) for h in range(k)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    per = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            (m / F.lit(float(k))).alias("est"),
+            (inter / (F.size("sh_a") + F.size("sh_b") - inter)).alias("ex"),
+        )
+    )
+    q = per.select(
+        F.round(F.abs(F.col("est") - F.col("ex")) * 1000000).cast("bigint").alias("ae"),
+        F.round((F.col("est") - F.col("ex")) * 1000000).cast("bigint").alias("e"),
+    )
+    return q.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("ae").cast("double") / F.count("*") / 1000000, 6).alias("mae"),
+        F.round(F.sum("e").cast("double") / F.count("*") / 1000000, 6).alias("bias"),
+    )

@@ -2945,3 +2945,151 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "dedup_minhash_estimate_eval",
+    f"""
+    WITH {_sql_minhash_sigs(_MINHASH_K, 3)},
+    banded AS (
+        SELECT id, h // {_MINHASH_K // _MINHASH_BANDS} AS band,
+               md5(string_agg(sig::VARCHAR, ',' ORDER BY h)) AS bucket
+        FROM sigs GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    ),
+    mm AS (
+        SELECT c.id_a, c.id_b,
+               count(*) FILTER (WHERE sa.sig = sb.sig) AS m
+        FROM cand c JOIN sigs sa ON c.id_a = sa.id
+                    JOIN sigs sb ON c.id_b = sb.id AND sa.h = sb.h
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c JOIN sh a ON c.id_a = a.id
+                    JOIN sh b ON c.id_b = b.id AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT mm.m / {float(_MINHASH_K)} AS est,
+               coalesce(i.n_inter, 0)
+                   / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS ex
+        FROM mm LEFT JOIN inter i
+                  ON mm.id_a = i.id_a AND mm.id_b = i.id_b
+                JOIN sizes sa ON mm.id_a = sa.id
+                JOIN sizes sb ON mm.id_b = sb.id
+    ),
+    q AS (SELECT CAST(round(abs(est - ex) * 1000000) AS BIGINT) AS ae,
+                 CAST(round((est - ex) * 1000000) AS BIGINT) AS e
+          FROM per)
+    SELECT count(*) AS n_pairs,
+           round(CAST(SUM(ae) AS DOUBLE) / count(*) / 1000000, 6) AS mae,
+           round(CAST(SUM(e) AS DOUBLE) / count(*) / 1000000, 6) AS bias
+    FROM q
+    """,
+    doc="MinHash estimator-quality eval (ext/dedup.py "
+    "minhash_estimate_eval): over the LSH candidate pairs, the "
+    "k=16-signature Jaccard estimate vs the exact shingle Jaccard — "
+    "MAE and signed bias, the measure-don't-guess harness for sizing "
+    "k (sim_ann_recall_eval's MinHash sibling; theory says sd ~ "
+    "sqrt(j(1-j)/k) ~ 0.12 at k=16, and this measures it). Per-pair "
+    "errors quantized to integer micro-units before the order-free "
+    "sum; the estimate is integer sig matches over the shared "
+    "deterministic permutations, so both engines see identical pairs "
+    "AND identical estimates. Scale: candidate-bounded like the LSH "
+    "dedup itself — cost tracks docs, never all pairs.",
+)
+def q_dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import minhash_estimate_eval
+
+    return minhash_estimate_eval(
+        _docs(spark, sf_dir), k=_MINHASH_K, bands=_MINHASH_BANDS, n=3
+    )
+
+
+@register(
+    "sample_temperature_mixture",
+    f"""
+    WITH w AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    q AS (SELECT lang, n_docs,
+                 CAST(round(pow(n_docs, 0.7) * 1000000) AS BIGINT) AS wq
+          FROM w),
+    t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tot,
+                 CAST(SUM(n_docs) AS BIGINT) AS total_docs
+          FROM q),
+    r AS (SELECT lang, n_docs,
+                 CAST(floor(least(1.0,
+                     CAST(floor(total_docs / 2.0) AS DOUBLE) * wq / tot / n_docs)
+                     * 1000000 + 0.5) AS BIGINT) AS thr
+          FROM q, t),
+    g AS (SELECT d.lang,
+                 count(*) FILTER (
+                     WHERE {sql_md5_long("doc_id::VARCHAR", "temp")} % 1000000
+                           < r.thr) AS n_sampled
+          FROM documents d JOIN r ON d.lang = r.lang
+          GROUP BY 1)
+    SELECT r.lang, r.n_docs, round(r.thr / 1000000.0, 6) AS rate,
+           g.n_sampled
+    FROM r JOIN g ON r.lang = g.lang
+    """,
+    doc="Temperature-scaled mixture sampling (alpha = 0.7, the "
+    "mT5/XLM-R recipe): per-language sampling rates proportional to "
+    "n^alpha / n — upweights low-resource languages relative to raw "
+    "frequency — targeting half the corpus, with each document kept "
+    "by the deterministic md5 gate under its language's rate. "
+    "Exactness: the one float op per language is pow(n, 0.7), "
+    "immediately quantized to integer micro-units so the normalizing "
+    "sum is order-free; the per-doc gate compares integer hash "
+    "residues against the integer threshold. Scale: one tiny "
+    "language-weights frame broadcast over the corpus scan — the "
+    "sample pass is a pure filter, no shuffle of documents.",
+)
+def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.hashing import md5_long
+
+    d = load_tables(spark, sf_dir)["documents"]
+    w = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    q = w.select(
+        "lang",
+        "n_docs",
+        F.round(F.pow(F.col("n_docs"), 0.7) * 1000000).cast("bigint").alias("wq"),
+    )
+    t = q.agg(
+        F.sum("wq").cast("long").alias("tot"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    r = q.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.floor(F.col("total_docs") / 2.0).cast("double")
+                * F.col("wq")
+                / F.col("tot")
+                / F.col("n_docs"),
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    gate = md5_long(F.col("doc_id").cast("string"), "temp") % 1000000
+    g = (
+        d.join(F.broadcast(r), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(gate < F.col("thr"), 1).otherwise(0)).alias("n_sampled")
+        )
+    )
+    return r.join(g, "lang").select(
+        "lang",
+        "n_docs",
+        F.round(F.col("thr") / 1000000.0, 6).alias("rate"),
+        "n_sampled",
+    )
