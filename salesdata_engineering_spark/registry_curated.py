@@ -2556,3 +2556,117 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_high"),
         )
     )
+
+
+@register(
+    "orders_repeat_purchase_rate",
+    """
+    WITH c AS (SELECT o_custkey,
+                      strftime(min(o_orderdate), '%Y-%m') AS cohort,
+                      count(*) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT cohort,
+           count(*) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+           round(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS repeat_rate
+    FROM c GROUP BY 1
+    """,
+    doc="Repeat-purchase rate by acquisition cohort (first-order "
+    "month): the share of each cohort's customers who ever ordered "
+    "again — the retention headline beside events_retention_cohorts' "
+    "event-side matrix and customer_cohort_ltv's revenue view. "
+    "Exact integer counts, one division per cohort. Scale: one "
+    "customer-keyed aggregate then a cohort-sized frame.",
+)
+def q_orders_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    c = o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort"),
+        F.count("*").alias("n_orders"),
+    )
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return c.groupBy("cohort").agg(
+        F.count("*").alias("n_customers"),
+        rep.cast("long").alias("n_repeat"),
+        F.round(rep.cast("double") / F.count("*"), 6).alias("repeat_rate"),
+    )
+
+
+@register(
+    "supplier_lead_time_trend",
+    """
+    WITH ln AS (
+        SELECT l_suppkey AS supp,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) AS y
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    s AS (SELECT supp, count(*) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM ln GROUP BY 1)
+    SELECT supp AS supplier, n AS n_shipments,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 9) AS slope_days_per_day,
+           round(CAST(sy AS DOUBLE) / n, 6) AS mean_lead_days
+    FROM s
+    WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    """,
+    doc="Per-supplier lead-time trend: OLS slope of (ship - order) "
+    "days against calendar time, one regression PER SUPPLIER — the "
+    "grouped version of stats_bivariate_regression and the vendor "
+    "scorecard question (is this supplier getting slower?). "
+    "Exactness: x/y are exact integer day counts, the per-group "
+    "power sums (n, Sx, Sy, Sxy, Sxx) are exact integer sums carried "
+    "in decimal, and the slope is one fixed double sequence; "
+    "zero-variance groups (all shipments same day) gate out with the "
+    "same expression both engines. Scale: ONE map-side-combinable "
+    "hash aggregate over the fact — thousands of regressions for the "
+    "price of one scan, the moment-sums discipline at its best.",
+)
+def q_supplier_lead_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ln = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("supp"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    x38 = F.col("x").cast("decimal(38,0)")
+    s = ln.groupBy("supp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(x38 * F.col("y")).alias("sxy"),
+        F.sum(x38 * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = nd * sxx - sx * sx
+    return (
+        s.filter(den > 0)
+        .select(
+            F.col("supp").alias("supplier"),
+            F.col("n").alias("n_shipments"),
+            F.round((nd * sxy - sx * sy) / den, 9).alias("slope_days_per_day"),
+            F.round(sy / nd, 6).alias("mean_lead_days"),
+        )
+    )

@@ -2021,3 +2021,60 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_sessions", F.col("peak").cast("long").alias("peak_concurrency"))
         .agg(F.min("us").cast("long").alias("at_epoch_us"))
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    """
+    WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+    mau AS (SELECT d.day, count(DISTINCT du.user_id) AS mau
+            FROM days d JOIN du
+                 ON du.day <= d.day AND du.day > d.day - INTERVAL 28 DAY
+            GROUP BY 1)
+    SELECT dau.day, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON dau.day = mau.day
+    """,
+    doc="DAU / trailing-28-day MAU stickiness per day — the canonical "
+    "engagement ratio (what fraction of the monthly audience shows up "
+    "daily). Same shape discipline as events_rolling_wau: the fact "
+    "collapses FIRST to distinct (day, user) pairs, each pair "
+    "explodes into its <=28 candidate target days and equi-joins the "
+    "broadcast day spine — |day-users| x 28 rows through a hash "
+    "join, no BNLJ, independent of raw event volume. Exact integer "
+    "counts, one division per day.",
+)
+def q_events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    from .ext.caching import swap_persist
+
+    du = swap_persist(
+        "dau_mau_du",
+        e.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct(),
+    )
+    days = du.select(F.col("day").alias("d")).distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    cand = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 27 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+        "user_id",
+    )
+    mau = (
+        cand.join(F.broadcast(days), "d")
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )
