@@ -3093,3 +3093,65 @@ def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("thr") / 1000000.0, 6).alias("rate"),
         "n_sampled",
     )
+
+
+@register(
+    "dedup_incremental_new_batch",
+    f"""
+    WITH {_sql_shingles(3)},
+    old_sh AS (SELECT * FROM sh WHERE id < 400),
+    new_sh AS (SELECT * FROM sh WHERE id >= 400),
+    inter AS (
+        SELECT o.id AS id_old, nw.id AS id_new, count(*) AS n_inter
+        FROM old_sh o JOIN new_sh nw ON o.shingle = nw.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_old, id_new, n_inter,
+           round(n_inter / (so.n_sh + sn.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes so ON id_old = so.id JOIN sizes sn ON id_new = sn.id
+    WHERE round(n_inter / (so.n_sh + sn.n_sh - n_inter), 6) >= 0.6
+    """,
+    doc="INCREMENTAL dedup: a new ingestion batch (doc_id >= 400 here "
+    "— in production, the day's arrivals) near-dup-checked against "
+    "the EXISTING corpus only, via the asymmetric inverted-index join "
+    "(old-side postings x new-side shingles). This is the shape that "
+    "makes continuous ingestion affordable: cost tracks "
+    "|new batch| x avg-postings, never re-pairs the historical "
+    "corpus against itself, and the old-side shingle index is "
+    "exactly what a pipeline persists between runs (the build/serve "
+    "split of sim_ivf_pq_index_serve, applied to dedup). New-vs-new "
+    "pairs are the ordinary self-join on the small batch, left to "
+    "the standard pass.",
+)
+def q_dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = word_shingles(docs, "text", "doc_id", 3)
+    from .ext.caching import swap_persist
+
+    sh = swap_persist("incr_dedup_sh", sh)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    old = sh.filter(F.col("id") < 400)
+    new = sh.filter(F.col("id") >= 400)
+    inter = (
+        old.alias("o")
+        .join(new.alias("nw"), F.col("o.shingle") == F.col("nw.shingle"))
+        .groupBy(F.col("o.id").alias("id_old"), F.col("nw.id").alias("id_new"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    so = sizes.select(F.col("id").alias("id_old"), F.col("n_sh").alias("n_o"))
+    sn = sizes.select(F.col("id").alias("id_new"), F.col("n_sh").alias("n_n"))
+    return (
+        inter.join(F.broadcast(so), "id_old")
+        .join(F.broadcast(sn), "id_new")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_o") + F.col("n_n") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_old", "id_new", "n_inter", "jaccard")
+    )
