@@ -2670,3 +2670,119 @@ def q_supplier_lead_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sy / nd, 6).alias("mean_lead_days"),
         )
     )
+
+
+@register(
+    "stats_brown_forsythe",
+    """
+    WITH v AS (SELECT o_orderpriority AS grp,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS y
+               FROM orders),
+    h AS (SELECT grp, y, count(*) AS c FROM v GROUP BY 1, 2),
+    t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    cum AS (SELECT h.grp, h.y, h.c, t.n,
+                   SUM(h.c) OVER (PARTITION BY h.grp ORDER BY h.y) AS cm
+            FROM h JOIN t ON h.grp = t.grp),
+    med AS (SELECT grp, max(n) AS n,
+                   min(CASE WHEN cm * 2 >= n THEN y END) AS m
+            FROM cum GROUP BY grp),
+    z AS (SELECT h.grp, med.n, abs(h.y - med.m) AS z, h.c
+          FROM h JOIN med ON h.grp = med.grp),
+    g AS (SELECT grp, max(n) AS n,
+                 SUM(z * c) AS s1,
+                 SUM(z * z * c) AS s2
+          FROM z GROUP BY grp),
+    terms AS (SELECT n, s1, s2,
+                     CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                          AS HUGEINT) AS bq,
+                     CAST(round(CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                          AS HUGEINT) AS wq
+              FROM g),
+    agg AS (SELECT count(*) AS k,
+                   CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(s1) AS DECIMAL(38,2)) AS s1t,
+                   SUM(bq) AS bsum,
+                   SUM(wq) AS wsum
+            FROM terms)
+    SELECT k AS n_groups, nn AS n_rows,
+           round(((CAST(bsum AS DOUBLE)
+                   - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE) / nn)
+                  / (k - 1))
+                 / (CAST(wsum AS DOUBLE) / (nn - k)), 6)
+               AS bf_stat
+    FROM agg
+    """,
+    doc="Brown-Forsythe test of variance homogeneity across order "
+    "priorities: one-way ANOVA F on |y - group median| — the "
+    "robust are-the-spreads-equal gate that validates the equal-"
+    "variance assumption other tests lean on (medians, not means, so "
+    "heavy tails don't break it). Exactness: group medians are "
+    "integer-rank picks on the value histogram; |y - med| stays "
+    "DECIMAL; per-group squared terms are quantized to whole integer "
+    "units before the cross-group sums (order-free; micro-scaling "
+    "would overflow 64-bit at these magnitudes); one fixed double assembly at the "
+    "end. Scale: the same histogram-not-rows discipline — one fact "
+    "aggregate, then bucket-sized frames throughout.",
+)
+def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    h = v.groupBy("grp", "y").agg(F.count("*").alias("c"))
+    from .ext.caching import swap_persist
+
+    h = swap_persist("bf_hist", h)
+    t = h.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.join(F.broadcast(t), "grp").withColumn("cm", F.sum("c").over(w))
+    med = cum.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cm") * 2 >= F.col("n"), F.col("y"))).alias("m"),
+    )
+    z = h.join(F.broadcast(med), "grp").select(
+        "grp", "n", F.abs(F.col("y") - F.col("m")).alias("z"), "c"
+    )
+    g = z.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("z") * F.col("c")).alias("s1"),
+        F.sum(F.col("z") * F.col("z") * F.col("c")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    # whole-unit quantization (no 1e6 scale): the squared-sum terms
+    # reach ~1e13-1e18 across the scale ladder, so micro-scaling
+    # overflows 64-bit while integer-unit rounding already gives
+    # <1e-11 relative error; decimal(38,0)/HUGEINT carry the sums
+    terms = g.select(
+        "n",
+        "s1",
+        F.round(s1d * s1d / F.col("n")).cast("decimal(38,0)").alias("bq"),
+        F.round(F.col("s2").cast("double") - s1d * s1d / F.col("n"))
+        .cast("decimal(38,0)")
+        .alias("wq"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s1").cast("decimal(38,2)").alias("s1t"),
+        F.sum("bq").alias("bsum"),
+        F.sum("wq").alias("wsum"),
+    )
+    s1t = F.col("s1t").cast("double")
+    between = F.col("bsum").cast("double") - s1t * s1t / F.col("nn")
+    within = F.col("wsum").cast("double")
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        F.round(
+            (between / (F.col("k") - 1)) / (within / (F.col("nn") - F.col("k"))), 6
+        ).alias("bf_stat"),
+    )

@@ -2078,3 +2078,79 @@ def q_events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+@register(
+    "events_hourly_robust_z",
+    """
+    WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+               FROM events GROUP BY 1),
+    hh AS (SELECT n, count(*) AS cnt FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS m FROM hh),
+    cm AS (SELECT n, SUM(cnt) OVER (ORDER BY n) AS cum FROM hh),
+    med AS (SELECT min(CASE WHEN cum * 2 >= t.m THEN n END) AS med
+            FROM cm, t),
+    dh AS (SELECT abs(c.n - med.med) AS d, count(*) AS cnt
+           FROM c, med GROUP BY 1),
+    dcm AS (SELECT d, SUM(cnt) OVER (ORDER BY d) AS cum FROM dh),
+    mad AS (SELECT min(CASE WHEN cum * 2 >= t.m THEN d END) AS mad
+            FROM dcm, t)
+    SELECT c.hour, c.n,
+           CASE WHEN mad.mad > 0
+                THEN round((c.n - med.med) / (1.4826 * mad.mad), 6) END
+               AS robust_z,
+           CASE WHEN mad.mad > 0
+                AND abs((c.n - med.med) / (1.4826 * mad.mad)) > 3.5
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM c, med, mad
+    """,
+    doc="Robust hourly anomaly flags: median/MAD z-score with the "
+    "|z| > 3.5 rule — the outlier-resistant twin of "
+    "events_hourly_anomalies (a single traffic spike inflates the "
+    "mean/stddev gate into missing the next spike; the median/MAD "
+    "gate doesn't move). Exactness: median and MAD are integer "
+    "rank picks over the count histogram (two passes of the same "
+    "cum*2 >= m arithmetic), the 1.4826 consistency constant is one "
+    "fixed double multiply, and the zero-MAD degenerate case gates "
+    "to NULL identically in both engines. Scale: the hourly series "
+    "is calendar-bounded; everything after the one fact aggregate is "
+    "histogram-sized.",
+)
+def q_events_hourly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    from .ext.caching import swap_persist
+
+    c = swap_persist("robust_z_hours", c)
+    hh = c.groupBy("n").agg(F.count("*").alias("cnt"))
+    t = hh.agg(F.sum("cnt").cast("long").alias("m"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cm = hh.withColumn("cum", F.sum("cnt").over(w)).crossJoin(F.broadcast(t))
+    med = cm.agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("m"), F.col("n"))).alias("med")
+    )
+    dh = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(F.col("n") - F.col("med")).alias("d"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dcm = dh.withColumn("cum", F.sum("cnt").over(wd)).crossJoin(F.broadcast(t))
+    mad = dcm.agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("m"), F.col("d"))).alias("mad")
+    )
+    rz = (F.col("n") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        c.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "hour",
+            "n",
+            F.when(F.col("mad") > 0, F.round(rz, 6)).alias("robust_z"),
+            F.when((F.col("mad") > 0) & (F.abs(rz) > 3.5), 1)
+            .otherwise(0)
+            .alias("is_anomaly"),
+        )
+    )
