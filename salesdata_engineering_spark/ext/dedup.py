@@ -642,7 +642,10 @@ def minhash_estimate_eval(
     measure-don't-guess harness for choosing k (the MinHash sibling
     of sim_ann_recall_eval). Per-pair errors are quantized to integer
     micro-units before averaging (order-free sums)."""
-    docs = _minhash_docs(df, text_col, id_col, k, n, persist_key="minhash_eval_docs")
+    # share the 'minhash_docs' cache slot with minhash_lsh_pairs: the
+    # frame is byte-identical for the same (df, k, n), and a second key
+    # would double the bounded cache footprint in sessions running both
+    docs = _minhash_docs(df, text_col, id_col, k, n)
     cand = _band_candidates(docs, k, bands)
     da = docs.select(
         F.col("id").alias("id_a"),

@@ -1939,7 +1939,8 @@ def q_events_funnel_time_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     flag AS (
-        SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= {21600}
+        SELECT *, CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) >= {21600 * 1000000}
                        THEN 1 ELSE 0 END AS new_s
         FROM lagd
     ),
@@ -1978,15 +1979,19 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond-exact gap compare: unix_timestamp floors to whole
+    # seconds, so a 21599.2s gap would round UP across the 21600
+    # boundary and split a session the fractional-epoch oracle (and
+    # the canonical session_window sessionization) keeps together
     flag = e.select(
         "user_id",
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp(F.col("ts").cast("timestamp"))
-                - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
-                >= 21600
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                >= 21600 * 1000000
             ),
             1,
         )

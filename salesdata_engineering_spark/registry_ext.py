@@ -322,11 +322,12 @@ def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_docs(spark, sf_dir), k=_MINHASH_K, n=3)
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_sql_minhash_sigs(_MINHASH_K, 3)},
-    banded AS (
+def _sql_band_cand() -> str:
+    """banded/cand CTE pair over a ``sigs`` CTE (from
+    :func:`_sql_minhash_sigs`): LSH band bucketing + candidate pairs —
+    ONE source of truth for every oracle consuming LSH candidates
+    (mirrors ext/dedup.py _band_candidates)."""
+    return f"""banded AS (
         SELECT id, h // {_MINHASH_K // _MINHASH_BANDS} AS band,
                md5(string_agg(sig::VARCHAR, ',' ORDER BY h)) AS bucket
         FROM sigs GROUP BY 1, 2
@@ -335,7 +336,14 @@ def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT x.id AS id_a, y.id AS id_b
         FROM banded x JOIN banded y
           ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
-    ),
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_sql_minhash_sigs(_MINHASH_K, 3)},
+    {_sql_band_cand()},
     inter AS (
         SELECT id_a, id_b, count(*) AS n_inter
         FROM cand JOIN sh a ON id_a = a.id
@@ -2951,16 +2959,7 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_estimate_eval",
     f"""
     WITH {_sql_minhash_sigs(_MINHASH_K, 3)},
-    banded AS (
-        SELECT id, h // {_MINHASH_K // _MINHASH_BANDS} AS band,
-               md5(string_agg(sig::VARCHAR, ',' ORDER BY h)) AS bucket
-        FROM sigs GROUP BY 1, 2
-    ),
-    cand AS (
-        SELECT DISTINCT x.id AS id_a, y.id AS id_b
-        FROM banded x JOIN banded y
-          ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
-    ),
+    {_sql_band_cand()},
     mm AS (
         SELECT c.id_a, c.id_b,
                count(*) FILTER (WHERE sa.sig = sb.sig) AS m
