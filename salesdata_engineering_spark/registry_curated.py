@@ -2786,3 +2786,54 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (between / (F.col("k") - 1)) / (within / (F.col("nn") - F.col("k"))), 6
         ).alias("bf_stat"),
     )
+
+
+@register(
+    "orders_monthly_price_quantiles",
+    """
+    WITH v AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS y
+               FROM orders),
+    h AS (SELECT month, y, count(*) AS c FROM v GROUP BY 1, 2),
+    t AS (SELECT month, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    cum AS (SELECT h.month, h.y, h.c, t.n,
+                   SUM(h.c) OVER (PARTITION BY h.month ORDER BY h.y) AS cm
+            FROM h JOIN t ON h.month = t.month)
+    SELECT month, max(n) AS n_orders,
+           CAST(min(CASE WHEN cm * 2 >= n THEN y END) AS DOUBLE) AS p50,
+           CAST(min(CASE WHEN cm * 10 >= 9 * n THEN y END) AS DOUBLE) AS p90
+    FROM cum GROUP BY month
+    """,
+    doc="Monthly order-value p50/p90 time series: nearest-rank "
+    "quantiles per calendar month picked by integer rank arithmetic "
+    "on the per-month value histogram — the pricing-drift dashboard "
+    "series, exact where approx_percentile would drift between "
+    "engines and runs. Scale: the histogram-not-rows discipline with "
+    "the cumulation partitioned per month; one fact aggregate, then "
+    "bucket-sized frames.",
+)
+def q_orders_monthly_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    h = v.groupBy("month", "y").agg(F.count("*").alias("c"))
+    t = h.groupBy("month").agg(F.sum("c").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("month")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.join(F.broadcast(t), "month").withColumn("cm", F.sum("c").over(w))
+    return cum.groupBy("month").agg(
+        F.max("n").alias("n_orders"),
+        F.min(F.when(F.col("cm") * 2 >= F.col("n"), F.col("y")))
+        .cast("double")
+        .alias("p50"),
+        F.min(F.when(F.col("cm") * 10 >= 9 * F.col("n"), F.col("y")))
+        .cast("double")
+        .alias("p90"),
+    )

@@ -3154,3 +3154,44 @@ def q_dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("jaccard") >= 0.6)
         .select("id_old", "id_new", "n_inter", "jaccard")
     )
+
+
+@register(
+    "text_lang_id_eval",
+    f"""
+    WITH sp AS (SELECT doc_id, lang, {{SQL_TOKENS}} AS t FROM documents),
+    r AS (SELECT doc_id, lang,
+           {{_LANG_RATIOS}}
+    FROM sp),
+    p AS (SELECT doc_id, lang AS lang_true, {{_LANG_CASE}} AS lang_pred FROM r),
+    c AS (SELECT lang_true, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+    t AS (SELECT lang_true, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+    SELECT c.lang_true, c.lang_pred, c.n,
+           round(CAST(c.n AS DOUBLE) / t.tot, 6) AS frac_of_true
+    FROM c JOIN t ON c.lang_true = t.lang_true
+    """.format(SQL_TOKENS=SQL_TOKENS, _LANG_RATIOS=_LANG_RATIOS, _LANG_CASE=_LANG_CASE),
+    doc="Language-ID accuracy eval: the stopword-ratio classifier's "
+    "confusion matrix against the corpus's LABELED lang column — "
+    "per (true, predicted) cell counts and the fraction of each true "
+    "language they represent (diagonal = recall). The "
+    "measure-don't-guess harness for the text_lang_id heuristic, "
+    "beside the ANN-recall and MinHash-error evals: it shows exactly "
+    "which languages fall to 'und' or cross-fire before anyone "
+    "trusts the classifier as a corpus filter. Exact integer counts, "
+    "one division per cell. Scale: one tokenize pass, one tiny "
+    "|langs|^2 aggregate.",
+)
+def q_text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import lang_id
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pred = lang_id(d).select("doc_id", "lang_pred")
+    p = d.select("doc_id", F.col("lang").alias("lang_true")).join(pred, "doc_id")
+    c = p.groupBy("lang_true", "lang_pred").agg(F.count("*").alias("n"))
+    t = c.groupBy("lang_true").agg(F.sum("n").cast("long").alias("tot"))
+    return c.join(F.broadcast(t), "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("frac_of_true"),
+    )
