@@ -2837,3 +2837,49 @@ def q_orders_monthly_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("double")
         .alias("p90"),
     )
+
+
+@register(
+    "orders_interarrival_histogram",
+    """
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE))
+                             OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders)
+    SELECT gap_days, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / SUM(count(*)) OVER (), 6) AS frac
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Distribution of days between a customer's consecutive orders "
+    "— the purchase-cadence histogram behind replenishment and churn "
+    "models (RFM's recency is one point; this is the whole "
+    "distribution). Exact integer day gaps over a per-customer "
+    "ordered window (ties broken by order key identically in both "
+    "engines), exact counts, one normalizing division over the "
+    "gap-bounded histogram. Scale: one customer-keyed window pass, "
+    "then calendar-bounded frames.",
+)
+def q_orders_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    h = seq.groupBy("gap_days").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy()
+    return h.select(
+        "gap_days",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("frac"),
+    )

@@ -2159,3 +2159,121 @@ def q_events_hourly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_cooccurrence_pmi",
+    f"""
+    WITH lagd AS (
+        SELECT user_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    flag AS (
+        SELECT *, CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) >= {21600 * 1000000}
+                       THEN 1 ELSE 0 END AS new_s
+        FROM lagd
+    ),
+    isl AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    ),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM isl),
+    t AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions
+          FROM st),
+    sing AS (SELECT event_type, count(*) AS n FROM st GROUP BY 1),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_ab
+              FROM st a JOIN st b
+                ON a.user_id = b.user_id AND a.sid = b.sid
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(ln((p.n_ab * CAST(t.n_sessions AS DOUBLE))
+                    / (CAST(sa.n AS DOUBLE) * sb.n)), 6) AS pmi
+    FROM pairs p
+    JOIN sing sa ON p.type_a = sa.event_type
+    JOIN sing sb ON p.type_b = sb.event_type
+    CROSS JOIN t
+    """,
+    doc="Pointwise mutual information of event-type pairs within "
+    "6h-gap sessions: PMI = ln(P(ab) / P(a)P(b)) over session-level "
+    "co-occurrence — which behaviors genuinely travel together vs "
+    "just being common (raw co-occurrence counts rank frequent types "
+    "first; PMI corrects for the margins), the association-mining "
+    "view beside basket_brand_affinity's order-side lift. Exactness: "
+    "all session/pair counts are exact integers off the distinct "
+    "(session, type) frame; PMI is one ln of a ratio of integers, "
+    "identical cross-engine. Scale: the pair join keys on the "
+    "session id — |session-types| x |types| worst case, never raw "
+    "events squared; |types|^2 output.",
+)
+def q_events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flag = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                >= 21600 * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    isl = flag.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    from .ext.caching import swap_persist
+
+    st = swap_persist(
+        "pmi_session_types", isl.select("user_id", "sid", "event_type").distinct()
+    )
+    t = st.select("user_id", "sid").distinct().agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    sing = st.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = sing.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sing.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_sessions").cast("double"))
+                    / (F.col("na").cast("double") * F.col("nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

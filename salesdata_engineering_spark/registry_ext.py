@@ -3195,3 +3195,78 @@ def q_text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("frac_of_true"),
     )
+
+
+@register(
+    "text_vocab_coverage_curve",
+    f"""
+    WITH toks AS (SELECT unnest({{SQL_TOKENS}}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS c FROM toks WHERE term <> '' GROUP BY 1),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                 count(*) AS vocab_size
+          FROM tf),
+    cum AS (SELECT c, term,
+                   row_number() OVER (ORDER BY c DESC, term) AS rk,
+                   SUM(c) OVER (ORDER BY c DESC, term) AS cumtok
+            FROM tf),
+    marks AS (SELECT unnest([100, 1000, 10000]) AS top_n)
+    SELECT m.top_n, t.vocab_size, t.total AS total_tokens,
+           CAST(max(CASE WHEN cum.rk <= m.top_n THEN cum.cumtok END)
+                AS BIGINT) AS covered_tokens,
+           round(CAST(max(CASE WHEN cum.rk <= m.top_n THEN cum.cumtok END)
+                      AS DOUBLE) / t.total, 6) AS coverage
+    FROM marks m, cum, t
+    GROUP BY m.top_n, t.vocab_size, t.total
+    """.format(SQL_TOKENS=SQL_TOKENS),
+    doc="Vocabulary coverage curve: what fraction of all corpus "
+    "tokens the top-100/1k/10k most frequent terms cover — the "
+    "readout that sizes a tokenizer vocabulary (and quantifies the "
+    "Zipf head text_zipf_fit models). Exactness: term frequencies "
+    "and the rank cumulation are exact integers with the (freq DESC, "
+    "term) total order tie-broken identically; one division per "
+    "mark. Scale: one tokenize + hash agg to the term histogram; "
+    "the descending cumulation runs over distinct TERMS (sublinear "
+    "in tokens) — at web scale this is the two-pass global cumsum, "
+    "series-bounded here.",
+)
+def q_text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .ext.text import tokens as tok_fn
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(F.explode(tok_fn("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("c"))
+    from .ext.caching import swap_persist
+
+    tf = swap_persist("vocab_curve_tf", tf)
+    t = tf.agg(
+        F.sum("c").cast("long").alias("total"), F.count("*").alias("vocab_size")
+    )
+    w = Window.orderBy(F.col("c").desc(), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tf.select(
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "term")).alias("rk"),
+        F.sum("c").over(w).alias("cumtok"),
+    )
+    marks = spark.createDataFrame([(100,), (1000,), (10000,)], ["top_n"])
+    return (
+        marks.crossJoin(cum)
+        .crossJoin(F.broadcast(t))
+        .groupBy("top_n", "vocab_size", F.col("total").alias("total_tokens"))
+        .agg(
+            F.max(F.when(F.col("rk") <= F.col("top_n"), F.col("cumtok")))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.max(
+                    F.when(F.col("rk") <= F.col("top_n"), F.col("cumtok"))
+                ).cast("double")
+                / F.first("total"),
+                6,
+            ).alias("coverage"),
+        )
+    )
