@@ -2883,3 +2883,79 @@ def q_orders_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("frac"),
     )
+
+
+@register(
+    "stats_two_proportion_z",
+    """
+    WITH v AS (
+        SELECT user_id % 2 AS variant,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') > 0
+                    AS INT) AS converted
+        FROM events GROUP BY user_id),
+    s AS (SELECT variant, count(*) AS n,
+                 CAST(SUM(converted) AS BIGINT) AS k
+          FROM v GROUP BY 1),
+    m AS (SELECT
+            (SELECT n FROM s WHERE variant = 0) AS n0,
+            (SELECT k FROM s WHERE variant = 0) AS k0,
+            (SELECT n FROM s WHERE variant = 1) AS n1,
+            (SELECT k FROM s WHERE variant = 1) AS k1)
+    SELECT n0, k0, n1, k1,
+           round(CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0, 6)
+               AS rate_diff,
+           CASE WHEN CAST(k0 + k1 AS DOUBLE) / (n0 + n1) > 0
+                 AND CAST(k0 + k1 AS DOUBLE) / (n0 + n1) < 1
+           THEN round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+                 / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) END AS z_stat
+    FROM m
+    """,
+    doc="Two-proportion z-test between the deterministic A/B arms "
+    "(variant = user_id % 2, conversion = any purchase): the "
+    "did-the-rate-move significance test that complements "
+    "stats_wilson_interval's per-arm bounds — pooled-proportion "
+    "standard error, z gated to NULL when the pooled rate is "
+    "degenerate (0 or 1). Exactness: "
+    "(n, k) per arm are exact integers; the z assembly is one fixed "
+    "IEEE sequence spelled identically in the oracle. Scale: one "
+    "user-keyed aggregate + a 2-row arm frame.",
+)
+def q_stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    v = (
+        e.groupBy("user_id")
+        .agg(
+            (F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 0)
+            .cast("int")
+            .alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "converted")
+    )
+    s = v.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").cast("long").alias("k")
+    )
+    a0 = s.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("k").alias("k0")
+    )
+    a1 = s.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    m = a0.crossJoin(F.broadcast(a1))
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return m.select(
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        F.round(p1 - p0, 6).alias("rate_diff"),
+        # zero-variance gate (degenerate pooled rate 0 or 1 — e.g. every
+        # user converted): Spark's ANSI divide raises where DuckDB
+        # yields inf/NaN; gate on the SAME pooled-rate expression both
+        # engines compute (the events_hourly_anomalies convention)
+        F.when((pp > 0) & (pp < 1), F.round((p1 - p0) / se, 6)).alias("z_stat"),
+    )

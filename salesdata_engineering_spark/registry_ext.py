@@ -3270,3 +3270,68 @@ def q_text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "sim_matryoshka_prefix_recall",
+    f"""
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                       (embedding::DOUBLE[])[1:16] AS v16
+                FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v, v16 FROM c0 WHERE vec_id < 10),
+    fsims AS (
+        SELECT q.query_id, c.vec_id,
+               {_SQL_COSINE.format(a="c.v", b="q.v")} AS s
+        FROM c0 c, q WHERE c.vec_id <> q.query_id),
+    full_top AS (SELECT query_id, vec_id FROM (
+                     SELECT query_id, vec_id,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY s DESC, vec_id) AS rk
+                     FROM fsims) WHERE rk <= 5),
+    psims AS (
+        SELECT q.query_id, c.vec_id,
+               {_SQL_COSINE.format(a="c.v16", b="q.v16")} AS s
+        FROM c0 c, q WHERE c.vec_id <> q.query_id),
+    pref_top AS (SELECT query_id, vec_id FROM (
+                     SELECT query_id, vec_id,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY s DESC, vec_id) AS rk
+                     FROM psims) WHERE rk <= 5)
+    SELECT f.query_id,
+           count(p.vec_id) AS n_matched,
+           round(count(p.vec_id) / 5.0, 6) AS recall_at_5
+    FROM full_top f LEFT JOIN pref_top p USING (query_id, vec_id)
+    GROUP BY 1
+    """,
+    doc="Matryoshka prefix-dimension eval: recall@5 of cosine search "
+    "using only the FIRST 16 of 64 dimensions against full-dimension "
+    "ground truth — the measurement behind MRL-style "
+    "coarse-to-fine retrieval (search cheap on a prefix, rerank on "
+    "the full vector) and the third entry in the eval family "
+    "(ANN recall, MinHash error, now dimension truncation). Both "
+    "rankings are exact brute-force with the shared deterministic "
+    "tie-break, so the whole evaluation is value-oracle-checked. "
+    "Scale: same broadcast-queries x corpus-scan shape as "
+    "sim_cosine_topk, twice.",
+)
+def q_sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import cosine_topk
+
+    emb = _embs(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pref = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    qs_full = _queries_subset(emb)
+    qs_pref = _queries_subset(pref)
+    full_top = cosine_topk(emb, qs_full, k=5).select("query_id", "neighbor_id")
+    pref_top = cosine_topk(pref, qs_pref, k=5, dim=16).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        full_top.join(pref_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_matched"),
+            F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
