@@ -2959,3 +2959,89 @@ def q_stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engines compute (the events_hourly_anomalies convention)
         F.when((pp > 0) & (pp < 1), F.round((p1 - p0) / se, 6)).alias("z_stat"),
     )
+
+
+@register(
+    "supplier_pareto_skyline",
+    """
+    WITH s AS (
+        SELECT l_suppkey AS supplier,
+               count(*) AS n_shipments,
+               round(CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                                        CAST(l_shipdate AS DATE)))
+                          AS DOUBLE) / count(*), 6) AS mean_lead_days,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DECIMAL(18,2)) AS volume
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1)
+    SELECT supplier, n_shipments, mean_lead_days,
+           CAST(volume AS DOUBLE) AS volume
+    FROM s a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s b
+        WHERE b.mean_lead_days <= a.mean_lead_days
+          AND b.volume >= a.volume
+          AND (b.mean_lead_days < a.mean_lead_days OR b.volume > a.volume)
+    )
+    """,
+    doc="Skyline / Pareto frontier over suppliers: keep exactly those "
+    "not DOMINATED on (minimize mean lead time, maximize shipped "
+    "volume) — the multi-objective shortlist operator (no weighting "
+    "needed, unlike a scored rank) that relational engines lack as a "
+    "primitive. Exactness: lead means are fixed divisions of exact "
+    "integer day sums, volume is exact decimal, and dominance is "
+    "pure comparisons — no floats born in the join. Scale: dominance "
+    "runs on the AGGREGATED per-supplier frame (one fact hash-agg "
+    "first), so the quadratic candidate join touches |suppliers|^2, "
+    "not rows; at larger entity counts the standard refinement is a "
+    "sort-filter pass (presort by one objective, prune by the "
+    "running best of the other) before the pairwise check.",
+)
+def q_supplier_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_suppkey").alias("supplier"))
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.round(
+                F.sum(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_lead_days"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("volume"),
+        )
+    )
+    from .ext.caching import swap_persist
+
+    s = swap_persist("skyline_suppliers", s)
+    a, b = s.alias("a"), s.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("b.mean_lead_days") <= F.col("a.mean_lead_days"))
+            & (F.col("b.volume") >= F.col("a.volume"))
+            & (
+                (F.col("b.mean_lead_days") < F.col("a.mean_lead_days"))
+                | (F.col("b.volume") > F.col("a.volume"))
+            ),
+            "left_semi",
+        )
+    ).select(F.col("supplier"))
+    return (
+        s.join(dominated, "supplier", "left_anti")
+        .select(
+            "supplier",
+            "n_shipments",
+            "mean_lead_days",
+            F.col("volume").cast("double").alias("volume"),
+        )
+    )
