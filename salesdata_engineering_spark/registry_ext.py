@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datasets import load_tables
-from .ext.hashing import MINHASH_P, sql_perm_hash
+from .ext.hashing import MINHASH_P, md5_long, sql_perm_hash
 from .ext.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -3334,4 +3334,222 @@ def q_sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("_hit").alias("n_matched"),
             F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
         )
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    f"""
+    WITH tf AS (
+        SELECT term, count(*) AS cnt
+        FROM (SELECT unnest({SQL_TOKENS}) AS term FROM documents)
+        WHERE term <> '' GROUP BY term),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+        SELECT r,
+               ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 15))::BIGINT
+                   % 1024 AS c,
+               SUM(cnt)::BIGINT AS cell_total
+        FROM tf CROSS JOIN rows_
+        GROUP BY 1, 2),
+    cand AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 20),
+    probe AS (
+        SELECT cand.term, cand.cnt, rows_.r,
+               ('0x' || substr(md5(rows_.r::VARCHAR || ':' || cand.term), 1, 15))
+                   ::BIGINT % 1024 AS c
+        FROM cand CROSS JOIN rows_)
+    SELECT p.term,
+           max(p.cnt) AS exact_count,
+           min(cells.cell_total) AS cms_estimate,
+           min(cells.cell_total) - max(p.cnt) AS overestimate
+    FROM probe p JOIN cells ON cells.r = p.r AND cells.c = p.c
+    GROUP BY 1
+    """,
+    doc="Count-min sketch heavy hitters: a depth-4 x width-1024 CMS over "
+    "corpus tokens (salted-md5 row hashes, the [hashing.py] cross-engine "
+    "construction), probed with the exact top-20 terms so the readout "
+    "reports exact count, CMS estimate, and the overestimate bias "
+    "(CMS never underestimates: estimate = min over rows of the "
+    "colliding-cell totals). The sketch class the engine lacked: "
+    "approx_count_distinct is cardinality, approx_percentile is "
+    "quantiles, CMS is per-item frequency in bounded memory. "
+    "Scale: the sketch aggregate's state is <= d*w = 4096 cells "
+    "regardless of corpus size (at 100 TB, build cells straight off "
+    "the token stream — partial aggregation collapses every partition "
+    "to 4096 rows before the shuffle, no per-term shuffle needed; the "
+    "exact tf here is the eval ground truth and candidate prober, "
+    "persisted once and shared). Probe join is 80 rows x 4096 cells, "
+    "broadcast.",
+)
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.caching import swap_persist
+    from .ext.text import tokens
+
+    d, w = 4, 1024
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tf = swap_persist("cms_tf", tf)
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (md5_long(F.col("term"), salt=r) % w).alias("c"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("rc")
+    cells = (
+        tf.select(rc, "cnt")
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.sum("cnt").alias("cell_total"))
+    )
+    cand = tf.orderBy(F.col("cnt").desc(), "term").limit(20)
+    probe = cand.select("term", "cnt", rc).select(
+        "term", "cnt", F.col("rc.r").alias("r"), F.col("rc.c").alias("c")
+    )
+    return (
+        F.broadcast(probe)
+        .join(cells, ["r", "c"])
+        .groupBy("term")
+        .agg(
+            F.max("cnt").alias("exact_count"),
+            F.min("cell_total").alias("cms_estimate"),
+            (F.min("cell_total") - F.max("cnt")).alias("overestimate"),
+        )
+    )
+
+
+_BLOOM_M = 4096  # bits; 128 words x 32 bits (top bits unused: no sign traps)
+_BLOOM_K = 3
+_BLOOM_NATION = 7
+
+
+def _sql_bloom_bit(expr: str, salt: int) -> str:
+    return f"{sql_md5_long(expr, salt)} % {_BLOOM_M}"
+
+
+@register(
+    "join_bloom_prefilter",
+    f"""
+    WITH dimkeys AS (
+        SELECT s_suppkey AS k FROM supplier WHERE s_nationkey = {_BLOOM_NATION}),
+    bits AS (
+        SELECT {_sql_bloom_bit("k::VARCHAR", 0)} AS bit FROM dimkeys
+        UNION ALL
+        SELECT {_sql_bloom_bit("k::VARCHAR", 1)} FROM dimkeys
+        UNION ALL
+        SELECT {_sql_bloom_bit("k::VARCHAR", 2)} FROM dimkeys),
+    bitmap AS (
+        SELECT bit // 32 AS word, bit_or(1::BIGINT << (bit % 32)) AS bm
+        FROM bits GROUP BY 1),
+    fact AS (
+        SELECT l_suppkey,
+               {_sql_bloom_bit("l_suppkey::VARCHAR", 0)} AS b0,
+               {_sql_bloom_bit("l_suppkey::VARCHAR", 1)} AS b1,
+               {_sql_bloom_bit("l_suppkey::VARCHAR", 2)} AS b2,
+               l_suppkey IN (SELECT k FROM dimkeys) AS exact_hit
+        FROM lineitem),
+    tested AS (
+        SELECT exact_hit,
+               coalesce((w0.bm & (1::BIGINT << (b0 % 32))) <> 0, FALSE)
+               AND coalesce((w1.bm & (1::BIGINT << (b1 % 32))) <> 0, FALSE)
+               AND coalesce((w2.bm & (1::BIGINT << (b2 % 32))) <> 0, FALSE)
+                   AS bloom_pass
+        FROM fact
+        LEFT JOIN bitmap w0 ON w0.word = b0 // 32
+        LEFT JOIN bitmap w1 ON w1.word = b1 // 32
+        LEFT JOIN bitmap w2 ON w2.word = b2 // 32)
+    SELECT count(*) AS n_fact,
+           count(*) FILTER (WHERE bloom_pass) AS n_bloom_pass,
+           count(*) FILTER (WHERE exact_hit) AS n_exact,
+           count(*) FILTER (WHERE bloom_pass AND NOT exact_hit)
+               AS n_false_positive,
+           count(*) FILTER (WHERE exact_hit AND NOT bloom_pass)
+               AS n_false_negative,
+           round(count(*) FILTER (WHERE bloom_pass AND NOT exact_hit)
+                 / greatest(count(*) - count(*) FILTER (WHERE exact_hit), 1)
+                 * 1.0, 6) AS fp_rate
+    FROM tested
+    """,
+    doc="Bloom-filter semi-join pre-filter, the runtime-filter pattern "
+    "production engines apply to big probe-side scans: hash the "
+    "SELECTIVE dim keys (suppliers of one nation, ~4%) into a "
+    "4096-bit bitmap (k=3 salted-md5 bit positions, 128x32-bit words "
+    "so no sign-bit traps), then test every fact row against the "
+    "bitmap BEFORE the exact join would shuffle it. The one-row "
+    "readout proves the two bloom invariants cross-engine: "
+    "n_false_negative = 0 (every true match passes) and a small "
+    "measured fp_rate among true non-matches. Scale: the bitmap is "
+    "<=128 rows (broadcast x3 word-joins, zero shuffle added to the "
+    "probe scan); at 100 TB this is what Spark's own "
+    "runtime.bloomFilter AQE rewrite injects automatically — here the "
+    "mechanics are explicit, deterministic, and value-oracle-checked. "
+    "The membership test is 3 broadcast hash joins in one codegen "
+    "stage, not a Python predicate.",
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    m, words = _BLOOM_M, 32
+    dim = (
+        t["supplier"]
+        .filter(F.col("s_nationkey") == _BLOOM_NATION)
+        .select(F.col("s_suppkey").alias("k"))
+    )
+
+    def bloom_bit(col, salt):
+        return md5_long(col.cast("string"), salt=salt) % m
+
+    bits = dim.select(
+        F.explode(
+            F.array(*[bloom_bit(F.col("k"), s) for s in range(_BLOOM_K)])
+        ).alias("bit")
+    )
+    bitmap = bits.groupBy((F.col("bit") / words).cast("bigint").alias("word")).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {words} AS INT))")
+        ).alias("bm")
+    )
+    fact = t["lineitem"].select("l_suppkey")
+    for s in range(_BLOOM_K):
+        fact = fact.withColumn(f"b{s}", bloom_bit(F.col("l_suppkey"), s))
+    exact = dim.withColumn("exact_flag", F.lit(1))
+    tested = fact.join(
+        F.broadcast(exact), fact["l_suppkey"] == exact["k"], "left"
+    ).drop("k")
+    for s in range(_BLOOM_K):
+        w = F.broadcast(bitmap.select(F.col("word").alias(f"w{s}"), F.col("bm").alias(f"bm{s}")))
+        tested = tested.join(
+            w, (F.col(f"b{s}") / words).cast("bigint") == F.col(f"w{s}"), "left"
+        )
+    passed = None
+    for s in range(_BLOOM_K):
+        hit = F.coalesce(
+            F.col(f"bm{s}").bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(b{s} % {words} AS INT))")
+            )
+            != 0,
+            F.lit(False),
+        )
+        passed = hit if passed is None else (passed & hit)
+    tested = tested.select(
+        F.col("exact_flag").isNotNull().alias("exact_hit"), passed.alias("bloom_pass")
+    )
+    return tested.agg(
+        F.count("*").alias("n_fact"),
+        F.count_if(F.col("bloom_pass")).alias("n_bloom_pass"),
+        F.count_if(F.col("exact_hit")).alias("n_exact"),
+        F.count_if(F.col("bloom_pass") & ~F.col("exact_hit")).alias("n_false_positive"),
+        F.count_if(F.col("exact_hit") & ~F.col("bloom_pass")).alias("n_false_negative"),
+        F.round(
+            F.count_if(F.col("bloom_pass") & ~F.col("exact_hit"))
+            / F.greatest(F.count("*") - F.count_if(F.col("exact_hit")), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
     )

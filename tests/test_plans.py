@@ -752,3 +752,27 @@ def test_theil_sen_rank_two_pass(spark, sf_dir):
     plan = plan_of(QUERIES["events_theil_sen_trend"].fn(spark, sf_dir))
     assert "rangepartitioning" in plan.lower(), plan[:1500]
     assert "InMemoryTableScan" in plan, plan[:1500]
+
+
+def test_cms_probe_join_broadcasts_no_python(spark, sf_dir):
+    """CMS heavy hitters: sketch state is bounded (d*w cells), so the
+    probe side (20 candidates x 4 rows) must broadcast against the
+    cell table; everything stays JVM-side and nothing cross-products.
+    The only shuffles are the tf hash-agg (the eval ground truth) and
+    the <=4096-key cell aggregate."""
+    plan = plan_of(QUERIES["sketch_cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_bloom_prefilter_is_broadcast_only_on_probe_scan(spark, sf_dir):
+    """The bloom pre-filter's value is adding ZERO shuffle to the fact
+    scan: the bitmap word-joins and the exact-flag join must all be
+    broadcast hash joins (4 of them), with no sort-merge join and no
+    exchange keyed on fact rows other than the final 1-row aggregate."""
+    plan = plan_of(QUERIES["join_bloom_prefilter"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") == 4, plan[:2000]
