@@ -678,3 +678,75 @@ def minhash_estimate_eval(
         F.round(F.sum("ae").cast("double") / F.count("*") / 1000000, 6).alias("mae"),
         F.round(F.sum("e").cast("double") / F.count("*") / 1000000, 6).alias("bias"),
     )
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard pairs (t = 3/5).
+
+    Same answer as :func:`ngram_jaccard_pairs` at threshold 0.6, but
+    the candidate join indexes only each document's PREFIX — its
+    ``n_sh - ceil(t*n_sh) + 1`` globally-rarest shingles (ascending
+    document frequency, shingle tie-break). Prefix lemma: if
+    J(x,y) >= t then |x∩y| >= ceil(t*|x|), and the smallest common
+    shingle under the global order must sit inside BOTH prefixes — so
+    the prefix self-join loses no qualifying pair, while candidates
+    shrink superlinearly with t (rare shingles collide rarely). The
+    ceil is integer arithmetic ((3n+4) DIV 5) so both engines agree
+    exactly. Candidates are then verified with the full inverted
+    index, exact n_inter / Jaccard.
+
+    Scale: this is THE production set-similarity join (PPJoin, Xiao
+    et al.): the quadratic blowup of hot shingles moves from every
+    shingle to only prefix shingles, which are by construction the
+    rarest — the df-cap guard becomes unnecessary for candidate
+    generation. Shuffles: shingle freq agg, per-doc rank window,
+    prefix self-join on shingle, pair-verify joins — all equi-keyed."""
+    sh = word_shingles(df, text_col, id_col, n)
+    from .caching import swap_persist
+
+    sh = swap_persist("ppjoin_shingles", sh)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .join(F.broadcast(sizes), "id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    pfx = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh") - F.floor((3 * F.col("n_sh") + 4) / 5) + 1
+    ).select("id", "shingle")
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.id") == F.col("id_a"))
+        .join(
+            y,
+            (F.col("y.id") == F.col("id_b")) & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    return out.select("id_a", "id_b", "n_inter", "jaccard")

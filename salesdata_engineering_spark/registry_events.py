@@ -2277,3 +2277,78 @@ def q_events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "events_pattern_match_cep",
+    """
+    WITH sym AS (
+        SELECT user_id,
+               CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                    WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                    ELSE 'E' END AS s,
+               ts, event_id
+        FROM events),
+    strs AS (
+        SELECT user_id, count(*) AS n_events,
+               string_agg(s, '' ORDER BY ts, event_id) AS seq
+        FROM sym GROUP BY user_id),
+    m AS (
+        SELECT user_id, n_events,
+               regexp_extract_all(seq, 'V[CE]*P') AS hits
+        FROM strs)
+    SELECT user_id, n_events,
+           len(hits) AS n_matches,
+           coalesce(list_max(list_transform(hits, x -> length(x)::BIGINT)), 0)
+               AS max_match_len
+    FROM m
+    """,
+    doc="MATCH_RECOGNIZE-shaped complex-event-processing: symbolize "
+    "each user's event stream (deterministic (ts, event_id) order), "
+    "fold it to ONE string per user, and count non-overlapping "
+    "matches of the funnel pattern V[CE]*P (a view reaching a "
+    "purchase through any run of clicks/errors) plus the longest "
+    "match. Left-to-right non-overlapping greedy semantics are "
+    "identical in Java regex and RE2, and both engines implement the "
+    "count as len(extract_all), so the whole CEP readout is "
+    "value-exact. The operator class (regex over an ordered event "
+    "alphabet) is what SQL MATCH_RECOGNIZE / Flink CEP provide and "
+    "plain relational operators cannot express row-wise. Scale: one "
+    "user-keyed shuffle into a sort-agg; per-user strings are "
+    "event-count-bounded — at 100 TB compose with sessionization "
+    "(events_session_windows) first so each folded string is a "
+    "session, not a lifetime.",
+)
+def q_events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    sym = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+        .alias("s"),
+    )
+    strs = sym.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "s"))),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    hits = F.regexp_extract_all(F.col("seq"), F.lit("V[CE]*P"), F.lit(0))
+    return strs.select(
+        "user_id",
+        "n_events",
+        F.size(hits).cast("bigint").alias("n_matches"),
+        F.coalesce(
+            F.array_max(F.transform(hits, lambda x: F.length(x).cast("bigint"))),
+            F.lit(0).cast("bigint"),
+        ).alias("max_match_len"),
+    )

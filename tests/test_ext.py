@@ -925,3 +925,28 @@ def test_global_cumsum_equals_naive_window(spark, sf_dir):
         for r in h.withColumn("cum", F.sum("c").over(w)).collect()
     }
     assert got == naive
+
+
+def test_prefix_filter_jaccard_equals_full_index(spark, sf_dir):
+    """The PPJoin prefix filter must be LOSSLESS: the prefix-indexed
+    candidate join plus exact verification returns exactly the pairs
+    the full inverted-index operator returns at the same threshold —
+    and its candidate set is no larger (strictly smaller on any corpus
+    with hot shingles)."""
+    from salesdata_engineering_spark.ext.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+    from salesdata_engineering_spark.datasets import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    full = {
+        (r.id_a, r.id_b, r.n_inter, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    pfx = {
+        (r.id_a, r.id_b, r.n_inter, r.jaccard)
+        for r in jaccard_prefix_filter_pairs(docs, n=3).collect()
+    }
+    assert pfx == full
+    assert len(full) > 0  # the corpus plants near-dups; empty = broken
