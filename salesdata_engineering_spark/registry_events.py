@@ -2352,3 +2352,131 @@ def q_events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("max_match_len"),
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    """
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream LEFT OUTER join — the state-EVICTION semantics "
+    "the inner join never exercises: an unmatched click is emitted "
+    "(null-padded) only when the watermark passes its whole 30-minute "
+    "match window, i.e. outer results are produced by state expiry, "
+    "not row arrival. A bounded single-file drain emits NO outer row "
+    "(eviction in batch N uses the watermark of batch N-1, and "
+    "availableNow runs no flush batch after the last data batch), so "
+    "the source is staged with TWO far-future PUNCTUATION files — "
+    "click+purchase sentinel rows, one file per trigger — "
+    "the streaming twin of a Kafka heartbeat topic: the first "
+    "sentinel batch carries the base data's watermark, the second "
+    "carries the first sentinel's (max+9h), flushing every base "
+    "click. Sentinels pass both sides' event-type filters (pushed "
+    "below the watermark node, so each SIDE's watermark advances "
+    "only on rows of its own type) and carry NEGATIVE user ids: "
+    "non-null, because the join key makes Catalyst infer "
+    "IsNotNull(user_id) on the match side and push it into the scan "
+    "— a null-user sentinel is dropped BEFORE the watermark node "
+    "and the flush never happens (observed, not hypothetical) — yet "
+    "never equal to a real user or to each other; the negative-user "
+    "guard drops them from the result. With the full flush, the "
+    "drain == batch left join "
+    "EXACTLY — full SQL oracle, no horizon carve-out. State per user "
+    "stays bounded by the 90-minute expiry horizon at any scale.",
+)
+def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    max_ts = _events(spark, sf_dir).agg(F.max("ts").alias("m")).collect()[0]["m"]
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="outer_join_stage_")
+    try:
+        d = os.path.join(stage, "events.parquet")
+        os.makedirs(d)
+        base_paths = (
+            [
+                os.path.join(src, f)
+                for f in sorted(os.listdir(src))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(src)
+            else [src]
+        )
+        now = time.time()
+        for i, bp in enumerate(base_paths):
+            tgt = os.path.join(d, f"base-{i:04d}.parquet")
+            shutil.copy(bp, tgt)
+            os.utime(tgt, (now - 60, now - 60))
+        schema = pq.read_schema(base_paths[0])
+        for k in (1, 2):
+            cols = {}
+            for field in schema:
+                if field.name == "ts":
+                    cols[field.name] = pa.array(
+                        [max_ts + datetime.timedelta(hours=10 * k)] * 2,
+                        type=field.type,
+                    )
+                elif field.name == "event_type":
+                    cols[field.name] = pa.array(
+                        ["click", "purchase"], type=field.type
+                    )
+                elif field.name == "user_id":
+                    # MUST be non-null: the outer join's equi-key makes
+                    # Catalyst infer IsNotNull(user_id) on the match
+                    # (right) side and push it into the parquet scan —
+                    # a null-user sentinel is dropped BEFORE the
+                    # watermark node and the flush never happens.
+                    # Negative ids survive the pushdown but can never
+                    # equal a real user (and the two sentinels differ,
+                    # so they never match each other either).
+                    cols[field.name] = pa.array([-1, -2], type=field.type)
+                else:
+                    cols[field.name] = pa.array([None, None], type=field.type)
+            sp = os.path.join(d, f"zz-sentinel-{k}.parquet")
+            pq.write_table(pa.table(cols, schema=schema), sp, version="2.6")
+            os.utime(sp, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+        def side(event_type: str, alias: str) -> DataFrame:
+            s = read_events_stream(
+                spark, stage, max_files_per_trigger=1, recursive=True
+            ).withWatermark("ts", "1 hour")
+            return s.filter(F.col("event_type") == event_type).select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"_{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+
+        clicks, purchases = side("click", "click"), side("purchase", "purchase")
+        joined = clicks.join(
+            purchases,
+            (F.col("_click_user") == F.col("_purchase_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left_outer",
+        )
+        out = run_to_completion(joined, output_mode="append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out.filter(F.col("_click_user") >= 0).select(
+        "click_id",
+        "purchase_id",
+        F.col("_click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )

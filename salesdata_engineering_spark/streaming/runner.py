@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """readStream over the events parquet, timestamp-layout adaptive.
 
@@ -75,10 +78,17 @@ def read_events_stream(
             raise
         # retry succeeded: the footer really is nanos-typed, and the conf
         # must STAY set for the lifetime of the stream (documented above)
+    # recursive=True supports a STAGED layout (sf_dir/events.parquet/ as
+    # a directory of part files, e.g. base data + a watermark-advancing
+    # sentinel file): leaf part files then match *.parquet, not the
+    # single-file glob, and the schema probe above already read the
+    # directory form transparently.
     reader = (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "*.parquet" if recursive else "events.parquet")
     )
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     out = _restore_timestamps("events", reader.parquet(sf_dir))
