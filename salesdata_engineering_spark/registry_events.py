@@ -2480,3 +2480,81 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
         "click_ts",
         "purchase_ts",
     )
+
+
+@register(
+    "events_stl_decomposition",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h_ts, count(*) AS y
+        FROM events GROUP BY 1),
+    w AS (
+        SELECT h_ts, y,
+               SUM(y)   OVER (ORDER BY h_ts ROWS BETWEEN 12 PRECEDING
+                              AND 12 FOLLOWING) AS sum25,
+               COUNT(*) OVER (ORDER BY h_ts ROWS BETWEEN 12 PRECEDING
+                              AND 12 FOLLOWING) AS n25
+        FROM hourly),
+    full_w AS (
+        SELECT h_ts, y, sum25, 25 * y - sum25 AS d25,
+               extract(hour FROM h_ts) AS hod
+        FROM w WHERE n25 = 25),
+    seas AS (
+        SELECT hod, SUM(d25) AS s_num, 25 * count(*) AS s_den
+        FROM full_w GROUP BY 1)
+    SELECT f.h_ts, f.y,
+           round(f.sum25 / 25.0, 6) AS trend,
+           round(s.s_num / (s.s_den * 1.0), 6) + 0.0 AS seasonal,
+           round(f.y - f.sum25 / 25.0 - s.s_num / (s.s_den * 1.0), 6) + 0.0
+               AS residual
+    FROM full_w f JOIN seas s USING (hod)
+    """,
+    doc="STL-style additive decomposition of the hourly event series: "
+    "trend = centered 25-hour moving average (full windows only), "
+    "seasonal = hour-of-day mean of the detrended series, residual = "
+    "observed - trend - seasonal — the classic "
+    "trend/seasonality/noise split behind anomaly baselines, one "
+    "level up from the EWMA and Holt operators (which smooth but "
+    "never separate components). Exactness: every aggregate sums "
+    "INTEGERS (counts, and the detrended value is kept as the "
+    "integer 25*y - sum25), so no float accumulation order exists; "
+    "the final divisions/subtractions are single deterministic IEEE "
+    "ops mirrored verbatim (a trailing + 0.0 folds IEEE negative "
+    "zero, which the two engines round to with opposite signs). "
+    "Scale: the hourly rollup is the only "
+    "event-volume-sized operation; the windows/joins run on the "
+    "bounded one-row-per-hour series (a year is 8,760 rows on one "
+    "partition — negligible; partition the rollup by range if the "
+    "series itself ever stops fitting).",
+)
+def q_events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h_ts")).agg(
+        F.count("*").alias("y")
+    )
+    w = Window.orderBy("h_ts").rowsBetween(-12, 12)
+    wd = hourly.select(
+        "h_ts",
+        "y",
+        F.sum("y").over(w).alias("sum25"),
+        F.count("*").over(w).alias("n25"),
+    )
+    full_w = wd.filter(F.col("n25") == 25).select(
+        "h_ts",
+        "y",
+        "sum25",
+        (25 * F.col("y") - F.col("sum25")).alias("d25"),
+        F.hour("h_ts").alias("hod"),
+    )
+    seas = full_w.groupBy("hod").agg(
+        F.sum("d25").alias("s_num"), (25 * F.count("*")).alias("s_den")
+    )
+    trend = F.col("sum25") / 25.0
+    seasonal = F.col("s_num") / (F.col("s_den") * 1.0)
+    return full_w.join(F.broadcast(seas), "hod").select(
+        "h_ts",
+        "y",
+        F.round(trend, 6).alias("trend"),
+        (F.round(seasonal, 6) + 0.0).alias("seasonal"),
+        (F.round(F.col("y") - trend - seasonal, 6) + 0.0).alias("residual"),
+    )
