@@ -3045,3 +3045,83 @@ def q_supplier_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("volume").cast("double").alias("volume"),
         )
     )
+
+
+@register(
+    "inventory_clamped_balance",
+    """
+    WITH moves AS (
+        SELECT l_partkey AS part,
+               CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+                    ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+               l_shipdate, l_orderkey, l_linenumber
+        FROM lineitem),
+    s AS (
+        SELECT part, delta, l_shipdate, l_orderkey, l_linenumber,
+               CAST(SUM(delta) OVER w AS BIGINT) AS cum
+        FROM moves
+        WINDOW w AS (PARTITION BY part
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    b AS (
+        SELECT part, cum,
+               cum - least(0, MIN(cum) OVER w) AS balance,
+               row_number() OVER (PARTITION BY part
+                                  ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                           l_linenumber DESC) AS rn_last
+        FROM s
+        WINDOW w AS (PARTITION BY part
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT part,
+           count(*) AS n_moves,
+           max(balance) AS peak_balance,
+           max(CASE WHEN rn_last = 1 THEN balance END) AS final_balance
+    FROM b GROUP BY 1
+    """,
+    doc="Clamped running balance (reflected cumulative sum): per-part "
+    "stock level where restocks ('R' lines) add quantity, shipments "
+    "drain it, and the level can never go below zero — the inventory "
+    "/ credit-ledger operator a plain cumulative sum gets wrong the "
+    "moment demand exceeds stock. Naively this is an order-dependent "
+    "recurrence b_t = max(0, b_{t-1} + delta_t) that seems to force "
+    "row-at-a-time state; the reflected-walk identity "
+    "b_t = S_t - min(0, min_{k<=t} S_k) makes it TWO window passes "
+    "(cumulative sum, then running min of it) over one "
+    "(part, shipdate) sort — closed form, no iteration, no UDF. "
+    "Integer deltas keep every value exact. Scale: one part-keyed "
+    "shuffle; both windows and the final aggregate share the same "
+    "sort order, so Catalyst plans a single exchange+sort.",
+)
+def q_inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    order_cols = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    moves = li.select(
+        F.col("l_partkey").alias("part"),
+        F.when(
+            F.col("l_returnflag") == "R", F.col("l_quantity").cast("bigint")
+        )
+        .otherwise(-F.col("l_quantity").cast("bigint"))
+        .alias("delta"),
+        *order_cols,
+    )
+    w = Window.partitionBy("part").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = moves.withColumn("cum", F.sum("delta").over(w))
+    balance = F.col("cum") - F.least(F.lit(0), F.min("cum").over(w))
+    w_last = Window.partitionBy("part").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    b = s.select(
+        "part",
+        balance.alias("balance"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return b.groupBy("part").agg(
+        F.count("*").alias("n_moves"),
+        F.max("balance").alias("peak_balance"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("balance"))).alias(
+            "final_balance"
+        ),
+    )

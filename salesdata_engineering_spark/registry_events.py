@@ -2558,3 +2558,183 @@ def q_events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(seasonal, 6) + 0.0).alias("seasonal"),
         (F.round(F.col("y") - trend - seasonal, 6) + 0.0).alias("residual"),
     )
+
+
+@register(
+    "events_psi_drift",
+    """
+    WITH vals AS (
+        SELECT value AS v, ts < TIMESTAMP '2024-01-16 00:00:00' AS is_base
+        FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+    binned AS (
+        SELECT least(9, CAST(floor((v - lo) / (hi - lo) * 10) AS BIGINT))
+                   AS bin, is_base
+        FROM vals CROSS JOIN rng),
+    counts AS (
+        SELECT bin,
+               count(*) FILTER (WHERE is_base) AS c_base,
+               count(*) FILTER (WHERE NOT is_base) AS c_recent
+        FROM binned GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    tot AS (SELECT SUM(c_base)::BIGINT AS n_base,
+                   SUM(c_recent)::BIGINT AS n_recent FROM counts),
+    terms AS (
+        SELECT s.bin,
+               coalesce(c.c_base, 0) AS n_base_bin,
+               coalesce(c.c_recent, 0) AS n_recent_bin,
+               ((coalesce(c.c_base, 0) + 1.0) / (t.n_base + 10)
+                - (coalesce(c.c_recent, 0) + 1.0) / (t.n_recent + 10))
+               * ln(((coalesce(c.c_base, 0) + 1.0) / (t.n_base + 10))
+                    / ((coalesce(c.c_recent, 0) + 1.0) / (t.n_recent + 10)))
+                   AS term
+        FROM spine s LEFT JOIN counts c ON c.bin = s.bin CROSS JOIN tot t)
+    SELECT bin, n_base_bin, n_recent_bin,
+           round(term, 6) + 0.0 AS psi_term,
+           round(SUM(term) OVER (ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW), 6) + 0.0 AS psi_running
+    FROM terms
+    """,
+    doc="Population stability index drift monitor: the event value "
+    "distribution of the first half of January vs the second, 10 "
+    "equi-width bins over the global range, Laplace +1 smoothing so "
+    "empty bins stay defined, per-bin PSI terms plus the running "
+    "total (the last bin's psi_running IS the PSI; > 0.25 is the "
+    "classic retrain alarm). The ML-monitoring drift statistic the "
+    "stats family lacked: KS (events_ks_two_sample) compares CDFs "
+    "rank-wise, PSI compares binned masses — the production scorecard "
+    "standard. Determinism: the only float SUM is the running total, "
+    "whose order is pinned by the window's ORDER BY bin (10 rows), "
+    "so both engines fold identically; all counts are exact "
+    "integers. Scale: one pass to bin+count (broadcast 1-row range), "
+    "then everything runs on 10 rows.",
+)
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    vals = e.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("v"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "is_base"
+        ),
+    )
+    rng = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = vals.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10)
+            .cast("bigint"),
+        ).alias("bin"),
+        "is_base",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("is_base")).alias("c_base"),
+        F.count_if(~F.col("is_base")).alias("c_recent"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bin"))
+    tot = counts.agg(
+        F.sum("c_base").alias("n_base"), F.sum("c_recent").alias("n_recent")
+    )
+    t = (
+        spine.join(F.broadcast(counts), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("c_base", F.lit(0)).alias("n_base_bin"),
+            F.coalesce("c_recent", F.lit(0)).alias("n_recent_bin"),
+            F.col("n_base"),
+            F.col("n_recent"),
+        )
+    )
+    p = (F.col("n_base_bin") + 1.0) / (F.col("n_base") + 10)
+    q = (F.col("n_recent_bin") + 1.0) / (F.col("n_recent") + 10)
+    term = (p - q) * F.log(p / q)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "bin",
+        "n_base_bin",
+        "n_recent_bin",
+        (F.round(term, 6) + 0.0).alias("psi_term"),
+        (F.round(F.sum(term).over(w), 6) + 0.0).alias("psi_running"),
+    )
+
+
+@register(
+    "events_cuped_adjustment",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(coalesce(SUM({_VAL}) FILTER (
+                   WHERE ts < TIMESTAMP '2024-01-16 00:00:00'), 0)
+                    AS DECIMAL(14,2)) AS x,
+               CAST(coalesce(SUM({_VAL}) FILTER (
+                   WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'), 0)
+                    AS DECIMAL(14,2)) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+    s AS (
+        SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM per_user),
+    m AS (
+        SELECT n,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cov,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS varx,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS vary
+        FROM s)
+    SELECT n AS n_users,
+           CASE WHEN varx > 0 THEN round(cov / varx, 6) END AS theta,
+           round(vary / n, 6) AS var_y,
+           CASE WHEN varx > 0
+                THEN round((vary - cov * cov / varx) / n, 6) END AS var_adjusted,
+           CASE WHEN varx > 0 AND vary > 0
+                THEN round(cov * cov / (varx * vary), 6) END
+               AS variance_reduction
+    FROM m
+    """,
+    doc="CUPED variance reduction (controlled experiments using "
+    "pre-experiment data): per-user pre-period spend as covariate x, "
+    "experiment-period spend as metric y; theta = cov/var(x), and "
+    "the adjusted metric y - theta*(x - mean x) has variance "
+    "var(y)*(1 - r^2) — reported in closed form from ONE pass of "
+    "exact decimal power sums (n, Sx, Sy, Sxx, Sxy, Syy), the same "
+    "discipline as stats_bivariate_regression; no second adjusted "
+    "pass is needed because the optimal-theta variance collapses "
+    "algebraically. variance_reduction IS r^2 — the fraction of "
+    "metric variance the covariate removes, the number that sizes "
+    "how much smaller an A/B test can get. Scale: one user-keyed "
+    "aggregate then a 1-row reduction.",
+)
+def q_events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, _dec_val())), F.lit(0))
+        .cast("decimal(14,2)")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cut, _dec_val())), F.lit(0))
+        .cast("decimal(14,2)")
+        .alias("y"),
+    )
+    s = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+    return s.select(
+        n.alias("n_users"),
+        F.when(varx > 0, F.round(cov / varx, 6)).alias("theta"),
+        F.round(vary / n, 6).alias("var_y"),
+        F.when(varx > 0, F.round((vary - cov * cov / varx) / n, 6)).alias(
+            "var_adjusted"
+        ),
+        F.when((varx > 0) & (vary > 0), F.round(cov * cov / (varx * vary), 6)).alias(
+            "variance_reduction"
+        ),
+    )
