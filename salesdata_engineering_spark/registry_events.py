@@ -2631,6 +2631,12 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("is_base")).alias("c_base"),
         F.count_if(~F.col("is_base")).alias("c_recent"),
     )
+    # counts is consumed twice (spine join + totals); without the
+    # persist the WHOLE event binning pass runs twice — the persist is
+    # 10 rows
+    from .ext.caching import swap_persist
+
+    counts = swap_persist("psi_counts", counts)
     spine = spark.range(10).select(F.col("id").alias("bin"))
     tot = counts.agg(
         F.sum("c_base").alias("n_base"), F.sum("c_recent").alias("n_recent")

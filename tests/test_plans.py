@@ -776,3 +776,44 @@ def test_bloom_prefilter_is_broadcast_only_on_probe_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:1500]
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") == 4, plan[:2000]
+
+
+def test_clamped_balance_single_part_exchange(spark, sf_dir):
+    """The reflected-cumsum identity's value is plan shape: both
+    windows and the final aggregate key on part with one sort order,
+    so the plan must contain exactly ONE exchange keyed on the part
+    column (plus the scan-side details) — a second part shuffle would
+    mean the windows failed to share the sort. No Python, no cross
+    product."""
+    plan = plan_of(QUERIES["inventory_clamped_balance"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    # hashpartitioning on the part alias appears once for the whole
+    # window+agg chain (partial agg may add a final agg exchange on the
+    # same key at most once more)
+    n_part_exchanges = len(re.findall(r"hashpartitioning\(part#", plan))
+    assert 1 <= n_part_exchanges <= 2, plan[:2000]
+
+
+def test_psi_drift_broadcasts_range_and_totals(spark, sf_dir):
+    """PSI's one event-volume pass is the bin+count; the global range
+    and the totals are 1-row broadcasts and the spine join runs on 10
+    rows — no sort-merge join anywhere."""
+    plan = plan_of(QUERIES["events_psi_drift"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    # every nested-loop join broadcasts a 1-row frame (range, totals);
+    # the count includes the cached counts subtree's own range join
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    # counts is consumed twice (spine join + totals): the persist must
+    # show up as cache scans or the event binning pass runs twice
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cep_pattern_match_single_user_shuffle(spark, sf_dir):
+    """The CEP fold is one user-keyed aggregate: symbolize, group,
+    regex — a single exchange on user_id and zero joins."""
+    plan = plan_of(QUERIES["events_pattern_match_cep"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:1500]
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id#", plan)) >= 1
