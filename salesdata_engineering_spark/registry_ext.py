@@ -3597,3 +3597,126 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     from .ext.dedup import jaccard_prefix_filter_pairs
 
     return jaccard_prefix_filter_pairs(_docs(spark, sf_dir), n=3)
+
+
+def _bpe_oracle(n_steps: int = 5, vocab: int = 200) -> str:
+    """Chained-CTE DuckDB twin of the BPE merge loop: the iteration
+    count is static, so each Lloyd-style data-dependent step unrolls
+    into (pairs_k -> best_k -> seqs_k) CTE triples."""
+    parts = [
+        f"""
+    WITH tf AS (
+        SELECT term, count(*) AS freq
+        FROM (SELECT unnest({SQL_TOKENS}) AS term FROM documents)
+        WHERE term <> '' GROUP BY term
+        ORDER BY freq DESC, term LIMIT {vocab}),
+    t0 AS (
+        SELECT term, freq,
+               array_to_string(list_transform(
+                   generate_series(1, length(term)), i -> term[i]), ' ') AS seq
+        FROM tf)"""
+    ]
+    for k in range(1, n_steps + 1):
+        parts.append(f"""
+    p{k} AS (
+        SELECT s.l[u.i] || ' ' || s.l[u.i + 1] AS pair,
+               SUM(s.freq)::BIGINT AS cnt
+        FROM (SELECT freq, string_split(seq, ' ') AS l FROM t{k - 1}) s,
+             unnest(generate_series(1, len(s.l) - 1)) AS u(i)
+        GROUP BY 1),
+    b{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1),
+    t{k} AS (
+        SELECT term, freq,
+               trim(replace(' ' || seq || ' ',
+                            ' ' || (SELECT pair FROM b{k}) || ' ',
+                            ' ' || (SELECT replace(pair, ' ', '') FROM b{k})
+                            || ' ')) AS seq
+        FROM t{k - 1})""")
+    selects = [
+        f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged,"
+        f" cnt AS pair_count FROM b{k}"
+        for k in range(1, n_steps + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "text_bpe_merge_steps",
+    _bpe_oracle(),
+    doc="BPE tokenizer training, first 5 merge rules: start from the "
+    "character sequences of the top-200 corpus terms (frequency-"
+    "weighted), repeatedly count adjacent symbol pairs, merge the "
+    "most frequent (ties by pair string), and rewrite every "
+    "sequence — the exact greedy loop behind GPT-style tokenizers, "
+    "as a data pipeline. The merge rewrite is a plain string "
+    "replace on space-separated symbols (left-to-right "
+    "non-overlapping, identical semantics in both engines, with "
+    "flanking-space wrapping so symbol boundaries can't false-"
+    "match). Each step's argmax is a 1-row driver collect — the "
+    "same bounded trainer-loop pattern as the k-means IVF trainer; "
+    "everything data-sized (pair counting, sequence rewrite) stays "
+    "distributed, and the working vocab is persisted per step. The "
+    "oracle unrolls the 5 data-dependent steps into chained CTE "
+    "triples, so the whole learned ruleset is value-checked.",
+)
+def q_text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.caching import swap_persist
+    from .ext.text import tokens
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(200)
+    )
+    seqs = tf.select(
+        "term",
+        "freq",
+        F.concat_ws(
+            " ",
+            F.expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"),
+        ).alias("seq"),
+    )
+    rules = []
+    for step in range(1, 6):
+        seqs = swap_persist("bpe_seqs", seqs)
+        pairs = seqs.select(
+            "freq",
+            F.explode(
+                # sequence(1, n-1) is a TRAP for n=1: Spark generates the
+                # DESCENDING [1, 0] (negative default step), not empty —
+                # so iterate 1..n and null out the last slot instead
+                F.expr(
+                    "filter(transform(sequence(1, size(split(seq, ' '))),"
+                    " i -> IF(i < size(split(seq, ' ')),"
+                    " concat(element_at(split(seq, ' '), i), ' ',"
+                    " element_at(split(seq, ' '), i + 1)), NULL)),"
+                    " x -> x IS NOT NULL)"
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        merged = best["pair"].replace(" ", "")
+        rules.append((step, best["pair"], merged, best["cnt"]))
+        seqs = seqs.withColumn(
+            "seq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {best['pair']} "),
+                    F.lit(f" {merged} "),
+                )
+            ),
+        )
+    return spark.createDataFrame(
+        rules, "step int, pair string, merged string, pair_count bigint"
+    )
