@@ -2744,3 +2744,142 @@ def q_events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction"
         ),
     )
+
+
+_SEG_SSE = """(
+    (CAST({syy} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})
+    - CASE WHEN CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE) / {n} > 0
+           THEN (CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})
+                * (CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})
+                / (CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE) / {n})
+           ELSE 0.0 END)"""
+
+_SEG_SLOPE = """(
+    CASE WHEN CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE) / {n} > 0
+         THEN (CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})
+              / (CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE) / {n})
+         END)"""
+
+
+def _seg_sql() -> str:
+    s1 = {"n": "b", "sx": "psx", "sy": "psy", "sxx": "psxx", "sxy": "psxy", "syy": "psyy"}
+    s2 = {
+        "n": "(tn - b)",
+        "sx": "(tsx - psx)",
+        "sy": "(tsy - psy)",
+        "sxx": "(tsxx - psxx)",
+        "sxy": "(tsxy - psxy)",
+        "syy": "(tsyy - psyy)",
+    }
+    tot = {"n": "tn", "sx": "tsx", "sy": "tsy", "sxx": "tsxx", "sxy": "tsxy", "syy": "tsyy"}
+    return f"""
+    WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS y
+               FROM events GROUP BY 1),
+    r AS (SELECT hour, y, row_number() OVER (ORDER BY hour) AS i FROM c),
+    p AS (SELECT hour, i,
+                 CAST(SUM(i)     OVER w AS BIGINT) AS psx,
+                 CAST(SUM(y)     OVER w AS BIGINT) AS psy,
+                 CAST(SUM(i * i) OVER w AS BIGINT) AS psxx,
+                 CAST(SUM(i * y) OVER w AS BIGINT) AS psxy,
+                 CAST(SUM(y * y) OVER w AS BIGINT) AS psyy
+          FROM r
+          WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)),
+    t AS (SELECT count(*) AS tn, CAST(SUM(i) AS BIGINT) AS tsx,
+                 CAST(SUM(y) AS BIGINT) AS tsy,
+                 CAST(SUM(i * i) AS BIGINT) AS tsxx,
+                 CAST(SUM(i * y) AS BIGINT) AS tsxy,
+                 CAST(SUM(y * y) AS BIGINT) AS tsyy
+          FROM r),
+    cand AS (
+        SELECT hour, i AS b, psx, psy, psxx, psxy, psyy,
+               tn, tsx, tsy, tsxx, tsxy, tsyy,
+               {_SEG_SSE.format(**s1)} + {_SEG_SSE.format(**s2)} AS sse2
+        FROM p CROSS JOIN t
+        WHERE i >= 3 AND i <= tn - 3),
+    best AS (SELECT * FROM cand ORDER BY sse2, b LIMIT 1)
+    SELECT hour AS break_hour, b AS break_index, tn AS n_hours,
+           round({_SEG_SSE.format(**tot)}, 6) AS sse_single,
+           round(sse2, 6) AS sse_two_segment,
+           round({_SEG_SLOPE.format(**s1)}, 6) AS slope_before,
+           round({_SEG_SLOPE.format(**s2)}, 6) AS slope_after,
+           round(1.0 - sse2 / nullif({_SEG_SSE.format(**tot)}, 0), 6)
+               AS sse_reduction
+    FROM best
+    """
+
+
+@register(
+    "events_segmented_regression",
+    _seg_sql(),
+    doc="Two-segment (piecewise-linear) regression changepoint over "
+    "hourly event volume: for every candidate break b, fit OLS on "
+    "[1..b] and [b+1..n] and keep the b minimizing the summed SSE — "
+    "the regression-based changepoint that finds SLOPE changes where "
+    "CUSUM (events_cusum_changepoint) only sees level shifts. Each "
+    "segment's SSE is closed-form from prefix power sums "
+    "(Σi, Σy, Σi², Σiy, Σy² — all exact BIGINTs built by ONE window "
+    "pass; segment 2's sums are total minus prefix), so the n-1 "
+    "candidate fits cost O(n) total, not O(n²). The SSE doubles are "
+    "assembled with an identical expression tree from identical "
+    "integers in both engines, so the argmin and the earliest-b "
+    "tie-break agree. Scale: the hourly rollup is the only "
+    "event-volume-sized step; candidates live on the bounded "
+    "one-row-per-hour series.",
+)
+def q_events_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("y")
+    )
+    r = c.withColumn("i", F.row_number().over(Window.orderBy("hour")))
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = r.select(
+        "hour",
+        "i",
+        F.sum("i").over(w).cast("bigint").alias("psx"),
+        F.sum("y").over(w).cast("bigint").alias("psy"),
+        F.sum(F.col("i") * F.col("i")).over(w).cast("bigint").alias("psxx"),
+        F.sum(F.col("i") * F.col("y")).over(w).cast("bigint").alias("psxy"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("psyy"),
+    )
+    t = r.agg(
+        F.count("*").alias("tn"),
+        F.sum("i").cast("bigint").alias("tsx"),
+        F.sum("y").cast("bigint").alias("tsy"),
+        F.sum(F.col("i") * F.col("i")).cast("bigint").alias("tsxx"),
+        F.sum(F.col("i") * F.col("y")).cast("bigint").alias("tsxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("tsyy"),
+    )
+    s1 = {"n": "b", "sx": "psx", "sy": "psy", "sxx": "psxx", "sxy": "psxy", "syy": "psyy"}
+    s2 = {
+        "n": "(tn - b)",
+        "sx": "(tsx - psx)",
+        "sy": "(tsy - psy)",
+        "sxx": "(tsxx - psxx)",
+        "sxy": "(tsxy - psxy)",
+        "syy": "(tsyy - psyy)",
+    }
+    tot = {"n": "tn", "sx": "tsx", "sy": "tsy", "sxx": "tsxx", "sxy": "tsxy", "syy": "tsyy"}
+    cand = (
+        p.withColumnRenamed("i", "b")
+        .crossJoin(F.broadcast(t))
+        .filter((F.col("b") >= 3) & (F.col("b") <= F.col("tn") - 3))
+        .withColumn(
+            "sse2",
+            F.expr(f"{_SEG_SSE.format(**s1)} + {_SEG_SSE.format(**s2)}"),
+        )
+    )
+    best = cand.orderBy("sse2", "b").limit(1)
+    return best.select(
+        F.col("hour").alias("break_hour"),
+        F.col("b").alias("break_index"),
+        F.col("tn").alias("n_hours"),
+        F.round(F.expr(_SEG_SSE.format(**tot)), 6).alias("sse_single"),
+        F.round(F.col("sse2"), 6).alias("sse_two_segment"),
+        F.round(F.expr(_SEG_SLOPE.format(**s1)), 6).alias("slope_before"),
+        F.round(F.expr(_SEG_SLOPE.format(**s2)), 6).alias("slope_after"),
+        F.round(
+            1.0 - F.col("sse2") / F.expr(f"nullif({_SEG_SSE.format(**tot)}, 0)"), 6
+        ).alias("sse_reduction"),
+    )
