@@ -2883,3 +2883,125 @@ def q_events_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame
             1.0 - F.col("sse2") / F.expr(f"nullif({_SEG_SSE.format(**tot)}, 0)"), 6
         ).alias("sse_reduction"),
     )
+
+
+@register(
+    "events_attribution_shapley",
+    """
+    WITH conv AS (
+        SELECT user_id, min(ts) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    pre AS (
+        SELECT c.user_id,
+               CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS bit
+        FROM conv c JOIN events e ON e.user_id = c.user_id
+        WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'
+        GROUP BY 1, 2),
+    masks AS (
+        SELECT c.user_id,
+               coalesce((SELECT SUM(bit)::BIGINT FROM pre
+                         WHERE pre.user_id = c.user_id), 0) AS mask
+        FROM conv c),
+    mcnt AS (SELECT mask, count(*) AS cnt FROM masks GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, 15)) AS s),
+    v AS (
+        SELECT s.s, coalesce(SUM(m.cnt), 0)::BIGINT AS val
+        FROM spine s LEFT JOIN mcnt m ON (m.mask | s.s) = s.s
+        GROUP BY 1),
+    ch AS (SELECT * FROM (VALUES (0, 'click'), (1, 'error'),
+                                 (2, 'signup'), (3, 'view')) AS t(cbit, channel)),
+    terms AS (
+        SELECT ch.channel,
+               (CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END)
+               * (v1.val - v0.val) AS w_term
+        FROM ch
+        JOIN v v0 ON (v0.s & (1 << ch.cbit)) = 0
+        JOIN v v1 ON v1.s = v0.s + (1 << ch.cbit))
+    SELECT channel,
+           SUM(w_term)::BIGINT AS phi_num_24,
+           round(SUM(w_term) / 24.0, 6) AS shapley_value
+    FROM terms GROUP BY 1
+    """,
+    doc="Exact Shapley-value attribution over the four pre-purchase "
+    "channels (click/error/signup/view): coalition value v(S) = "
+    "converting users whose touched-channel set is covered by S, "
+    "enumerated over all 16 bitmask coalitions, then the exact "
+    "Shapley sum phi_c = sum over S without c of "
+    "|S|!(n-|S|-1)!/n! * (v(S+c) - v(S)) — the game-theoretic "
+    "attribution that position/last-touch heuristics approximate, "
+    "with the efficiency axiom making the phis sum to "
+    "v(all) - v(empty) exactly. Exactness: the factorial weights are "
+    "scaled by 4! = 24 so every term is an INTEGER (phi_num_24); the "
+    "single division is the display value. Scale: one user-keyed "
+    "pass builds per-user channel bitmasks; everything after runs on "
+    "16 coalition rows (at n channels the spine is 2^n — exact "
+    "Shapley is for small channel sets by nature; sample-permutation "
+    "approximation is the >20-channel path).",
+)
+def q_events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    pre = (
+        conv.join(e, "user_id")
+        .filter(
+            (F.col("ts") < F.col("first_purchase"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", bit.alias("bit"))
+        .distinct()
+    )
+    masks = conv.join(
+        pre.groupBy("user_id").agg(F.sum("bit").cast("bigint").alias("mask")),
+        "user_id",
+        "left",
+    ).select(F.coalesce("mask", F.lit(0)).alias("mask"))
+    mcnt = masks.groupBy("mask").agg(F.count("*").alias("cnt"))
+    spine = spark.range(16).select(F.col("id").alias("s"))
+    v = (
+        spine.join(
+            F.broadcast(mcnt),
+            (F.col("mask").bitwiseOR(F.col("s")) == F.col("s")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("val"))
+    )
+    ch = spark.createDataFrame(
+        [(0, "click"), (1, "error"), (2, "signup"), (3, "view")],
+        "cbit int, channel string",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("val").alias("val0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("val").alias("val1"))
+    w = (
+        F.when(F.bit_count(F.col("s0")) == 0, 6)
+        .when(F.bit_count(F.col("s0")) == 1, 2)
+        .when(F.bit_count(F.col("s0")) == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        ch.join(
+            F.broadcast(v0),
+            F.col("s0").bitwiseAND(F.expr("shiftleft(1, cbit)")) == 0,
+        )
+        .join(
+            F.broadcast(v1),
+            F.col("s1") == F.col("s0") + F.expr("shiftleft(1, cbit)"),
+        )
+        .select("channel", (w * (F.col("val1") - F.col("val0"))).alias("w_term"))
+    )
+    return terms.groupBy("channel").agg(
+        F.sum("w_term").cast("bigint").alias("phi_num_24"),
+        F.round(F.sum("w_term") / 24.0, 6).alias("shapley_value"),
+    )
