@@ -79,3 +79,102 @@ def asof_join(
         *[F.last(m, ignorenulls=True).over(w).alias(m) for m in matched],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    payload: Sequence[str],
+    tiebreak: str,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'): for
+    each left row, the right row minimizing |right.ts - left.ts| within
+    ``keys``; exact-timestamp and equidistant ties resolve BACKWARD
+    (the at-or-before row), matching the backward join's tie rule.
+
+    Same union-scan shape as :func:`asof_join`, run in both directions
+    over ONE key shuffle: the backward candidate is last(right) over
+    the preceding frame ordered (ts, rights-first), the forward
+    candidate is first(right) over the following frame ordered
+    (ts, rights-last) — the two window sorts share the exchange, and
+    the row stream stays O(|L|+|R|). Distances compare as exact
+    integer microseconds."""
+    w_dedup = Window.partitionBy(*keys, ts).orderBy(F.col(tiebreak).desc())
+    r = (
+        right.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, ts, *payload)
+    )
+    left_cols = left.columns
+    matched = [f"{ts}{suffix}"] + [f"{p}{suffix}" for p in payload]
+    tagged_r = r.select(
+        *keys,
+        F.col(ts).alias("_ts"),
+        F.lit(True).alias("_is_right"),
+        F.col(ts).alias(matched[0]),
+        *[F.col(p).alias(f"{p}{suffix}") for p in payload],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in keys
+        ],
+    )
+    tagged_l = left.select(
+        *keys,
+        F.col(ts).alias("_ts"),
+        F.lit(False).alias("_is_right"),
+        F.lit(None).cast(right.schema[ts].dataType).alias(matched[0]),
+        *[
+            F.lit(None).cast(right.schema[p].dataType).alias(f"{p}{suffix}")
+            for p in payload
+        ],
+        *[F.col(c) for c in left_cols if c not in keys],
+    )
+    u = tagged_r.unionByName(tagged_l)
+    # backward: rights sort BEFORE lefts at equal ts (ties match); forward:
+    # rights sort AFTER lefts so an equal-ts right is inside the following
+    # frame too (it then loses the equidistant tie to the backward pick)
+    w_b = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", F.col("_is_right").cast("int").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", F.col("_is_right").cast("int").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = u.select(
+        *keys,
+        "_ts",
+        "_is_right",
+        *[c for c in left_cols if c not in keys],
+        *[F.last(m, ignorenulls=True).over(w_b).alias(f"_b_{m}") for m in matched],
+        *[F.first(m, ignorenulls=True).over(w_f).alias(f"_f_{m}") for m in matched],
+    ).filter(~F.col("_is_right"))
+    b_ts, f_ts = F.col(f"_b_{matched[0]}"), F.col(f"_f_{matched[0]}")
+    # ntz-safe: casting BOTH operands in the same session tz shifts them
+    # equally, so the integer-microsecond differences are tz-invariant
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    d_b = _us(F.col("_ts")) - _us(b_ts)
+    d_f = _us(f_ts) - _us(F.col("_ts"))
+    pick_b = f_ts.isNull() | (b_ts.isNotNull() & (d_b <= d_f))
+    out_cols = [F.col(k) for k in keys] + [
+        F.col(c) for c in left_cols if c not in keys
+    ]
+    out_cols += [
+        F.when(pick_b, F.col(f"_b_{m}")).otherwise(F.col(f"_f_{m}")).alias(m)
+        for m in matched
+    ]
+    out_cols.append(
+        F.when(b_ts.isNull() & f_ts.isNull(), F.lit(None).cast("string"))
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction")
+    )
+    return both.select(*out_cols)

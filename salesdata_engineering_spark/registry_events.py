@@ -3005,3 +3005,63 @@ def q_events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_term").cast("bigint").alias("phi_num_24"),
         F.round(F.sum("w_term") / 24.0, 6).alias("shapley_value"),
     )
+
+
+@register(
+    "asof_nearest_click_purchase",
+    """
+    WITH p AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) = 1),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (
+        SELECT c.event_id, p.ts AS b_ts, p.value AS b_value
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+    f AS (
+        SELECT c.event_id, p.ts AS f_ts, p.value AS f_value
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+                     epoch_us(c.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(c.ts))
+                THEN b_ts ELSE f_ts END AS ts_matched,
+           CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+                     epoch_us(c.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(c.ts))
+                THEN b_value ELSE f_value END AS value_matched,
+           CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+                     epoch_us(c.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(c.ts))
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest', "
+    "completing the temporal-join family's direction matrix): each "
+    "click matched to the user's closest purchase on EITHER side, "
+    "equal-distance and exact-timestamp ties resolving backward. "
+    "Both directional candidates come from ONE union-scan over one "
+    "user-keyed shuffle (the backward last() and forward first() "
+    "windows share the exchange; distances compare as exact integer "
+    "microseconds), still O(|L|+|R|) rows — verified against a "
+    "double DuckDB ASOF JOIN with the same CASE pick.",
+)
+def q_asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.asof import asof_nearest_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_nearest_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts="ts",
+        payload=["value"],
+        tiebreak="event_id",
+    )
