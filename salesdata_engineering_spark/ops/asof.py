@@ -139,12 +139,12 @@ def asof_nearest_join(
     # frame too (it then loses the equidistant tie to the backward pick)
     w_b = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", F.col("_is_right").cast("int").asc())
+        .orderBy("_ts", F.col("_is_right").cast("int").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_f = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", F.col("_is_right").cast("int").desc())
+        .orderBy("_ts", F.col("_is_right").cast("int").asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     both = u.select(

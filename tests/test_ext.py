@@ -950,3 +950,52 @@ def test_prefix_filter_jaccard_equals_full_index(spark, sf_dir):
     }
     assert pfx == full
     assert len(full) > 0  # the corpus plants near-dups; empty = broken
+
+
+def test_asof_nearest_tie_semantics(spark):
+    """Exact-timestamp and equidistant ties must resolve BACKWARD —
+    the corpus has no microsecond collisions, so the rule is pinned
+    here on synthetic rows: a right row AT the left's timestamp beats
+    strictly-earlier/later ones, an equidistant pair picks the earlier
+    side, and a key with rights on only one side still matches."""
+    import datetime as dt
+
+    from salesdata_engineering_spark.ops.asof import asof_nearest_join
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(seconds):
+        return t0 + dt.timedelta(seconds=seconds)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(0)), (2, 200, ts(0)), (3, 300, ts(0))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # user 1: exact-ts match plus both-side decoys
+            (1, 11, ts(-10), 1.0),
+            (1, 12, ts(0), 2.0),
+            (1, 13, ts(5), 3.0),
+            # user 2: equidistant pair -> backward wins
+            (2, 21, ts(-7), 4.0),
+            (2, 22, ts(7), 5.0),
+            # user 3: forward-only
+            (3, 31, ts(9), 6.0),
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = {
+        r.user_id: (r.ts_matched, r.value_matched, r.direction)
+        for r in asof_nearest_join(
+            left.select("user_id", "event_id", "ts"),
+            right.select("user_id", "event_id", "ts", "value"),
+            keys=["user_id"],
+            ts="ts",
+            payload=["value"],
+            tiebreak="event_id",
+        ).collect()
+    }
+    assert out[1] == (ts(0), 2.0, "backward")
+    assert out[2] == (ts(-7), 4.0, "backward")
+    assert out[3] == (ts(9), 6.0, "forward")
