@@ -3125,3 +3125,184 @@ def q_inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_balance"
         ),
     )
+
+
+@register(
+    "orders_business_day_latency",
+    """
+    WITH j AS (
+        SELECT o_orderpriority,
+               date_diff('day', DATE '1969-12-29', CAST(o_orderdate AS DATE))
+                   AS io,
+               date_diff('day', DATE '1969-12-29', CAST(l_shipdate AS DATE))
+                   AS ish
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    lat AS (
+        SELECT o_orderpriority,
+               (5 * (ish // 7) + least(ish % 7, 5))
+               - (5 * (io // 7) + least(io % 7, 5)) AS bd
+        FROM j)
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(min(bd) AS BIGINT) AS min_bd,
+           CAST(max(bd) AS BIGINT) AS max_bd,
+           CAST(SUM(bd) AS BIGINT) AS sum_bd,
+           round(CAST(SUM(bd) AS DOUBLE) / count(*), 6) AS avg_bd
+    FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Order-to-ship latency in BUSINESS days per order priority — "
+    "calendar math the engine previously only did in raw days. Closed "
+    "form, no calendar table and no per-day explode: with idx = days "
+    "since the Monday epoch 1969-12-29, f(d) = 5*(idx div 7) + "
+    "min(idx mod 7, 5) counts weekdays in [epoch, d), so the latency "
+    "is f(ship) - f(order) — all integer date arithmetic, exact in "
+    "both engines (idx is positive for every date in the data, so div/"
+    "mod semantics agree). Scale: one fact-fact equi-join on the "
+    "natural key plus a 5-row aggregate; the weekday formula is a "
+    "per-row integer expression inside whole-stage codegen, vs the "
+    "naive sequence()-explode which multiplies the fact table by the "
+    "~2000-day latency span.",
+)
+def q_orders_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1969-12-29").cast("date")
+
+    def bdays(col: str) -> F.Column:
+        idx = F.datediff(F.col(col).cast("date"), epoch)
+        return 5 * F.floor(idx / 7) + F.least(idx % 7, F.lit(5))
+
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    lat = j.select(
+        "o_orderpriority", (bdays("l_shipdate") - bdays("o_orderdate")).alias("bd")
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("bd").cast("bigint").alias("min_bd"),
+            F.max("bd").cast("bigint").alias("max_bd"),
+            F.sum("bd").cast("bigint").alias("sum_bd"),
+            F.round(F.sum("bd").cast("double") / F.count("*"), 6).alias("avg_bd"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "stats_kendall_tau_binned",
+    """
+    WITH cells AS (
+        SELECT CAST(floor((l_quantity - 1) / 5) AS INT) AS bx,
+               least(CAST(floor(l_extendedprice / 10000) AS INT), 9) AS by,
+               count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+    pair AS (
+        SELECT CAST(SUM(CASE WHEN a.by < b.by THEN a.c * b.c ELSE 0 END)
+                    AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN a.by > b.by THEN a.c * b.c ELSE 0 END)
+                    AS BIGINT) AS disc
+        FROM cells a JOIN cells b ON a.bx < b.bx),
+    tx AS (SELECT CAST(SUM(nx * (nx - 1) / 2) AS BIGINT) AS t
+           FROM (SELECT SUM(c) AS nx FROM cells GROUP BY bx)),
+    ty AS (SELECT CAST(SUM(ny * (ny - 1) / 2) AS BIGINT) AS t
+           FROM (SELECT SUM(c) AS ny FROM cells GROUP BY by)),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+    SELECT tot.n AS n_rows,
+           pair.conc AS concordant,
+           pair.disc AS discordant,
+           round(CAST(pair.conc - pair.disc AS DOUBLE)
+                 / sqrt(CAST(tot.n * (tot.n - 1) / 2 - tx.t AS DOUBLE)
+                        * CAST(tot.n * (tot.n - 1) / 2 - ty.t AS DOUBLE)),
+                 6) AS tau_b
+    FROM pair, tx, ty, tot
+    """,
+    doc="Kendall tau-b rank correlation between quantity and extended "
+    "price, computed EXACTLY on a 10x10 binned contingency table "
+    "(fixed-width bins: quantity 1-50 in fives, price in 10k bands "
+    "capped at 9). The naive tau is an O(n^2) all-pairs scan — "
+    "undistributable at any scale; binning first makes concordant/"
+    "discordant pair counts a ~100-cell self-join over the contingency "
+    "frame: C and D are exact BIGINT sums of c_a*c_b over ordered cell "
+    "pairs, tie terms come off the row/column marginals, and tau_b's "
+    "denominator multiplies as doubles only at the end (the BIGINT "
+    "product would overflow at sf1's n~6M). Within-bin pairs count as "
+    "ties — that is the tau-b-on-grouped-data definition, not an "
+    "approximation, and it complements stats_spearman (which ranks "
+    "every distinct value) with the robust-to-scale variant. Scale: "
+    "one fact scan -> 100-cell frame; everything after is constant-"
+    "sized regardless of row count.",
+)
+def q_stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cells = (
+        li.select(
+            F.floor((F.col("l_quantity") - 1) / 5).cast("int").alias("bx"),
+            F.least(
+                F.floor(F.col("l_extendedprice") / 10000).cast("int"), F.lit(9)
+            ).alias("by"),
+        )
+        .groupBy("bx", "by")
+        .agg(F.count("*").alias("c"))
+    )
+    from .ext.caching import swap_persist
+
+    cells = swap_persist("kendall_cells", cells)
+    a = cells.select(
+        F.col("bx").alias("bxa"), F.col("by").alias("bya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("bx").alias("bxb"), F.col("by").alias("byb"), F.col("c").alias("cb")
+    )
+    pair = (
+        a.join(F.broadcast(b), F.col("bxa") < F.col("bxb"))
+        .agg(
+            F.sum(
+                F.when(F.col("bya") < F.col("byb"), F.col("ca") * F.col("cb"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conc"),
+            F.sum(
+                F.when(F.col("bya") > F.col("byb"), F.col("ca") * F.col("cb"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("disc"),
+        )
+    )
+    tx = (
+        cells.groupBy("bx")
+        .agg(F.sum("c").alias("nx"))
+        .agg(
+            F.sum(F.col("nx") * (F.col("nx") - 1) / 2).cast("bigint").alias("tx")
+        )
+    )
+    ty = (
+        cells.groupBy("by")
+        .agg(F.sum("c").alias("ny"))
+        .agg(
+            F.sum(F.col("ny") * (F.col("ny") - 1) / 2).cast("bigint").alias("ty")
+        )
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    return (
+        pair.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.round(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("tx")).cast("double")
+                    * (n0 - F.col("ty")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )

@@ -3065,3 +3065,85 @@ def q_asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         payload=["value"],
         tiebreak="event_id",
     )
+
+
+@register(
+    "events_forecast_naive_eval",
+    """
+    WITH h AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               count(*) AS c
+        FROM events GROUP BY 1),
+    ev AS (
+        SELECT a.c AS actual, s.c AS season, p.c AS persist
+        FROM h a
+        JOIN h s ON a.hr = s.hr + 24
+        JOIN h p ON a.hr = p.hr + 1),
+    agg AS (
+        SELECT count(*) AS n_hours,
+               CAST(SUM(abs(actual - season)) AS BIGINT) AS sae_seasonal,
+               CAST(SUM(abs(actual - persist)) AS BIGINT) AS sae_persistence
+        FROM ev)
+    SELECT n_hours, sae_seasonal, sae_persistence,
+           round(CAST(sae_seasonal AS DOUBLE) / n_hours, 6) AS mae_seasonal,
+           round(CAST(sae_persistence AS DOUBLE) / n_hours, 6)
+               AS mae_persistence,
+           round(CAST(sae_seasonal AS DOUBLE) / sae_persistence, 6) AS mase
+    FROM agg
+    """,
+    doc="Forecast backtest of the two canonical naive models over hourly "
+    "event volume: seasonal-naive (predict this hour with the count 24 "
+    "hours earlier) vs persistence (previous hour), scored on every "
+    "hour where both references exist (equi-joins on the integer hour "
+    "index, so calendar gaps exclude themselves instead of silently "
+    "pairing wrong rows the way a row-offset LAG would). MASE is the "
+    "ratio of the two raw absolute-error sums — exact integers off "
+    "integer hourly counts; only the final three ratios are doubles. "
+    "This is the eval harness the forecasting operators (events_hourly_"
+    "holt, events_stl_decomposition) were missing: a model beats "
+    "the bar only if its error sits below both naive baselines. "
+    "Scale: one fact scan collapses to an hourly frame (8,760 rows/"
+    "year no matter the event volume); the twin self-joins are over "
+    "that tiny frame, broadcast-eligible.",
+)
+def q_events_forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    h = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count("*").alias("c"))
+    )
+    from .ext.caching import swap_persist
+
+    h = swap_persist("naive_eval_hours", h)
+    a = h.select(F.col("hr").alias("hra"), F.col("c").alias("actual"))
+    s = h.select((F.col("hr") + 24).alias("hrs"), F.col("c").alias("season"))
+    p = h.select((F.col("hr") + 1).alias("hrp"), F.col("c").alias("persist"))
+    ev = a.join(F.broadcast(s), F.col("hra") == F.col("hrs")).join(
+        F.broadcast(p), F.col("hra") == F.col("hrp")
+    )
+    agg = ev.agg(
+        F.count("*").alias("n_hours"),
+        F.sum(F.abs(F.col("actual") - F.col("season")))
+        .cast("bigint")
+        .alias("sae_seasonal"),
+        F.sum(F.abs(F.col("actual") - F.col("persist")))
+        .cast("bigint")
+        .alias("sae_persistence"),
+    )
+    return agg.select(
+        "n_hours",
+        "sae_seasonal",
+        "sae_persistence",
+        F.round(F.col("sae_seasonal").cast("double") / F.col("n_hours"), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(
+            F.col("sae_persistence").cast("double") / F.col("n_hours"), 6
+        ).alias("mae_persistence"),
+        F.round(
+            F.col("sae_seasonal").cast("double") / F.col("sae_persistence"), 6
+        ).alias("mase"),
+    )

@@ -3720,3 +3720,82 @@ def q_text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "step int, pair string, merged string, pair_count bigint"
     )
+
+
+@register(
+    "text_readability_flesch",
+    r"""
+    WITH m AS (
+        SELECT lang,
+               greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+        FROM documents),
+    sc AS (
+        SELECT lang,
+               CAST(floor((206.835
+                           - 1.015 * (CAST(w AS DOUBLE) / s)
+                           - 84.6 * (CAST(y AS DOUBLE) / w)) * 1000000 + 0.5)
+                    AS BIGINT) AS micro
+        FROM m)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE micro >= 60000000) AS BIGINT) AS n_easy,
+           CAST(count(*) FILTER (WHERE micro >= 30000000 AND micro < 60000000)
+                AS BIGINT) AS n_standard,
+           CAST(count(*) FILTER (WHERE micro < 30000000) AS BIGINT) AS n_hard,
+           round(CAST(SUM(micro) AS DOUBLE) / count(*) / 1000000, 6)
+               AS avg_flesch
+    FROM sc GROUP BY lang ORDER BY lang
+    """,
+    doc="Flesch reading-ease quality gate per language: words = \\S+ "
+    "runs, sentences = [.!?]+ runs (floored at 1 — the synthetic corpus "
+    "is unpunctuated, so each doc reads as one long sentence, exactly "
+    "the degenerate case the floor guards), syllables approximated as "
+    "vowel-group runs — the standard cheap heuristic. The per-doc "
+    "score is a fixed double sequence over exact integer counts, "
+    "quantized to integer micro-units via floor(x*1e6+0.5) (spelled "
+    "identically in both engines — F.round/DuckDB round diverge on "
+    "negative halves, and unpunctuated docs go deeply negative) so the "
+    "per-language mean is an order-free integer sum. Banding compares "
+    "the quantized integer, never the double, so band boundaries are "
+    "bit-stable. Scale: one scan, per-row regexp counts (JVM-side, no "
+    "UDF), one small groupBy — the same shape as text_quality_score.",
+)
+def q_text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = F.greatest(F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(1))
+    s = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    y = F.regexp_count(F.col("text"), F.lit(r"[aeiouyAEIOUY]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / s)
+        - F.lit(84.6) * (y.cast("double") / w)
+    )
+    sc = d.select(
+        "lang",
+        F.floor(flesch * 1000000 + F.lit(0.5)).cast("bigint").alias("micro"),
+    )
+    return (
+        sc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("micro") >= 60000000).cast("int"))
+            .cast("bigint")
+            .alias("n_easy"),
+            F.sum(
+                (
+                    (F.col("micro") >= 30000000) & (F.col("micro") < 60000000)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_standard"),
+            F.sum((F.col("micro") < 30000000).cast("int"))
+            .cast("bigint")
+            .alias("n_hard"),
+            F.round(
+                F.sum("micro").cast("double") / F.count("*") / 1000000, 6
+            ).alias("avg_flesch"),
+        )
+        .orderBy("lang")
+    )
