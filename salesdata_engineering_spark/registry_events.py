@@ -3147,3 +3147,215 @@ def q_events_forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sae_seasonal").cast("double") / F.col("sae_persistence"), 6
         ).alias("mase"),
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(value AS DECIMAL(12,2)) AS v,
+               row_number() OVER (
+                   PARTITION BY event_type, CAST(floor(epoch(ts)/3600) AS BIGINT)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type, CAST(floor(epoch(ts)/3600) AS BIGINT)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events),
+    bars AS (
+        SELECT event_type, hr,
+               count(*) AS n_trades,
+               CAST(SUM(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+               CAST(max(v) AS DOUBLE) AS high,
+               CAST(min(v) AS DOUBLE) AS low,
+               CAST(SUM(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+               CAST(SUM(v) AS DOUBLE) AS volume
+        FROM seq GROUP BY 1, 2)
+    SELECT event_type,
+           count(*) AS n_bars,
+           CAST(SUM(n_trades) AS BIGINT) AS n_events,
+           round(SUM(CASE WHEN close > open THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS up_bar_ratio,
+           CAST(max(high) AS DOUBLE) AS max_high,
+           CAST(min(low) AS DOUBLE) AS min_low,
+           round(CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_volume
+    FROM bars GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Hourly OHLC candlestick bars per event type — the canonical "
+    "time-series downsample (open/high/low/close/volume) — summarized "
+    "per type so the readout stays bounded while every bar feeds it. "
+    "Open/close are picked by twin row_numbers over (ts, event_id) — "
+    "the explicit tie-break makes first/last deterministic in both "
+    "engines (first_value semantics without frame ambiguity); values "
+    "go through DECIMAL(12,2) so bar volume and the total are exact "
+    "integers in cents. Scale: ONE shuffle keyed (event_type, hour) "
+    "shared by both window passes and the bar aggregate (same "
+    "partition key), then a tiny per-type rollup; bars are bounded by "
+    "hours x types regardless of event volume.",
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hr = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr")
+    seq = e.select("event_type", hr, _dec_val().alias("v"), "ts", "event_id")
+    wa = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = seq.select(
+        "event_type",
+        "hr",
+        "v",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    bars = seq.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n_trades"),
+        F.sum(F.when(F.col("rn_a") == 1, F.col("v"))).cast("double").alias("open"),
+        F.max("v").cast("double").alias("high"),
+        F.min("v").cast("double").alias("low"),
+        F.sum(F.when(F.col("rn_d") == 1, F.col("v"))).cast("double").alias("close"),
+        F.sum("v").cast("double").alias("volume"),
+    )
+    return (
+        bars.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_bars"),
+            F.sum("n_trades").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.when(F.col("close") > F.col("open"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("up_bar_ratio"),
+            F.max("high").cast("double").alias("max_high"),
+            F.min("low").cast("double").alias("min_low"),
+            F.round(
+                F.sum(F.col("volume").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_volume"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_twap_value",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur_us
+        FROM events),
+    iv AS (SELECT * FROM seq WHERE dur_us IS NOT NULL)
+    SELECT event_type,
+           count(*) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dur_us)
+                     AS DECIMAL(38,0)) AS BIGINT) AS weighted_cents_us,
+           round(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dur_us) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE) / 100, 6) AS twap
+    FROM iv GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Time-weighted average value (TWAP) per event type: each "
+    "observation is held until the next observation of the same type, "
+    "so its weight is the exact microsecond duration of that interval "
+    "(lead over (ts, event_id) — the last observation has no interval "
+    "and drops, standard TWAP convention). Values quantize to integer "
+    "cents via DECIMAL(12,2)*100 and the weighted sum accumulates in "
+    "DECIMAL(38,0) — cents x microseconds x years overflows BIGINT at "
+    "warehouse scale, 38 digits does not — so the numerator is exact "
+    "and order-free; the only double is the final division. Scale: "
+    "one shuffle keyed by event_type shared by the lead window and "
+    "the aggregate; no self-join.",
+)
+def q_events_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        "event_type",
+        (_dec_val() * 100).cast("bigint").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - us).alias(
+            "dur_us"
+        ),
+    ).filter(F.col("dur_us").isNotNull())
+    wsum = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur_us"))
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+            wsum.cast("decimal(38,0)").cast("bigint").alias("weighted_cents_us"),
+            F.round(
+                wsum.cast("double") / F.sum("dur_us").cast("double") / 100, 6
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_burstiness_fano",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type,
+               count(*) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM h GROUP BY event_type)
+    SELECT event_type, n_hours, s1 AS n_events,
+           round(CAST(s1 AS DOUBLE) / n_hours, 6) AS mean_per_hour,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)
+                 / (n_hours - 1) / (CAST(s1 AS DOUBLE) / n_hours), 6)
+               AS fano_factor,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)
+                      / (n_hours - 1)) / (CAST(s1 AS DOUBLE) / n_hours), 6)
+               AS cv
+    FROM m ORDER BY event_type
+    """,
+    doc="Burstiness of the arrival process per event type over hourly "
+    "counts: Fano factor (variance-to-mean of counts; 1 = Poisson, "
+    ">1 = overdispersed/bursty) and the coefficient of variation. "
+    "Active-hour convention: only hours with >=1 event enter (gap "
+    "hours would need a spine join; the active-hour Fano is the "
+    "standard overdispersion screen). Variance comes from exact "
+    "integer power sums (counts are integers, s1/s2 exact BIGINTs) in "
+    "one fixed double expression, so both engines evaluate the same "
+    "IEEE sequence. Scale: one scan to the bounded hourly frame, then "
+    "a 5-row readout.",
+)
+def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    h = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    m = h.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    var = (F.col("s2").cast("double") - s1d * F.col("s1") / F.col("n_hours")) / (
+        F.col("n_hours") - 1
+    )
+    mean = s1d / F.col("n_hours")
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("s1").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var / mean, 6).alias("fano_factor"),
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+    ).orderBy("event_type")
