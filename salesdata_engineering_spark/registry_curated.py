@@ -3306,3 +3306,212 @@ def q_stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+@register(
+    "revenue_lorenz_deciles",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS x
+        FROM orders GROUP BY 1),
+    d AS (
+        SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile
+        FROM rev),
+    g AS (
+        SELECT decile, count(*) AS n_customers,
+               CAST(SUM(x) AS DECIMAL(18,2)) AS decile_revenue
+        FROM d GROUP BY decile)
+    SELECT decile, n_customers,
+           CAST(decile_revenue AS DOUBLE) AS decile_revenue,
+           round(CAST(SUM(decile_revenue) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(SUM(decile_revenue) OVER () AS DOUBLE), 6)
+               AS cum_revenue_share
+    FROM g ORDER BY decile
+    """,
+    doc="Lorenz curve of customer revenue in deciles: customers ranked "
+    "by lifetime order value (ties broken on o_custkey so ntile is "
+    "deterministic in both engines), cumulative revenue share per "
+    "decile — the curve the Gini coefficient (revenue_gini_by_nation) "
+    "integrates, as an inspectable 10-row readout. Per-customer and "
+    "per-decile sums stay DECIMAL(18,2)-exact; the only doubles are "
+    "the final share ratios over the 10-row frame. Scale: one "
+    "custkey-keyed aggregate, one global ntile sort (the same "
+    "RangePartition-sort shape as global_sort_prices), then window "
+    "math on 10 rows.",
+)
+def q_revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    d = rev.select(
+        "x", F.ntile(10).over(Window.orderBy("x", "o_custkey")).alias("decile")
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").cast("decimal(18,2)").alias("decile_revenue"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "decile",
+        "n_customers",
+        F.col("decile_revenue").cast("double").alias("decile_revenue"),
+        F.round(
+            F.sum("decile_revenue").over(wcum).cast("double")
+            / F.sum("decile_revenue").over(wall).cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    ).orderBy("decile")
+
+
+@register(
+    "stats_poisson_rate_test",
+    """
+    WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+    win AS (
+        SELECT event_type,
+               CASE WHEN ts < t0 + INTERVAL 7 DAY THEN 1
+                    WHEN ts < t0 + INTERVAL 14 DAY THEN 2 END AS w
+        FROM events CROSS JOIN t0),
+    k AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN w = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        FROM win WHERE w IS NOT NULL GROUP BY event_type)
+    SELECT event_type, k1, k2,
+           round(CAST(k1 AS DOUBLE) / k2, 6) AS rate_ratio,
+           round((k1 - (k1 + k2) * 0.5) / sqrt((k1 + k2) * 0.25), 6) AS z,
+           CASE WHEN abs((k1 - (k1 + k2) * 0.5) / sqrt((k1 + k2) * 0.25))
+                     > 1.959964 THEN 1 ELSE 0 END AS significant_5pct
+    FROM k ORDER BY event_type
+    """,
+    doc="Two-sample Poisson rate test per event type: week 1 vs week 2 "
+    "of the stream (windows anchored at the global min event time, "
+    "equal 7-day exposures). Under H0 (equal rates) the week-1 count "
+    "conditioned on the total is Binomial(k1+k2, 1/2); the normal-"
+    "approximation z = (k1 - n/2)/sqrt(n/4) is the standard E-commerce "
+    "'did the event rate change week-over-week' screen, complementing "
+    "stats_two_proportion_z (proportions) and events_psi_drift "
+    "(distribution shape). Counts are exact integers; z is one fixed "
+    "double expression; the 1.959964 gate matches the two-sided 5% "
+    "normal quantile to 6dp in both engines. Scale: one scan with a "
+    "broadcast 1-row min, 5-row readout.",
+)
+def q_stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    t0 = e.agg(F.min("ts").alias("t0"))
+    win = e.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAY"), 1
+        )
+        .when(F.col("ts") < F.col("t0") + F.expr("INTERVAL 14 DAY"), 2)
+        .alias("w"),
+    )
+    k = (
+        win.filter(F.col("w").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("k1"),
+            F.sum(F.when(F.col("w") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("k2"),
+        )
+    )
+    z = (F.col("k1") - (F.col("k1") + F.col("k2")) * 0.5) / F.sqrt(
+        (F.col("k1") + F.col("k2")) * 0.25
+    )
+    return k.select(
+        "event_type",
+        "k1",
+        "k2",
+        F.round(F.col("k1").cast("double") / F.col("k2"), 6).alias("rate_ratio"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("significant_5pct"),
+    ).orderBy("event_type")
+
+
+@register(
+    "er_fuzzy_match_blocking",
+    """
+    WITH blocked AS (
+        SELECT p_partkey, p_name, p_brand,
+               p_size, CAST(floor(length(p_name) / 8) AS INT) AS lb
+        FROM part),
+    pairs AS (
+        SELECT a.p_brand AS brand,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM blocked a JOIN blocked b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.lb = b.lb AND a.p_partkey < b.p_partkey)
+    SELECT brand,
+           count(*) AS candidate_pairs,
+           CAST(SUM(CASE WHEN dist <= 12 THEN 1 ELSE 0 END) AS BIGINT)
+               AS matched_pairs,
+           CAST(min(dist) AS INT) AS min_dist,
+           round(CAST(SUM(dist) AS DOUBLE) / count(*), 6) AS avg_dist
+    FROM pairs GROUP BY brand ORDER BY brand
+    """,
+    doc="Entity-resolution candidate generation with blocking: part "
+    "names are fuzzy-compared by Levenshtein edit distance, but ONLY "
+    "within blocks keyed (brand, size, length-band floor(len/8)) — "
+    "the standard blocking-key trick that turns the O(N^2) all-pairs "
+    "comparison into sum-of-block-squares (each block is a bounded "
+    "slice of the catalog, and the length band is sound for a "
+    "distance threshold of 12 because |len(a)-len(b)| <= dist, so "
+    "near-identical names share adjacent bands — an 8-wide band "
+    "catches every pair with distance < 8 exactly, the usual "
+    "recall/cost dial). Spark's levenshtein and DuckDB's agree "
+    "(plain unit-cost edit distance), so matched-pair counts and "
+    "distance stats hash-match. Scale: the block join shuffles on "
+    "the composite blocking key; no broadcast of the catalog, no "
+    "cross product — plan-assertable as a single equi-join.",
+)
+def q_er_fuzzy_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir)["part"]
+    blocked = p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_size",
+        F.floor(F.length("p_name") / 8).cast("int").alias("lb"),
+    )
+    a = blocked.select(
+        *[F.col(c).alias(f"a_{c}") for c in blocked.columns]
+    )
+    b = blocked.select(
+        *[F.col(c).alias(f"b_{c}") for c in blocked.columns]
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_p_size") == F.col("b_p_size"))
+        & (F.col("a_lb") == F.col("b_lb"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    ).select(
+        F.col("a_p_brand").alias("brand"),
+        F.levenshtein(F.col("a_p_name"), F.col("b_p_name")).alias("dist"),
+    )
+    return (
+        pairs.groupBy("brand")
+        .agg(
+            F.count("*").alias("candidate_pairs"),
+            F.sum(F.when(F.col("dist") <= 12, 1).otherwise(0))
+            .cast("bigint")
+            .alias("matched_pairs"),
+            F.min("dist").cast("int").alias("min_dist"),
+            F.round(F.sum("dist").cast("double") / F.count("*"), 6).alias(
+                "avg_dist"
+            ),
+        )
+        .orderBy("brand")
+    )

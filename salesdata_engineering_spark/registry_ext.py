@@ -17,7 +17,7 @@ DuckDB↔Spark equivalences used throughout (probed, exact):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .datasets import load_tables
@@ -3798,4 +3798,272 @@ def q_text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_flesch"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "sketch_kmv_distinct",
+    f"""
+    WITH h AS (
+        SELECT n_nationkey AS nation, c_nationkey,
+               {sql_md5_long("c_custkey::VARCHAR", "kmv")} AS hv
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    dh AS (SELECT nation, hv FROM h GROUP BY 1, 2),
+    rk AS (
+        SELECT nation, hv,
+               row_number() OVER (PARTITION BY nation ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY nation) AS nd
+        FROM dh),
+    kth AS (
+        SELECT nation, nd AS exact_distinct,
+               CASE WHEN nd >= 64 THEN max(CASE WHEN rn = 64 THEN hv END)
+                    ELSE max(hv) END AS hk,
+               least(nd, 64) AS k
+        FROM rk WHERE rn <= 64 GROUP BY nation, nd)
+    SELECT nation, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(k AS INT) AS k,
+           round((CAST(k AS DOUBLE) - 1)
+                 / (CAST(hk AS DOUBLE) / 1152921504606846976), 4)
+               AS kmv_estimate,
+           round(abs((CAST(k AS DOUBLE) - 1)
+                     / (CAST(hk AS DOUBLE) / 1152921504606846976)
+                     - exact_distinct)
+                 / exact_distinct * 100, 4) AS rel_error_pct
+    FROM kth ORDER BY nation
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch per nation, "
+    "k=64, with the exact count and relative error as the readout — "
+    "the mergeable bottom-k twin of HLL: keep the k smallest 60-bit "
+    "md5 hashes of the key; estimate = (k-1)/u_(k) where u_(k) is the "
+    "k-th smallest hash normalized by 2^60. Degenerate groups with "
+    "fewer than k distinct keys fall back to the exact bottom-k count "
+    "(estimate = exact by construction). Deterministic md5 hashing "
+    "(ext/hashing.py) makes the sketch value-reproducible in DuckDB, "
+    "so the driver hash-checks the ESTIMATE itself, not just shape. "
+    "Scale: sketch state is k longs per group no matter the row "
+    "count; one shuffle keyed by group for the bottom-k window (at "
+    "100 TB swap the window for a partial TreeAggregate-style "
+    "per-partition bottom-k then merge — same estimator, mergeable "
+    "by min-union of the k-sets).",
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    K = 64
+    TWO60 = float(1 << 60)
+    h = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_nationkey").alias("nation"),
+            md5_long(F.col("c_custkey").cast("string"), "kmv").alias("hv"),
+        )
+        .groupBy("nation", "hv")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy("nation").orderBy("hv")
+    wc = Window.partitionBy("nation")
+    rk = h.select(
+        "nation",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("nd"),
+    ).filter(F.col("rn") <= K)
+    kth = rk.groupBy("nation", "nd").agg(
+        F.when(
+            F.col("nd") >= K,
+            F.max(F.when(F.col("rn") == K, F.col("hv"))),
+        )
+        .otherwise(F.max("hv"))
+        .alias("hk"),
+        F.least(F.first("nd"), F.lit(K)).alias("k"),
+    )
+    est = (F.col("k").cast("double") - 1) / (F.col("hk").cast("double") / TWO60)
+    return kth.select(
+        "nation",
+        F.col("nd").cast("bigint").alias("exact_distinct"),
+        F.col("k").cast("int").alias("k"),
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("nd")) / F.col("nd") * 100, 4
+        ).alias("rel_error_pct"),
+    ).orderBy("nation")
+
+
+@register(
+    "text_bm25_search",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS dl,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+    tf AS (
+        SELECT doc_id, tok, max(dl) AS dl, count(*) AS tf
+        FROM toks WHERE tok IN ('spark', 'window', 'merge')
+        GROUP BY doc_id, tok),
+    dfreq AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+                   / count(*) AS avgdl
+        FROM documents),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   * 1000000 + 0.5) AS BIGINT) AS micro
+        FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN stats),
+    scored AS (
+        SELECT doc_id, count(*) AS n_terms_matched,
+               CAST(SUM(micro) AS BIGINT) AS score_micro
+        FROM contrib GROUP BY doc_id)
+    SELECT doc_id, n_terms_matched,
+           round(CAST(score_micro AS DOUBLE) / 1000000, 6) AS bm25
+    FROM scored
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for the fixed query "
+    "{spark, window, merge} over the documents table — the classic "
+    "sparse-retrieval half of a RAG stack next to the dense ANN "
+    "operators. Per-(doc,term) contribution = idf * tf*(k1+1) / "
+    "(tf + k1*(1-b+b*dl/avgdl)), with idf = ln(1+(N-df+0.5)/(df+0.5)) "
+    "(the Robertson-Sparck-Jones form, always positive), quantized to "
+    "integer micro-units at the contribution level so the per-doc "
+    "score is an order-free integer sum (the established micro-nat "
+    "convention, cf. text_zipf_fit); ranking ties break on doc_id. "
+    "Scale: one tokenize pass computes dl and term postings together; "
+    "df (|query| rows) and the corpus stats row broadcast; the "
+    "posting join is gated to query terms BEFORE any shuffle, so the "
+    "scored frame is |matching docs| x |query terms|, not the corpus; "
+    "top-k is a TakeOrderedAndProject.",
+)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    TERMS = ["spark", "window", "merge"]
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("dl"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.max("dl").alias("dl"), F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size(F.split(F.lower("text"), " "))).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * 2.2) / (
+        F.col("tf")
+        + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tfnorm * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.sum("micro").cast("bigint").alias("score_micro"),
+    )
+    return (
+        scored.orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round(F.col("score_micro").cast("double") / 1000000, 6).alias(
+                "bm25"
+            ),
+        )
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH edges AS (
+        SELECT l_suppkey AS s, l_partkey AS p
+        FROM lineitem GROUP BY 1, 2),
+    ds AS (SELECT s, count(*) AS degs FROM edges GROUP BY s),
+    dp AS (SELECT p, count(*) AS degp FROM edges GROUP BY p),
+    j AS (
+        SELECT degs, degp
+        FROM edges JOIN ds USING (s) JOIN dp USING (p)),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(SUM(CAST(degs AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(degp AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(degs AS DECIMAL(38,0)) * degs) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(degp AS DECIMAL(38,0)) * degp) AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(degs AS DECIMAL(38,0)) * degp) AS DECIMAL(38,0)) AS sxy
+        FROM j)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS assortativity
+    FROM m
+    """,
+    doc="Degree assortativity of the supplier-part bipartite graph "
+    "(distinct lineitem edges): Pearson correlation between the "
+    "supplier's degree and the part's degree across edges — negative "
+    "values mean high-degree suppliers attach to niche parts "
+    "(disassortative), the standard structural mixing diagnostic. "
+    "Degrees are exact integers; the five power sums accumulate in "
+    "DECIMAL(38,0) (n_edges x deg^2 overflows BIGINT on warehouse-"
+    "scale graphs) and convert to double only inside the one closed-"
+    "form correlation expression. Scale: dedup shuffle on the edge "
+    "key, two degree aggregates re-using the same keys, two equi-"
+    "joins keyed s resp. p — no broadcast assumption on either side, "
+    "so skewed hub degrees stay shuffle-local; readout is 1 row.",
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).groupBy("s", "p").agg(F.lit(1).alias("_one")).drop("_one")
+    ds = edges.groupBy("s").agg(F.count("*").alias("degs"))
+    dp = edges.groupBy("p").agg(F.count("*").alias("degp"))
+    j = edges.join(ds, "s").join(dp, "p").select("degs", "degp")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("degs")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("degp")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("degs") * F.col("degs")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("degp") * F.col("degp")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("degs") * F.col("degp")).cast("decimal(38,0)").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("n") * d("sxy") - d("sx") * d("sy"))
+            / F.sqrt(
+                (F.col("n") * d("sxx") - d("sx") * d("sx"))
+                * (F.col("n") * d("syy") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
     )
