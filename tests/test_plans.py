@@ -817,3 +817,64 @@ def test_cep_pattern_match_single_user_shuffle(spark, sf_dir):
     assert "Join" not in plan, plan[:1500]
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert len(re.findall(r"hashpartitioning\(user_id#", plan)) >= 1
+
+
+def test_fuzzy_blocking_join_is_pure_equi(spark, sf_dir):
+    """ER blocking must plan an equi-join on the composite blocking
+    key — a BroadcastNestedLoopJoin/CartesianProduct here means the
+    O(N^2) all-pairs scan the blocking exists to prevent."""
+    plan = plan_of(QUERIES["er_fuzzy_match_blocking"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_and_broadcast_stats(spark, sf_dir):
+    """Top-k must be TakeOrderedAndProject (no global sort); the df and
+    corpus-stats sides must broadcast; the query-term gate must reach
+    the posting stream before any exchange (filter under the first
+    aggregate, not after a shuffle)."""
+    plan = plan_of(QUERIES["text_bm25_search"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_kmv_sketch_single_group_exchange(spark, sf_dir):
+    """The bottom-k window and the per-group readout share the nation
+    hash partitioning: exactly one nation-keyed shuffle plus the
+    dedup shuffle (the trailing range exchange only sorts the
+    25-row readout)."""
+    plan = plan_of(QUERIES["sketch_kmv_distinct"].fn(spark, sf_dir))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, f"expected <=2 hash exchanges, got {n_hash}"
+
+
+def test_ohlc_windows_share_one_exchange(spark, sf_dir):
+    """Both row_number passes and the bar aggregate are keyed
+    (event_type, hr): one hash exchange feeds two sorts, no extra
+    shuffle for the per-type rollup's partial agg."""
+    plan = plan_of(QUERIES["events_ohlc_hourly"].fn(spark, sf_dir))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    n_hash = len(
+        re.findall(r"Exchange hashpartitioning\(event_type[^)]*, hr", body)
+    )
+    assert n_hash == 1, f"window/agg exchange not shared: {n_hash}\n{body}"
+
+
+def test_twap_single_type_exchange(spark, sf_dir):
+    """lead window and the TWAP aggregate both key on event_type —
+    one hash exchange total (the final 5-row agg collapses map-side)."""
+    plan = plan_of(QUERIES["events_twap_value"].fn(spark, sf_dir))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, f"expected <=2 hash exchanges, got {n_hash}\n{plan}"
+
+
+def test_assortativity_no_nested_loop(spark, sf_dir):
+    """Degree joins must stay equi-keyed on s resp. p — no broadcast
+    nested loop, no cartesian — and the final correlation is one row
+    from a partial+final aggregate."""
+    df = QUERIES["graph_degree_assortativity"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
