@@ -3359,3 +3359,86 @@ def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 6).alias("fano_factor"),
         F.round(F.sqrt(var) / mean, 6).alias("cv"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_session_dynamic_gap",
+    """
+    WITH g AS (
+        SELECT user_id, epoch_us(ts) AS tus,
+               epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                   THEN 1800000000 ELSE 600000000 END AS eus
+        FROM events),
+    f AS (
+        SELECT user_id, tus, eus,
+               CASE WHEN max(eus) OVER (
+                        PARTITION BY user_id ORDER BY tus, eus
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                     OR tus >= max(eus) OVER (
+                        PARTITION BY user_id ORDER BY tus, eus
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_s
+        FROM g),
+    isl AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, eus
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f),
+    sess AS (
+        SELECT user_id, sid, count(*) AS n
+        FROM isl GROUP BY user_id, sid)
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           round(CAST(SUM(n) AS DOUBLE) / count(*), 6)
+               AS avg_events_per_session,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS singleton_sessions,
+           CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS big_sessions,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM sess
+    """,
+    doc="Sessionization with a DYNAMIC inactivity gap — purchases hold "
+    "the session open 30 minutes, everything else 10 — via Spark's "
+    "native session_window with a per-event interval EXPRESSION (the "
+    "Spark 3.2+ dynamic-gap API; the fixed-gap twin is "
+    "events_session_windows). The oracle is the gaps-and-islands "
+    "generalization: each event proposes an end ts+gap(event), a new "
+    "session starts exactly when the event time reaches the RUNNING "
+    "MAX of proposed ends (running max, not lag, because a long-gap "
+    "event can outlast several short-gap successors), matching "
+    "Spark's merge rule (new.start < current.end merges, half-open). "
+    "All comparisons are exact integer microseconds. Scale: the "
+    "native aggregate is one user-keyed shuffle with state merged "
+    "map-side (UpdatingSessionsIterator), same key as every other "
+    "per-user events operator; the readout is a 1-row summary over "
+    "the bounded session frame.",
+)
+def q_events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    # string-literal gaps: session_window requires CalendarIntervalType,
+    # and 'interval value unit' strings are what the dynamic-gap API casts
+    # (INTERVAL 30 MINUTE literals are DayTimeIntervalType and are rejected)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    sess = e.groupBy(
+        F.session_window(F.col("ts"), gap), F.col("user_id")
+    ).agg(F.count("*").alias("n"))
+    return sess.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").alias("n_sessions"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 6).alias(
+            "avg_events_per_session"
+        ),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("singleton_sessions"),
+        F.sum(F.when(F.col("n") >= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_sessions"),
+        F.max("n").cast("bigint").alias("max_session_events"),
+    )
