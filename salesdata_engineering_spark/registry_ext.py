@@ -4067,3 +4067,133 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "sim_ndcg_eval",
+    f"""
+    WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
+    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+           FROM embeddings, p),
+    c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
+          FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
+    q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
+          FROM (SELECT vec_id, unnest(buckets) AS u FROM c0 WHERE vec_id < 10)),
+    cand AS (
+        SELECT DISTINCT query_id, vec_id
+        FROM c JOIN q USING (tbl, bucket) WHERE vec_id <> query_id
+    ),
+    lsims AS (
+        SELECT cand.query_id, cand.vec_id,
+               {_SQL_COSINE.format(a="cv.v", b="qv.v")} AS s
+        FROM cand JOIN c0 cv ON cand.vec_id = cv.vec_id
+                  JOIN c0 qv ON cand.query_id = qv.vec_id
+    ),
+    lsh AS (SELECT query_id, vec_id, rk AS pos FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rk
+                FROM lsims) WHERE rk <= 5),
+    bsims AS (
+        SELECT bq.query_id, bc.vec_id,
+               {_SQL_COSINE.format(a="bc.v", b="bq.v")} AS s
+        FROM c0 bc, (SELECT vec_id AS query_id, v FROM c0 WHERE vec_id < 10) bq
+        WHERE bc.vec_id <> bq.query_id
+    ),
+    exact AS (SELECT query_id, vec_id, rk FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, vec_id) AS rk
+                  FROM bsims) WHERE rk <= 5),
+    terms AS (
+        SELECT l.query_id,
+               CASE WHEN e.rk IS NULL THEN 0
+                    ELSE CAST(floor((6 - e.rk) / ln(l.pos + 1) * 1000000
+                                    + 0.5) AS BIGINT) END AS micro,
+               CASE WHEN e.rk IS NULL THEN 0 ELSE 1 END AS hit
+        FROM lsh l LEFT JOIN exact e
+          ON l.query_id = e.query_id AND l.vec_id = e.vec_id),
+    idcg AS (
+        SELECT CAST(SUM(CAST(floor((6 - i) / ln(i + 1) * 1000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS idcg_micro
+        FROM range(1, 6) t(i)),
+    dcg AS (
+        SELECT query_id,
+               CAST(SUM(hit) AS BIGINT) AS n_matched,
+               CAST(SUM(micro) AS BIGINT) AS dcg_micro
+        FROM terms GROUP BY query_id)
+    SELECT query_id, n_matched,
+           round(CAST(dcg_micro AS DOUBLE) / 1000000, 6) AS dcg,
+           round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg_at_5
+    FROM dcg CROSS JOIN idcg ORDER BY query_id
+    """,
+    doc="NDCG@5 of the LSH ANN ranking against the exact brute-force "
+    "ranking — the ORDER-sensitive companion to sim_ann_recall_eval "
+    "(recall says the right neighbors came back; NDCG says they came "
+    "back in the right positions). Graded relevance of an LSH result "
+    "= 6 - its exact rank (0 if outside the exact top-5); each "
+    "position term rel/ln(pos+1) is micro-quantized so per-query DCG "
+    "is an order-free integer sum, and the ideal DCG comes from the "
+    "same floored expression over positions 1-5 — base-e logs "
+    "throughout (NDCG is log-base invariant, and ln is the "
+    "cross-engine-pinned primitive per the micro-nat convention). "
+    "Scale: reuses the two production rankers end-to-end (bucketed "
+    "candidate join resp. broadcast-fold brute pass over the 10-query "
+    "panel); the eval join itself is |Q| x k rows.",
+)
+def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qs = _queries_subset(corpus)
+    exact = cosine_topk(corpus, qs, k=5).select(
+        "query_id", "neighbor_id", F.col("rk").alias("erk")
+    )
+    approx = lsh_ann_topk(
+        corpus, qs, k=5, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
+    ).select("query_id", "neighbor_id", F.col("rk").alias("pos"))
+    j = approx.join(exact, ["query_id", "neighbor_id"], "left")
+    terms = j.select(
+        "query_id",
+        F.when(F.col("erk").isNull(), F.lit(0))
+        .otherwise(
+            F.floor(
+                (6 - F.col("erk"))
+                / F.log(F.col("pos") + 1)
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("micro"),
+        F.when(F.col("erk").isNull(), 0).otherwise(1).alias("hit"),
+    )
+    spark_ = corpus.sparkSession
+    idcg = (
+        spark_.range(1, 6)
+        .select(
+            F.floor(
+                (6 - F.col("id")) / F.log(F.col("id") + 1) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("idcg_micro"))
+    )
+    dcg = terms.groupBy("query_id").agg(
+        F.sum("hit").cast("bigint").alias("n_matched"),
+        F.sum("micro").cast("bigint").alias("dcg_micro"),
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            "query_id",
+            "n_matched",
+            F.round(F.col("dcg_micro").cast("double") / 1000000, 6).alias(
+                "dcg"
+            ),
+            F.round(
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
+            ).alias("ndcg_at_5"),
+        )
+        .orderBy("query_id")
+    )
