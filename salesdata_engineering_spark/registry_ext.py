@@ -4197,3 +4197,103 @@ def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "sim_label_centroid_matrix",
+    """
+    WITH comp AS (
+        SELECT label, u.d AS d,
+               CAST(floor(u.x * 1000000 + 0.5) AS BIGINT) AS xm
+        FROM (SELECT label,
+                     unnest(list_transform(embedding::DOUBLE[],
+                                           (x, i) -> struct_pack(d := i, x := x)))
+                         AS u
+              FROM embeddings)),
+    cent AS (
+        SELECT label, d, CAST(SUM(xm) AS BIGINT) AS s, count(*) AS n
+        FROM comp GROUP BY label, d),
+    nrm AS (
+        SELECT label,
+               CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS nn
+        FROM cent GROUP BY label),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(CAST(a.s AS DECIMAL(38,0)) * b.s) AS DECIMAL(38,0))
+                   AS dp
+        FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+        GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           round(CAST(dp AS DOUBLE)
+                 / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)), 6)
+               AS centroid_cosine
+    FROM dots JOIN nrm na ON na.label = label_a
+              JOIN nrm nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+    doc="Pairwise cosine similarity between per-label embedding "
+    "centroids — the cluster-separation / class-confusability audit a "
+    "training pipeline runs on labeled embedding sets (45 pairs over "
+    "10 labels). Exactness: components quantize to integer micro-"
+    "units BEFORE summation, so the per-(label,dim) centroid sums are "
+    "order-free integers (cosine is scale-invariant, so the un-"
+    "normalized sum IS the centroid direction — no mean division, no "
+    "float drift); dot products of sums accumulate in DECIMAL(38,0) "
+    "(micro^2 x dims x corpus overflows BIGINT at warehouse scale) "
+    "and the one double expression is the final normalized ratio. "
+    "Scale: the corpus-sized work is ONE explode+hash-agg to the "
+    "labels x dims frame (bounded: |L| x 64 rows); the pair join "
+    "runs on that tiny frame keyed by dimension — corpus size never "
+    "enters the quadratic term.",
+)
+def q_sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("bigint").alias("xm"),
+    )
+    cent = comp.groupBy("label", "d").agg(
+        F.sum("xm").cast("bigint").alias("s")
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("nn")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "d", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("d").alias("db"),
+        F.col("s").alias("sb"),
+    )
+    dots = (
+        a.join(b, (F.col("d") == F.col("db")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sb"))
+            .cast("decimal(38,0)")
+            .alias("dp")
+        )
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dp").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
