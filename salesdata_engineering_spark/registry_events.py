@@ -3361,9 +3361,7 @@ def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@register(
-    "events_session_dynamic_gap",
-    """
+_DYN_SESSION_ORACLE = """
     WITH g AS (
         SELECT user_id, epoch_us(ts) AS tus,
                epoch_us(ts) + CASE WHEN event_type = 'purchase'
@@ -3399,7 +3397,12 @@ def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS big_sessions,
            CAST(max(n) AS BIGINT) AS max_session_events
     FROM sess
-    """,
+    """
+
+
+@register(
+    "events_session_dynamic_gap",
+    _DYN_SESSION_ORACLE,
     doc="Sessionization with a DYNAMIC inactivity gap — purchases hold "
     "the session open 30 minutes, everything else 10 — via Spark's "
     "native session_window with a per-event interval EXPRESSION (the "
@@ -3428,6 +3431,45 @@ def q_events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window(F.col("ts"), gap), F.col("user_id")
     ).agg(F.count("*").alias("n"))
     return sess.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").alias("n_sessions"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 6).alias(
+            "avg_events_per_session"
+        ),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("singleton_sessions"),
+        F.sum(F.when(F.col("n") >= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_sessions"),
+        F.max("n").cast("bigint").alias("max_session_events"),
+    )
+
+
+@register(
+    "stream_session_dynamic_gap",
+    _DYN_SESSION_ORACLE,
+    doc="Streaming twin of events_session_dynamic_gap: the SAME "
+    "dynamic-gap session_window aggregate run as a Structured "
+    "Streaming query (file source -> watermark -> native stateful "
+    "session merge -> AvailableNow drain into a memory sink), then "
+    "the bounded-frame summary computed on the drained sink — "
+    "proving the per-event gap expression works under the streaming "
+    "state-store merge path, not just batch. Shares the running-max "
+    "gaps-and-islands oracle verbatim. Complete output mode because "
+    "the readout aggregates across every session.",
+)
+def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    sess = stream.groupBy(
+        F.session_window(F.col("ts"), gap), F.col("user_id")
+    ).agg(F.count("*").alias("n"))
+    drained = run_to_completion(sess, output_mode="complete")
+    return drained.agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.count("*").alias("n_sessions"),
         F.sum("n").cast("bigint").alias("n_events"),
