@@ -3484,3 +3484,92 @@ def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("big_sessions"),
         F.max("n").cast("bigint").alias("max_session_events"),
     )
+
+
+@register(
+    "events_crosscorr_lag",
+    """
+    WITH h AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1),
+    lags AS (SELECT i AS lag FROM range(-12, 13) t(i)),
+    pairs AS (
+        SELECT lags.lag, a.x, b.y
+        FROM lags JOIN h a ON TRUE JOIN h b ON b.hr = a.hr + lags.lag),
+    m AS (
+        SELECT lag, count(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY lag)
+    SELECT lag, n AS n_hours,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS xcorr
+    FROM m ORDER BY lag
+    """,
+    doc="Cross-correlation function between the hourly purchase and "
+    "error series at lags -12h..+12h — the lead/lag diagnostic that "
+    "answers 'do errors foreshadow (negative lag) or follow "
+    "(positive lag) purchase volume?', and the input to choosing "
+    "exogenous-regressor offsets for the forecasting ops. Pearson r "
+    "per lag from exact integer power sums over the hours where both "
+    "shifted series exist (equi-join on the shifted hour index — "
+    "calendar gaps self-exclude, cf. events_forecast_naive_eval). "
+    "Scale: one fact scan collapses to the bounded hourly frame; the "
+    "25-lag expansion and self-join run on that frame (25 x hours "
+    "rows), never on raw events.",
+)
+def q_events_crosscorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    h = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+            "event_type",
+        )
+        .groupBy("hr")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    from .ext.caching import swap_persist
+
+    h = swap_persist("xcorr_hours", h)
+    lags = e.sparkSession.range(-12, 13).select(F.col("id").alias("lag"))
+    a = h.crossJoin(F.broadcast(lags))
+    b = h.select((F.col("hr")).alias("hrb"), F.col("y").alias("yb"))
+    pairs = a.join(
+        b, F.col("hrb") == F.col("hr") + F.col("lag")
+    ).select("lag", "x", F.col("yb").alias("y"))
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        "lag",
+        F.col("n").alias("n_hours"),
+        F.round(
+            (F.col("n") * d("sxy") - d("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * d("sxx") - d("sx") * F.col("sx"))
+                * (F.col("n") * d("syy") - d("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("xcorr"),
+    ).orderBy("lag")

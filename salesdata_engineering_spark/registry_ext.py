@@ -4297,3 +4297,152 @@ def q_sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "sim_centroid_assignment_eval",
+    """
+    WITH comp AS (
+        SELECT vec_id, label, u.d AS d,
+               CAST(floor(u.x * 1000000 + 0.5) AS BIGINT) AS xm
+        FROM (SELECT vec_id, label,
+                     unnest(list_transform(embedding::DOUBLE[],
+                                           (x, i) -> struct_pack(d := i, x := x)))
+                         AS u
+              FROM embeddings)),
+    cent AS (
+        SELECT label AS cl, d, CAST(SUM(xm) AS BIGINT) AS s
+        FROM comp GROUP BY label, d),
+    nrm AS (
+        SELECT cl,
+               CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS nn
+        FROM cent GROUP BY cl),
+    dots AS (
+        SELECT comp.vec_id, comp.label, cent.cl,
+               CAST(SUM(CAST(comp.xm AS DECIMAL(38,0)) * cent.s)
+                    AS DECIMAL(38,0)) AS dp
+        FROM comp JOIN cent ON comp.d = cent.d
+        GROUP BY 1, 2, 3),
+    scored AS (
+        SELECT vec_id, label, cl,
+               CAST(dp AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)) AS score
+        FROM dots JOIN nrm USING (cl)),
+    assigned AS (
+        SELECT vec_id, label, cl AS assigned FROM (
+            SELECT vec_id, label, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cl) AS rk
+            FROM scored) WHERE rk = 1),
+    conf AS (
+        SELECT label, assigned, count(*) AS c
+        FROM assigned GROUP BY 1, 2),
+    top_conf AS (
+        SELECT label, assigned AS top_confused, c AS n_confused FROM (
+            SELECT label, assigned, c,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY c DESC, assigned) AS rk
+            FROM conf WHERE assigned <> label) WHERE rk = 1)
+    SELECT label,
+           CAST(SUM(c) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN assigned = label THEN c ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(SUM(CASE WHEN assigned = label THEN c ELSE 0 END)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS accuracy,
+           CAST(max(top_confused) AS INT) AS top_confused,
+           CAST(COALESCE(max(n_confused), 0) AS BIGINT) AS n_confused
+    FROM conf LEFT JOIN top_conf USING (label)
+    GROUP BY label ORDER BY label
+    """,
+    doc="Nearest-centroid classification eval over the labeled "
+    "embedding set: assign each vector to the closest label centroid "
+    "(cosine; the vector's own norm cancels from the per-vector "
+    "argmax, the same norm-cancellation as the IVF assigner) and "
+    "report per-label accuracy plus the top confusion target — the "
+    "label-quality / cluster-overlap audit for an embedding corpus. "
+    "Exactness: micro-quantized components, integer centroid sums, "
+    "DECIMAL(38,0) dots; the assignment score dp/sqrt(nn) uses only "
+    "IEEE correctly-rounded ops (/, sqrt) on exact integers, so the "
+    "argmax and its label-ascending tie-break are bit-stable across "
+    "engines — no ln anywhere. Scale: corpus-sized work is the "
+    "explode (N x dim) joined to the BROADCAST centroid frame "
+    "(|L| x dim rows) — N x |L| partial dots with no shuffle on the "
+    "pair axis; everything after the per-vector argmax is bounded "
+    "by |L|^2.",
+)
+def q_sim_centroid_assignment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("bigint").alias("xm"),
+    )
+    cent = comp.groupBy(F.col("label").alias("cl"), F.col("d").alias("cd")).agg(
+        F.sum("xm").cast("bigint").alias("s")
+    )
+    nrm = cent.groupBy("cl").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("nn")
+    )
+    dots = (
+        comp.join(F.broadcast(cent), F.col("d") == F.col("cd"))
+        .groupBy("vec_id", "label", "cl")
+        .agg(
+            F.sum(F.col("xm").cast("decimal(38,0)") * F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("dp")
+        )
+    )
+    scored = dots.join(F.broadcast(nrm), "cl").select(
+        "vec_id",
+        "label",
+        "cl",
+        (F.col("dp").cast("double") / F.sqrt(F.col("nn").cast("double"))).alias(
+            "score"
+        ),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cl"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("cl").alias("assigned"))
+    )
+    conf = assigned.groupBy("label", "assigned").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("label").orderBy(F.col("c").desc(), F.col("assigned"))
+    top_conf = (
+        conf.filter(F.col("assigned") != F.col("label"))
+        .withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") == 1)
+        .select(
+            "label",
+            F.col("assigned").alias("top_confused"),
+            F.col("c").alias("n_confused"),
+        )
+    )
+    return (
+        conf.join(top_conf, "label", "left")
+        .groupBy("label")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("assigned") == F.col("label"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("assigned") == F.col("label"), F.col("c")).otherwise(0)
+                )
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("accuracy"),
+            F.max("top_confused").cast("int").alias("top_confused"),
+            F.coalesce(F.max("n_confused"), F.lit(0))
+            .cast("bigint")
+            .alias("n_confused"),
+        )
+        .orderBy("label")
+    )
