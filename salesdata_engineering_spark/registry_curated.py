@@ -3515,3 +3515,208 @@ def q_er_fuzzy_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "stats_winsorized_mean",
+    """
+    WITH v AS (SELECT o_orderpriority AS grp,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS y
+               FROM orders),
+    h AS (SELECT grp, y, count(*) AS c FROM v GROUP BY 1, 2),
+    t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    cum AS (SELECT h.grp, h.y, h.c, t.n,
+                   CAST(floor(t.n / 20) AS BIGINT) AS d,
+                   SUM(h.c) OVER (PARTITION BY h.grp ORDER BY h.y) AS cm
+            FROM h JOIN t ON h.grp = t.grp),
+    mid AS (SELECT grp, n, d,
+                   greatest(least(cm, n - d) - greatest(cm - c, d), 0) AS k,
+                   y
+            FROM cum),
+    bounds AS (SELECT grp,
+                      min(CASE WHEN cm >= d + 1 THEN y END) AS p_lo,
+                      min(CASE WHEN cm >= n - d THEN y END) AS p_hi
+               FROM cum GROUP BY grp),
+    core AS (SELECT grp, n, d,
+                    CAST(SUM(k * y) AS DECIMAL(38,2)) AS mid_sum
+             FROM mid GROUP BY grp, n, d)
+    SELECT core.grp, n AS n_rows, CAST(d AS BIGINT) AS n_clamped_each_side,
+           CAST(p_lo AS DOUBLE) AS lower_bound,
+           CAST(p_hi AS DOUBLE) AS upper_bound,
+           round(CAST(mid_sum + d * (p_lo + p_hi) AS DOUBLE) / n, 6)
+               AS winsorized_mean
+    FROM core JOIN bounds ON core.grp = bounds.grp
+    ORDER BY core.grp
+    """,
+    doc="5%-winsorized mean of order value per priority: the lowest "
+    "and highest floor(n/20) observations are CLAMPED to the 5th/95th "
+    "order statistics instead of dropped (stats_trimmed_mean's "
+    "sibling — winsorizing keeps n constant, the convention in "
+    "robust A/B readouts). Same histogram-rank machinery: the kept "
+    "middle mass comes from clamp arithmetic on the value histogram, "
+    "and the two boundary order statistics are conditional mins over "
+    "the SAME cumulated frame (smallest value whose cumulative count "
+    "reaches d+1 resp. n-d) — no per-row window, decimal-exact sums, "
+    "one double at the end. Scale: identical to the trimmed mean — "
+    "bucket-sized cumulation, never a row funnel.",
+)
+def q_stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    h = v.groupBy("grp", "y").agg(F.count("*").alias("c"))
+    t = h.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        h.join(F.broadcast(t), "grp")
+        .withColumn("d", F.floor(F.col("n") / 20).cast("long"))
+        .withColumn("cm", F.sum("c").over(w))
+    )
+    from .ext.caching import swap_persist
+
+    cum = swap_persist("winsor_cum", cum)
+    mid = cum.select(
+        "grp",
+        "n",
+        "d",
+        "y",
+        F.greatest(
+            F.least(F.col("cm"), F.col("n") - F.col("d"))
+            - F.greatest(F.col("cm") - F.col("c"), F.col("d")),
+            F.lit(0),
+        ).alias("k"),
+    )
+    core = mid.groupBy("grp", "n", "d").agg(
+        F.sum(F.col("k") * F.col("y")).cast("decimal(38,2)").alias("mid_sum")
+    )
+    bounds = cum.groupBy("grp").agg(
+        F.min(F.when(F.col("cm") >= F.col("d") + 1, F.col("y"))).alias("p_lo"),
+        F.min(F.when(F.col("cm") >= F.col("n") - F.col("d"), F.col("y"))).alias(
+            "p_hi"
+        ),
+    )
+    return (
+        core.join(bounds, "grp")
+        .select(
+            "grp",
+            F.col("n").alias("n_rows"),
+            F.col("d").cast("long").alias("n_clamped_each_side"),
+            F.col("p_lo").cast("double").alias("lower_bound"),
+            F.col("p_hi").cast("double").alias("upper_bound"),
+            F.round(
+                (
+                    F.col("mid_sum")
+                    + F.col("d") * (F.col("p_lo") + F.col("p_hi"))
+                ).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "fraud_duplicate_payments",
+    """
+    WITH o AS (
+        SELECT o_orderkey AS k, o_custkey AS cust,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amt,
+               CAST(o_orderdate AS DATE) AS dt,
+               CAST(floor(o_totalprice / 500) AS BIGINT) AS b
+        FROM orders),
+    ex AS (
+        SELECT k, cust, amt, dt, b + off AS b
+        FROM o CROSS JOIN (SELECT unnest([-1, 0, 1]) AS off)),
+    pairs AS (
+        SELECT a.cust,
+               date_diff('day', least(a.dt, bb.dt), greatest(a.dt, bb.dt))
+                   AS gap_days,
+               abs(a.amt - bb.amt) AS amt_diff
+        FROM ex a JOIN o bb ON a.b = bb.b AND a.cust = bb.cust
+                           AND a.k < bb.k
+        WHERE abs(a.amt - bb.amt) <= 500
+          AND abs(date_diff('day', a.dt, bb.dt)) <= 90)
+    SELECT CAST(floor(gap_days / 30) AS INT) AS gap_band_30d,
+           count(*) AS n_suspect_pairs,
+           CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+           CAST(min(amt_diff) AS DOUBLE) AS min_amt_diff,
+           round(CAST(SUM(amt_diff) AS DOUBLE) / count(*), 6) AS avg_amt_diff
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+    doc="Duplicate-payment screen: pairs of orders by the SAME "
+    "customer with amounts within $500 of each other placed within "
+    "90 days — the classic AP/fraud double-billing audit. The amount "
+    "band is a BANDED self-join done scalably: bucket amounts by the "
+    "band width, explode ONE side to its bucket and both neighbors "
+    "(any pair within $500 differs by at most one bucket, and each "
+    "qualifying pair meets in exactly one of the three — no dedup "
+    "pass needed), equi-join on (customer, bucket), then apply the "
+    "exact |diff| predicates. Amounts stay DECIMAL(18,2) so the band "
+    "edges are exact. Scale: the join is keyed (cust, bucket) — "
+    "never an unbounded theta-join; the 3x explode is the entire "
+    "overhead, the standard band-join rewrite.",
+)
+def q_fraud_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+        F.floor(F.col("o_totalprice") / 500).cast("bigint").alias("b"),
+    )
+    ex = o.select(
+        "k",
+        "cust",
+        "amt",
+        "dt",
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("b"),
+    )
+    bb = o.select(
+        F.col("k").alias("k2"),
+        F.col("cust").alias("cust2"),
+        F.col("amt").alias("amt2"),
+        F.col("dt").alias("dt2"),
+        F.col("b").alias("b2"),
+    )
+    pairs = (
+        ex.join(
+            bb,
+            (F.col("b") == F.col("b2"))
+            & (F.col("cust") == F.col("cust2"))
+            & (F.col("k") < F.col("k2")),
+        )
+        .filter(
+            (F.abs(F.col("amt") - F.col("amt2")) <= 500)
+            & (F.abs(F.datediff(F.col("dt"), F.col("dt2"))) <= 90)
+        )
+        .select(
+            "cust",
+            F.datediff(
+                F.greatest("dt", "dt2"), F.least("dt", "dt2")
+            ).alias("gap_days"),
+            F.abs(F.col("amt") - F.col("amt2")).alias("amt_diff"),
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("gap_days") / 30).cast("int").alias("gap_band_30d")
+        )
+        .agg(
+            F.count("*").alias("n_suspect_pairs"),
+            F.countDistinct("cust").cast("bigint").alias("n_customers"),
+            F.min("amt_diff").cast("double").alias("min_amt_diff"),
+            F.round(
+                F.sum("amt_diff").cast("double") / F.count("*"), 6
+            ).alias("avg_amt_diff"),
+        )
+        .orderBy("gap_band_30d")
+    )

@@ -3573,3 +3573,64 @@ def q_events_crosscorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     ).orderBy("lag")
+
+
+@register(
+    "events_rate_limit_audit",
+    """
+    WITH s AS (
+        SELECT user_id, epoch(ts) AS sec
+        FROM events),
+    c AS (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+                   AS burst
+        FROM s),
+    mx AS (
+        SELECT user_id, max(burst) AS max_burst
+        FROM c GROUP BY user_id)
+    SELECT least(CAST(floor(max_burst / 5) AS INT), 10) AS burst_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(max_burst) AS BIGINT) AS min_burst,
+           CAST(max(max_burst) AS BIGINT) AS max_burst
+    FROM mx GROUP BY 1 ORDER BY 1
+    """,
+    doc="Rate-limit audit: each user's maximum burst = most events in "
+    "any trailing 10-minute window, banded into a bounded histogram "
+    "(bands of 5, capped at 10+) — the sizing readout for per-user "
+    "throttles and for streaming state-store hot-key planning. The "
+    "trailing count is a RANGE frame over integer epoch SECONDS "
+    "(range frames need a numeric ordering key in both engines; "
+    "second resolution matches the 600 s window), which counts ALL "
+    "rows in the value range regardless of tie order — so ties on "
+    "the same second need no tie-break to be deterministic. Scale: "
+    "ONE user-keyed shuffle shared by the range window and the "
+    "per-user max; the histogram is a bounded readout. The frame "
+    "is O(window-occupancy) per row, not O(n^2): Spark evaluates "
+    "range frames with a sliding two-pointer over the sorted "
+    "partition.",
+)
+def q_events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    s = e.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    c = s.select("user_id", F.count("*").over(w).alias("burst"))
+    mx = c.groupBy("user_id").agg(F.max("burst").alias("max_burst"))
+    return (
+        mx.groupBy(
+            F.least(
+                F.floor(F.col("max_burst") / 5).cast("int"), F.lit(10)
+            ).alias("burst_band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("max_burst").cast("bigint").alias("min_burst"),
+            F.max("max_burst").cast("bigint").alias("max_burst"),
+        )
+        .orderBy("burst_band")
+    )
