@@ -878,3 +878,47 @@ def test_assortativity_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dynamic_gap_session_single_user_shuffle(spark, sf_dir):
+    """The native dynamic-gap session aggregate keys on user_id — no
+    joins, no cartesian, and no more than the session-merge exchange
+    plus the final 1-row aggregate's."""
+    plan = plan_of(QUERIES["events_session_dynamic_gap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, f"expected <=2 hash exchanges, got {n_hash}"
+
+
+def test_duplicate_payments_band_join_is_equi(spark, sf_dir):
+    """The $500 band join must plan as an equi-join on (bucket, cust)
+    — a nested-loop/cartesian here is the unbounded theta-join the
+    bucket explode exists to prevent."""
+    plan = plan_of(QUERIES["fraud_duplicate_payments"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rate_limit_audit_single_user_shuffle(spark, sf_dir):
+    """Range-frame burst count and per-user max share one user_id
+    exchange; the histogram is a bounded second aggregate."""
+    plan = plan_of(QUERIES["events_rate_limit_audit"].fn(spark, sf_dir))
+    n_user = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert n_user == 1, f"user shuffle not shared: {n_user}"
+
+
+def test_centroid_eval_broadcasts_centroids(spark, sf_dir):
+    """The corpus-sized explode joins BROADCAST centroid/norm frames
+    (|L| x dim rows); a shuffle on the pair axis would move N x |L|
+    rows."""
+    plan = plan_of(QUERIES["sim_centroid_assignment_eval"].fn(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_crosscorr_hourly_frame_persisted(spark, sf_dir):
+    """Both sides of the 25-lag pair join read the persisted hourly
+    frame, not two recomputations of the event scan."""
+    plan = plan_of(QUERIES["events_crosscorr_lag"].fn(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2
