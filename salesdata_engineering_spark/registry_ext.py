@@ -31,6 +31,7 @@ from .ext.dedup import (
 )
 from .ext.similarity import (
     cosine_topk,
+    dot,
     embedding_near_dup_pairs,
     hyperplane,
     ivf_ann_topk,
@@ -4445,4 +4446,200 @@ def q_sim_centroid_assignment_eval(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("n_confused"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "text_feature_hashing_audit",
+    f"""
+    WITH toks AS (
+        SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS occ FROM toks WHERE term <> ''
+           GROUP BY term),
+    dims AS (SELECT unnest([256, 1024, 4096]) AS d),
+    hashed AS (
+        SELECT d, term, occ,
+               {sql_md5_long("term", "fh")} % d AS bucket
+        FROM tf CROSS JOIN dims),
+    per_bucket AS (
+        SELECT d, bucket, count(*) AS n_terms,
+               CAST(SUM(occ) AS BIGINT) AS occ
+        FROM hashed GROUP BY d, bucket)
+    SELECT d AS n_features,
+           CAST(SUM(n_terms) AS BIGINT) AS vocab_size,
+           count(*) AS buckets_used,
+           CAST(SUM(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END) AS BIGINT)
+               AS colliding_terms,
+           round(CAST(SUM(CASE WHEN n_terms > 1 THEN occ ELSE 0 END)
+                      AS DOUBLE) / SUM(occ), 6)
+               AS occurrence_collision_share,
+           CAST(max(n_terms) AS BIGINT) AS worst_bucket_terms
+    FROM per_bucket GROUP BY d ORDER BY d
+    """,
+    doc="Feature-hashing (hashing-trick) collision audit: hash every "
+    "vocabulary term into D buckets for D in {{256, 1024, 4096}} and "
+    "report how much of the vocabulary — and, weighted by token "
+    "occurrences, how much of the corpus mass — lands in shared "
+    "buckets, plus the hottest bucket. This is the dial a pipeline "
+    "reads before replacing a vocab lookup with a hashed featurizer "
+    "(collision share vs memory). Hashing is the deterministic md5 "
+    "convention mod D, so bucket assignments (and therefore every "
+    "count) hash-match the oracle. Scale: one tokenize+hash-agg to "
+    "the vocabulary frame; the x3 dims expansion runs on the vocab, "
+    "not the corpus; readout is 3 rows.",
+)
+def q_text_feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
+    tf = (
+        toks.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("occ"))
+    )
+    dims = d.sparkSession.range(0, 3).select(
+        F.element_at(F.array(F.lit(256), F.lit(1024), F.lit(4096)), (F.col("id") + 1).cast("int")).alias("d")
+    )
+    hashed = tf.crossJoin(F.broadcast(dims)).select(
+        "d",
+        "occ",
+        F.pmod(md5_long(F.col("term"), "fh"), F.col("d")).alias("bucket"),
+    )
+    per_bucket = hashed.groupBy("d", "bucket").agg(
+        F.count("*").alias("n_terms"), F.sum("occ").cast("bigint").alias("occ")
+    )
+    return (
+        per_bucket.groupBy(F.col("d").alias("n_features"))
+        .agg(
+            F.sum("n_terms").cast("bigint").alias("vocab_size"),
+            F.count("*").alias("buckets_used"),
+            F.sum(F.when(F.col("n_terms") > 1, F.col("n_terms")).otherwise(0))
+            .cast("bigint")
+            .alias("colliding_terms"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_terms") > 1, F.col("occ")).otherwise(0)
+                ).cast("double")
+                / F.sum("occ"),
+                6,
+            ).alias("occurrence_collision_share"),
+            F.max("n_terms").cast("bigint").alias("worst_bucket_terms"),
+        )
+        .orderBy("n_features")
+    )
+
+
+_JL_K = 16
+_JL_PLANES = [hyperplane(_DIM, 200 + i) for i in range(_JL_K)]
+_JL_PLANES_SQL = ", ".join(
+    "[" + ", ".join(repr(c) for c in pl) + "]" for pl in _JL_PLANES
+)
+
+
+@register(
+    "sim_jl_projection_eval",
+    f"""
+    WITH p AS (SELECT [{_JL_PLANES_SQL}]::DOUBLE[][] AS planes),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                    list_transform((SELECT planes FROM p),
+                                   pl -> list_dot_product(embedding::DOUBLE[], pl))
+                        AS y
+             FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, y AS qy FROM base WHERE vec_id < 10),
+    c AS (SELECT vec_id, v, y FROM base WHERE vec_id % 37 = 0),
+    pairs AS (
+        SELECT qid, vec_id,
+               CAST(floor((list_dot_product(qv, qv)
+                           - 2 * list_dot_product(qv, v)
+                           + list_dot_product(v, v)) * 1000000 + 0.5)
+                    AS BIGINT) AS d2o,
+               CAST(floor((list_dot_product(qy, qy)
+                           - 2 * list_dot_product(qy, y)
+                           + list_dot_product(y, y)) * 1000000 + 0.5)
+                    AS BIGINT) AS d2p
+        FROM q JOIN c ON qid <> vec_id),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(SUM(CAST(d2o AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(d2p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(d2o AS DECIMAL(38,0)) * d2o) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(d2p AS DECIMAL(38,0)) * d2p) AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(d2o AS DECIMAL(38,0)) * d2p) AS DECIMAL(38,0)) AS sxy
+        FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS distance_corr,
+           round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS mean_scale
+    FROM m
+    """,
+    doc="Johnson-Lindenstrauss projection audit: project the 64-dim "
+    "embeddings onto 16 deterministic pseudo-random hyperplanes (the "
+    "LSH plane construction, fresh salt) and measure how well "
+    "projected squared distances preserve original ones over a "
+    "query-panel x strided-corpus-sample pair set — Pearson "
+    "correlation (rank fidelity for ANN) plus the mean scale factor "
+    "(the constant a calibrated JL pipeline divides out). Exactness: "
+    "both squared distances expand as dot(a,a) - 2 dot(a,b) + "
+    "dot(b,b) — three sequential folds combined in a FIXED order in "
+    "both engines — then micro-quantize, so the correlation runs on "
+    "exact integer power sums in DECIMAL(38,0). Scale: projections "
+    "cost 16 folds per SAMPLED row (the pair panel is |Q| x |C|/37, "
+    "never all-pairs); this is the measurement that justifies "
+    "replacing 64-dim scans with 16-dim ones in the ANN kernels (4x "
+    "less memory bandwidth for ~the reported fidelity).",
+)
+def q_sim_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    base = emb.withColumn("v", F.col("embedding").cast("array<double>")).select(
+        "vec_id",
+        "v",
+        F.array(
+            *[
+                dot("v", F.array(*[F.lit(c) for c in pl]))
+                for pl in _JL_PLANES
+            ]
+        ).alias("y"),
+    )
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("y").alias("qy"),
+    )
+    c = base.filter(F.col("vec_id") % 37 == 0)
+    d2 = lambda a, b: (  # noqa: E731
+        dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+        .select(
+            F.floor(d2("qv", "v") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("d2o"),
+            F.floor(d2("qy", "y") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("d2p"),
+        )
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("d2o")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("d2p")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("d2o") * F.col("d2o")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("d2p") * F.col("d2p")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("d2o") * F.col("d2p")).cast("decimal(38,0)").alias("sxy"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            (F.col("n") * d("sxy") - d("sx") * d("sy"))
+            / F.sqrt(
+                (F.col("n") * d("sxx") - d("sx") * d("sx"))
+                * (F.col("n") * d("syy") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("distance_corr"),
+        F.round(d("sy") / d("sx"), 6).alias("mean_scale"),
     )
