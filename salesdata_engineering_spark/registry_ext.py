@@ -4585,9 +4585,11 @@ _JL_PLANES_SQL = ", ".join(
     "both engines — then micro-quantize, so the correlation runs on "
     "exact integer power sums in DECIMAL(38,0). Scale: projections "
     "cost 16 folds per SAMPLED row (the pair panel is |Q| x |C|/37, "
-    "never all-pairs); this is the measurement that justifies "
-    "replacing 64-dim scans with 16-dim ones in the ANN kernels (4x "
-    "less memory bandwidth for ~the reported fidelity).",
+    "never all-pairs); this is the measurement a pipeline reads "
+    "BEFORE swapping 64-dim scans for 16-dim ones — and at k=16 it "
+    "honestly answers 'not yet' (corr ~0.4 on this corpus: random "
+    "projections need more target dims for rank fidelity; the dial "
+    "is k, and the audit is the evidence).",
 )
 def q_sim_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)

@@ -999,3 +999,14 @@ def test_asof_nearest_tie_semantics(spark):
     assert out[1] == (ts(0), 2.0, "backward")
     assert out[2] == (ts(-7), 4.0, "backward")
     assert out[3] == (ts(9), 6.0, "forward")
+
+
+def test_jl_projection_audit_discriminates(spark, sf_dir):
+    """The JL audit must return a positive but clearly imperfect
+    correlation at k=16 — if it ever reads ~1.0 the audit stopped
+    measuring distortion, if <=0 the projection machinery broke."""
+    from salesdata_engineering_spark.registry import QUERIES
+
+    row = QUERIES["sim_jl_projection_eval"].fn(spark, sf_dir).collect()[0]
+    assert 0.1 < row.distance_corr < 0.95, row
+    assert row.mean_scale > 0, row
