@@ -4645,3 +4645,86 @@ def q_sim_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("distance_corr"),
         F.round(d("sy") / d("sx"), 6).alias("mean_scale"),
     )
+
+
+@register(
+    "text_quality_auc",
+    f"""
+    WITH {_SQL_QUALITY_Q},
+    lab AS (
+        SELECT q.doc_id,
+               CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS s,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM q JOIN documents d ON q.doc_id = d.doc_id),
+    h AS (
+        SELECT s,
+               CAST(SUM(y) AS BIGINT) AS n1,
+               CAST(SUM(1 - y) AS BIGINT) AS n0
+        FROM lab GROUP BY s),
+    cum AS (
+        SELECT s, n1, n0,
+               COALESCE(SUM(n0) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS c0
+        FROM h),
+    u AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS np,
+               CAST(SUM(n0) AS BIGINT) AS nn,
+               CAST(SUM(n1 * (2 * c0 + n0)) AS BIGINT) AS u2
+        FROM cum)
+    SELECT np AS n_pos, nn AS n_neg,
+           round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc,
+           round(CAST(u2 AS DOUBLE) / (np * nn) - 1, 6) AS gini
+    FROM u
+    """,
+    doc="ROC-AUC of the heuristic quality score as an English-vs-other "
+    "classifier — the eval that tells a curation pipeline whether its "
+    "cheap quality gate is secretly a language filter (AUC >> 0.5 "
+    "means the 'quality' threshold skews the language mix; ~0.5 "
+    "means it is language-neutral). AUC is computed as the exact "
+    "Mann-Whitney statistic ON THE SCORE HISTOGRAM with the standard "
+    "tie correction: for each distinct quantized score, positives "
+    "contribute 2*(negatives strictly below) + (tied negatives) in "
+    "integer half-units, so U is an exact BIGINT and only the final "
+    "normalization is a double. Scale: one scoring scan, hash-agg to "
+    "the bounded score histogram, one cumsum over that histogram — "
+    "the same two-pass shape as the KS/Mann-Whitney stats ops; no "
+    "per-row ranking window.",
+)
+def q_text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    qs = quality_score(d).select("doc_id", "quality")
+    lab = qs.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.floor(F.col("quality") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    h = lab.groupBy("s").agg(
+        F.sum("y").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n0"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select(
+        "s",
+        "n1",
+        "n0",
+        F.coalesce(F.sum("n0").over(w), F.lit(0)).alias("c0"),
+    )
+    u = cum.agg(
+        F.sum("n1").cast("bigint").alias("np"),
+        F.sum("n0").cast("bigint").alias("nn"),
+        F.sum(F.col("n1") * (2 * F.col("c0") + F.col("n0")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return u.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            F.col("u2").cast("double") / (2.0 * F.col("np") * F.col("nn")), 6
+        ).alias("auc"),
+        F.round(
+            F.col("u2").cast("double") / (F.col("np") * F.col("nn")) - 1, 6
+        ).alias("gini"),
+    )
