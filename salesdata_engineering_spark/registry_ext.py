@@ -4728,3 +4728,68 @@ def q_text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u2").cast("double") / (F.col("np") * F.col("nn")) - 1, 6
         ).alias("gini"),
     )
+
+
+@register(
+    "sample_kfold_stratified",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {sql_md5_long("doc_id::VARCHAR", "kfold")} AS hv
+        FROM documents),
+    rn AS (
+        SELECT lang,
+               row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+                   AS r
+        FROM h),
+    fold AS (
+        SELECT lang, CAST((r - 1) % 5 AS INT) AS fold FROM rn),
+    counts AS (
+        SELECT lang, fold, count(*) AS n_docs
+        FROM fold GROUP BY lang, fold)
+    SELECT lang, fold, n_docs,
+           CAST(max(n_docs) OVER (PARTITION BY lang)
+                - min(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+               AS stratum_imbalance
+    FROM counts ORDER BY lang, fold
+    """,
+    doc="Stratified 5-fold cross-validation assignment: docs are "
+    "ranked within each language stratum by a deterministic md5 hash "
+    "(shuffle-free pseudo-randomization, the sampling-family "
+    "convention) and folds are assigned round-robin on that rank — "
+    "EXACT per-stratum balance (imbalance <= 1 by construction, "
+    "emitted as a checkable column) where a plain hash-mod fold only "
+    "balances in expectation. Scale: the within-stratum rank is the "
+    "global_row_number two-pass composed per stratum — order by "
+    "(lang, hash) makes each stratum a contiguous global range, so "
+    "rank-within-stratum = global rank minus the stratum's broadcast "
+    "minimum; no per-stratum single-task window (6 language "
+    "partitions at 100 TB would be 6 tasks). The registered oracle "
+    "uses the equivalent per-stratum row_number.",
+)
+def q_sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_row_number
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        md5_long(F.col("doc_id").cast("string"), "kfold").alias("hv"),
+    )
+    rn = global_row_number(
+        d, ["lang", "hv", "doc_id"], alias="grn", persist_key="kfold_rn"
+    )
+    base = rn.groupBy("lang").agg(F.min("grn").alias("g0"))
+    fold = rn.join(F.broadcast(base), "lang").select(
+        "lang",
+        ((F.col("grn") - F.col("g0")) % 5).cast("int").alias("fold"),
+    )
+    counts = fold.groupBy("lang", "fold").agg(F.count("*").alias("n_docs"))
+    wl = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "fold",
+        "n_docs",
+        (F.max("n_docs").over(wl) - F.min("n_docs").over(wl))
+        .cast("bigint")
+        .alias("stratum_imbalance"),
+    ).orderBy("lang", "fold")
