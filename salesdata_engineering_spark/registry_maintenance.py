@@ -709,3 +709,79 @@ def q_dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_n") - F.col("n_violations")).cast("double") / F.col("_n"), 6
         ).alias("pass_rate"),
     )
+
+
+@register(
+    "pit_join_orders_segments",
+    f"""
+    WITH hist AS (SELECT * FROM ({_SCD2_HISTORY_SQL}) t),
+    j AS (
+        SELECT h.segment,
+               o.o_custkey,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS amt
+        FROM orders o JOIN hist h
+          ON o.o_custkey = h.c_custkey
+         AND CAST(h.valid_from AS DATE) <= CAST(o.o_orderdate AS DATE)
+         AND CAST(o.o_orderdate AS DATE) < CAST(h.valid_to AS DATE)),
+    seg AS (
+        SELECT segment,
+               count(*) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(amt) AS DECIMAL(18,2)) AS revenue
+        FROM j GROUP BY segment)
+    SELECT segment, n_orders, n_customers,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS revenue_share
+    FROM seg ORDER BY segment
+    """,
+    doc="Point-in-time (PIT) join: every order is attributed to the "
+    "customer segment that was EFFECTIVE ON ITS ORDER DATE by joining "
+    "the fact to the SCD2 validity intervals (valid_from <= "
+    "order_date < valid_to, half-open like the SCD2 merge itself) — "
+    "the canonical 'report facts against the dimension as it was' "
+    "query, and the whole reason the SCD2 history exists. Reuses "
+    "scd2_customer_segments' history construction verbatim on both "
+    "sides, so the attribution is checked end-to-end (build history "
+    "-> PIT-join -> per-segment rollup). Scale: the join is "
+    "equi-keyed on the customer key with the interval predicates as "
+    "residual filters — per-key version chains are short (SCD "
+    "invariant: non-overlapping intervals), so this stays a plain "
+    "keyed join, never an interval blowup; revenue sums are "
+    "DECIMAL-exact with one double share at the end.",
+)
+def q_pit_join_orders_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    hist = q_scd2_customer_segments(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    j = o.join(
+        hist,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from").cast("date") <= od)
+        & (od < F.col("valid_to").cast("date")),
+    ).select(
+        "segment",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+    )
+    seg = j.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum("amt").cast("decimal(18,2)").alias("revenue"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return seg.select(
+        "segment",
+        "n_orders",
+        "n_customers",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(wall).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    ).orderBy("segment")
