@@ -3720,3 +3720,81 @@ def q_fraud_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_band_30d")
     )
+
+
+@register(
+    "rollup_share_of_parent",
+    """
+    WITH rev AS (
+        SELECT r_name AS region, n_name AS nation,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2)
+    SELECT region, nation,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS share_of_region,
+           CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE)
+               AS region_revenue,
+           round(CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE)
+                 / CAST(SUM(revenue) OVER () AS DOUBLE), 6)
+               AS region_share_of_total
+    FROM rev ORDER BY region, nation
+    """,
+    doc="Share-of-parent hierarchical rollup: nation revenue as a "
+    "share of its region, and region revenue as a share of the "
+    "grand total, in one frame — the percent-of-parent idiom every "
+    "OLAP drill-down report needs (complements the ROLLUP/CUBE "
+    "family, which emits parent rows but not parent SHARES). "
+    "Revenue stays DECIMAL-exact through the star join and both "
+    "window sums; the only doubles are the two final ratios. Scale: "
+    "the fact aggregates to the (region, nation) frame FIRST (25 "
+    "rows regardless of order volume — partial+final hash agg), and "
+    "all three window passes run on that bounded frame with "
+    "broadcast dims underneath.",
+)
+def q_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return rev.select(
+        "region",
+        "nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.sum("revenue").over(wr).cast("double").alias("region_revenue"),
+        F.round(
+            F.sum("revenue").over(wr).cast("double")
+            / F.sum("revenue").over(wall).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
