@@ -4793,3 +4793,105 @@ def q_sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stratum_imbalance"),
     ).orderBy("lang", "fold")
+
+
+@register(
+    "text_quantile_normalize_deciles",
+    """
+    WITH v AS (SELECT source, n_chars FROM documents),
+    hs AS (SELECT source, n_chars, count(*) AS c FROM v GROUP BY 1, 2),
+    ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hs GROUP BY 1),
+    cums AS (SELECT hs.source, hs.n_chars, ts.n,
+                    SUM(hs.c) OVER (PARTITION BY hs.source
+                                    ORDER BY hs.n_chars) AS cm
+             FROM hs JOIN ts ON hs.source = ts.source),
+    hp AS (SELECT n_chars, count(*) AS c FROM v GROUP BY 1),
+    tp AS (SELECT CAST(SUM(c) AS BIGINT) AS np FROM hp),
+    cump AS (SELECT hp.n_chars, tp.np,
+                    SUM(hp.c) OVER (ORDER BY hp.n_chars) AS cmp
+             FROM hp CROSS JOIN tp),
+    d AS (SELECT i AS decile FROM range(1, 10) t(i)),
+    raw AS (
+        SELECT cums.source, d.decile,
+               min(CASE WHEN cm * 10 >= decile * n THEN n_chars END)
+                   AS raw_value
+        FROM cums CROSS JOIN d GROUP BY 1, 2),
+    pooled AS (
+        SELECT d.decile,
+               min(CASE WHEN cmp * 10 >= decile * np THEN n_chars END)
+                   AS mapped_value
+        FROM cump CROSS JOIN d GROUP BY 1)
+    SELECT source, raw.decile,
+           CAST(raw_value AS BIGINT) AS raw_value,
+           CAST(mapped_value AS BIGINT) AS mapped_value,
+           CAST(mapped_value - raw_value AS BIGINT) AS shift
+    FROM raw JOIN pooled ON raw.decile = pooled.decile
+    ORDER BY source, raw.decile
+    """,
+    doc="Quantile-normalization mapping table: for every source, its "
+    "doc-length deciles next to the POOLED deciles at the same "
+    "quantile — exactly the lookup a normalizer applies to remove "
+    "per-source length skew before mixing corpora (the bioinformatics "
+    "quantile-normalization recipe, reported at decile resolution "
+    "instead of per-row so the mapping is a bounded, inspectable "
+    "artifact). Every pick is the histogram-rank convention: smallest "
+    "value whose cumulative count reaches ceil(q*n), exact integer "
+    "arithmetic throughout (cm*10 >= d*n avoids any division). "
+    "Scale: two histogram aggregates (per-source and pooled) over "
+    "the same scan, cumsums on the bounded value histograms, and a "
+    "9-row decile expansion — no per-row ranking, no interval join.",
+)
+def q_text_quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source", "n_chars")
+    hs = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    ts = hs.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = hs.join(F.broadcast(ts), "source").select(
+        "source", "n_chars", "n", F.sum("c").over(ws).alias("cm")
+    )
+    hp = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    tp = hp.agg(F.sum("c").cast("bigint").alias("np"))
+    wp = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cump = hp.crossJoin(F.broadcast(tp)).select(
+        "n_chars", "np", F.sum("c").over(wp).alias("cmp")
+    )
+    d = docs.sparkSession.range(1, 10).select(F.col("id").alias("decile"))
+    raw = (
+        cums.crossJoin(F.broadcast(d))
+        .groupBy("source", "decile")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm") * 10 >= F.col("decile") * F.col("n"),
+                    F.col("n_chars"),
+                )
+            ).alias("raw_value")
+        )
+    )
+    pooled = (
+        cump.crossJoin(F.broadcast(d))
+        .groupBy("decile")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cmp") * 10 >= F.col("decile") * F.col("np"),
+                    F.col("n_chars"),
+                )
+            ).alias("mapped_value")
+        )
+    )
+    return (
+        raw.join(F.broadcast(pooled), "decile")
+        .select(
+            "source",
+            "decile",
+            F.col("raw_value").cast("bigint").alias("raw_value"),
+            F.col("mapped_value").cast("bigint").alias("mapped_value"),
+            (F.col("mapped_value") - F.col("raw_value"))
+            .cast("bigint")
+            .alias("shift"),
+        )
+        .orderBy("source", "decile")
+    )
