@@ -3634,3 +3634,86 @@ def q_events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("burst_band")
     )
+
+
+@register(
+    "events_mix_shift_decomposition",
+    """
+    WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+    w AS (
+        SELECT event_type,
+               CASE WHEN ts < t0 + INTERVAL 7 DAY THEN 1
+                    WHEN ts < t0 + INTERVAL 14 DAY THEN 2 END AS wk,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events CROSS JOIN t0),
+    k AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN wk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN wk = 1 THEN cents ELSE 0 END) AS BIGINT)
+                   AS s1,
+               CAST(SUM(CASE WHEN wk = 2 THEN cents ELSE 0 END) AS BIGINT)
+                   AS s2
+        FROM w WHERE wk IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n1, n2,
+           round((s2 - s1) / 100.0, 6) AS delta_value,
+           round((n2 - n1) * (CAST(s1 AS DOUBLE) / n1) / 100.0, 6)
+               AS volume_effect,
+           round((s2 - n2 * (CAST(s1 AS DOUBLE) / n1)) / 100.0, 6)
+               AS rate_effect
+    FROM k ORDER BY event_type
+    """,
+    doc="Week-over-week metric decomposition per event type: the "
+    "change in total value splits into a VOLUME effect ((n2-n1) x "
+    "week-1 average) and a RATE effect (week-2 volume x change in "
+    "average) — the standard two-factor bridge every product-"
+    "analytics 'why did the metric move' review starts from "
+    "(volume_effect + rate_effect = delta_value identically, up to "
+    "the final rounding). Counts and cent sums are exact integers; "
+    "the two divisions are IEEE correctly-rounded on exact inputs, "
+    "so the decomposition is bit-stable with no quantized-log "
+    "machinery. Windows anchored at the global min event time like "
+    "stats_poisson_rate_test. Scale: one scan with a broadcast "
+    "1-row anchor, 5-row readout.",
+)
+def q_events_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    t0 = e.agg(F.min("ts").alias("t0"))
+    w = e.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.when(F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAY"), 1)
+        .when(F.col("ts") < F.col("t0") + F.expr("INTERVAL 14 DAY"), 2)
+        .alias("wk"),
+        (_dec_val() * 100).cast("bigint").alias("cents"),
+    )
+    k = (
+        w.filter(F.col("wk").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("wk") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("wk") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(F.when(F.col("wk") == 1, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(F.when(F.col("wk") == 2, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("s2"),
+        )
+    )
+    avg1 = F.col("s1").cast("double") / F.col("n1")
+    return k.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round((F.col("s2") - F.col("s1")) / 100.0, 6).alias("delta_value"),
+        F.round((F.col("n2") - F.col("n1")) * avg1 / 100.0, 6).alias(
+            "volume_effect"
+        ),
+        F.round((F.col("s2") - F.col("n2") * avg1) / 100.0, 6).alias(
+            "rate_effect"
+        ),
+    ).orderBy("event_type")
