@@ -3798,3 +3798,109 @@ def q_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share_of_total"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "price_elasticity_loglog",
+    """
+    WITH cells AS (
+        SELECT p_brand AS brand,
+               substring(CAST(l_shipdate AS VARCHAR), 1, 7) AS m,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                   AS qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+    lg AS (
+        SELECT brand,
+               CAST(floor(ln(CAST(qty AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                   AS ly,
+               CAST(floor(ln(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS lx
+        FROM cells WHERE qty > 0),
+    m AS (
+        SELECT brand, count(*) AS n,
+               CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * lx) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * ly) AS DECIMAL(38,0))
+                   AS sxy
+        FROM lg GROUP BY brand)
+    SELECT brand, n AS n_months,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+               AS elasticity,
+           round((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                    * sx) / n / 1000000, 6) AS ln_intercept
+    FROM m ORDER BY brand
+    """,
+    doc="Own-price elasticity per brand: OLS slope of ln(monthly "
+    "quantity) on ln(average unit price) over brand-month demand "
+    "cells — the log-log regression whose slope IS the elasticity "
+    "estimate, the pricing team's first screen. The fact collapses "
+    "to brand-month cells first (decimal-exact quantity and revenue "
+    "sums), logs are micro-nat quantized at the cell level (the "
+    "ln-pinning convention, cf. text_zipf_fit), and the per-brand "
+    "slope comes from exact integer power sums (DECIMAL(38,0) for "
+    "the squared terms — micro-nats square to ~1e26 at warehouse "
+    "month counts). Intercept reported in natural-log units. Scale: "
+    "one fact scan -> bounded cell frame; the regression is "
+    "closed-form on per-brand sums, no iteration.",
+)
+def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("m"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev"),
+        )
+    )
+    lg = cells.filter(F.col("qty") > 0).select(
+        "brand",
+        F.floor(F.log(F.col("qty").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ly"),
+        F.floor(
+            F.log(F.col("rev").cast("double") / F.col("qty").cast("double"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lx"),
+    )
+    m = lg.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("lx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("ly"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (F.col("n") * d("sxy") - d("sx") * F.col("sy")) / (
+        F.col("n") * d("sxx") - d("sx") * F.col("sx")
+    )
+    return m.select(
+        "brand",
+        F.col("n").alias("n_months"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round(
+            (d("sy") - slope * F.col("sx")) / F.col("n") / 1000000, 6
+        ).alias("ln_intercept"),
+    ).orderBy("brand")
