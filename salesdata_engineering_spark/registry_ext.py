@@ -4895,3 +4895,93 @@ def q_text_quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source", "decile")
     )
+
+
+@register(
+    "dedup_keeper_by_quality",
+    f"""
+    WITH RECURSIVE {_sql_shingles(3)},
+    {_sql_components(0.6)},
+    comp AS (
+        SELECT id AS doc_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY id),
+    {_SQL_QUALITY_Q},
+    multi AS (
+        SELECT cluster_id FROM comp GROUP BY cluster_id HAVING count(*) >= 2),
+    scored AS (
+        SELECT comp.cluster_id, comp.doc_id,
+               CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS qm
+        FROM comp JOIN q ON comp.doc_id = q.doc_id
+        JOIN multi ON comp.cluster_id = multi.cluster_id),
+    pick AS (
+        SELECT cluster_id, doc_id AS keeper_doc_id, qm FROM (
+            SELECT cluster_id, doc_id, qm,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY qm DESC, doc_id) AS rk
+            FROM scored) WHERE rk = 1)
+    SELECT s.cluster_id,
+           count(*) AS n_docs,
+           CAST(max(p.keeper_doc_id) AS BIGINT) AS keeper_doc_id,
+           round(CAST(max(p.qm) AS DOUBLE) / 1000000, 6) AS keeper_quality,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM scored s JOIN pick p ON s.cluster_id = p.cluster_id
+    GROUP BY s.cluster_id ORDER BY s.cluster_id
+    """,
+    doc="Survivorship policy for near-dup clusters: instead of the "
+    "min-doc_id canonical keeper (dedup_cluster_components), keep the "
+    "HIGHEST-QUALITY document per cluster (quality-score argmax, "
+    "doc_id tie-break) — the policy real curation pipelines want, "
+    "since the first-crawled copy is often the worst one. Reuses the "
+    "shared shingle/Jaccard/min-label CTE chain verbatim and the "
+    "quality score construction, so the whole compose (pairs -> "
+    "components -> score -> argmax) is value-checked end-to-end; "
+    "only multi-doc clusters are reported (singletons keep "
+    "themselves by definition). Quality is micro-quantized before "
+    "the argmax so the winner is integer-determined. Scale: adds one "
+    "broadcast-size join (quality per doc) and a per-cluster argmax "
+    "on the bounded cluster frame on top of the components cost.",
+)
+def q_dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.dedup import connected_components, ngram_jaccard_pairs as _njp
+
+    d = _docs(spark, sf_dir)
+    pairs = _njp(d, n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    qm = quality_score(d).select(
+        "doc_id",
+        F.floor(F.col("quality") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qm"),
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    scored = (
+        cc.join(F.broadcast(sizes.filter(F.col("n_docs") >= 2)), "cluster_id")
+        .join(qm, "doc_id")
+    )
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.col("qm").desc(), F.col("doc_id")
+    )
+    pick = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("qm").alias("keeper_qm"),
+        )
+    )
+    return (
+        scored.join(pick, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("keeper_doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.round(F.max("keeper_qm").cast("double") / 1000000, 6).alias(
+                "keeper_quality"
+            ),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
