@@ -3717,3 +3717,83 @@ def q_events_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFr
             "rate_effect"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "events_slo_burn_alerts",
+    """
+    WITH h AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               count(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1),
+    r AS (
+        SELECT hr, n, e,
+               CAST(SUM(n) OVER (ORDER BY hr
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6,
+               CAST(SUM(e) OVER (ORDER BY hr
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6
+        FROM h),
+    b AS (
+        SELECT hr,
+               CAST(e AS DOUBLE) / n / 0.25 AS burn1,
+               CAST(e6 AS DOUBLE) / n6 / 0.25 AS burn6
+        FROM r)
+    SELECT count(*) AS n_hours,
+           CAST(SUM(CASE WHEN burn1 > 1.5 AND burn6 > 1.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alert_hours,
+           round(max(burn1), 6) AS max_burn_1h,
+           round(max(burn6), 6) AS max_burn_6h,
+           CAST(min(CASE WHEN burn1 > 1.5 AND burn6 > 1.2 THEN hr END)
+                AS BIGINT) AS first_alert_hr
+    FROM b
+    """,
+    doc="Error-budget burn-rate alerting (the SRE multiwindow rule): "
+    "with an SLO of 75% non-error events (the synthetic stream runs "
+    "~20-25% errors, so the budget is 25% — same arithmetic as a "
+    "99.9% SLO, scaled to where this data actually lives), compute "
+    "the 1-hour and trailing-6-hour burn rates (error rate / budget) "
+    "and alert only when BOTH exceed their thresholds (1.5x fast + "
+    "1.2x slow — the two-window AND that suppresses blips but pages "
+    "on sustained burn). The 6h window is a rows-frame over active "
+    "hours (gap hours carry no traffic and consume no budget). "
+    "Counts are exact integers; burns are correctly-rounded double "
+    "ratios. Scale: one scan to the hourly frame; the rolling sums "
+    "and the 1-row readout run on bounded hours.",
+)
+def q_events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    h = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("ee"),
+        )
+        .groupBy("hr")
+        .agg(F.count("*").alias("n"), F.sum("ee").cast("bigint").alias("e"))
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    r = h.select(
+        "hr",
+        "n",
+        "e",
+        F.sum("n").over(w6).cast("bigint").alias("n6"),
+        F.sum("e").over(w6).cast("bigint").alias("e6"),
+    )
+    b = r.select(
+        "hr",
+        (F.col("e").cast("double") / F.col("n") / 0.25).alias("burn1"),
+        (F.col("e6").cast("double") / F.col("n6") / 0.25).alias("burn6"),
+    )
+    alert = (F.col("burn1") > 1.5) & (F.col("burn6") > 1.2)
+    return b.agg(
+        F.count("*").alias("n_hours"),
+        F.sum(F.when(alert, 1).otherwise(0)).cast("bigint").alias(
+            "n_alert_hours"
+        ),
+        F.round(F.max("burn1"), 6).alias("max_burn_1h"),
+        F.round(F.max("burn6"), 6).alias("max_burn_6h"),
+        F.min(F.when(alert, F.col("hr"))).cast("bigint").alias(
+            "first_alert_hr"
+        ),
+    )
