@@ -922,3 +922,42 @@ def test_crosscorr_hourly_frame_persisted(spark, sf_dir):
     frame, not two recomputations of the event scan."""
     plan = plan_of(QUERIES["events_crosscorr_lag"].fn(spark, sf_dir))
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_pit_join_stays_keyed_equi(spark, sf_dir):
+    """The PIT fact-to-SCD2 join must key on the customer equi-column
+    with interval residuals — no nested loop over version chains."""
+    plan = plan_of(QUERIES["pit_join_orders_segments"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kfold_rank_has_no_unpartitioned_window(spark, sf_dir):
+    """Stratified k-fold must use the two-pass rank, never a
+    row_number over 6 giant language partitions — the executed plan
+    must not warn-shape a Window with the lang-only partition over
+    the full doc stream (the two-pass form plans a range exchange
+    plus bounded-frame windows only)."""
+    df = QUERIES["sample_kfold_stratified"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange rangepartitioning" in plan  # the two-pass rank's sort
+    # the only hash-partitioned windows allowed are over the bounded
+    # counts frames, which follow a HashAggregate, not the raw scan
+    assert "Window [row_number()" not in plan.split("rangepartitioning")[0]
+
+
+def test_mix_shift_single_scan_one_row(spark, sf_dir):
+    """The decomposition is one scan + broadcast anchor: no sort-merge
+    join, a partial+final aggregate, and a 5-row readout."""
+    plan = plan_of(QUERIES["events_mix_shift_decomposition"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_elasticity_cells_before_regression(spark, sf_dir):
+    """The log-log OLS must aggregate to brand-month cells before any
+    log/regression math — two HashAggregate levels and no window over
+    the raw fact."""
+    plan = plan_of(QUERIES["price_elasticity_loglog"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # cells partial+final, brand partial+final
+    assert "Window" not in plan
