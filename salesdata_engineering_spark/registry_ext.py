@@ -4985,3 +4985,66 @@ def q_dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH comp AS (
+        SELECT u.d AS d,
+               CAST(floor(u.x * 1000000 + 0.5) AS BIGINT) AS xm
+        FROM (SELECT unnest(list_transform(embedding::DOUBLE[],
+                                           (x, i) -> struct_pack(d := i - 1, x := x)))
+                  AS u
+              FROM embeddings))
+    SELECT d AS dim,
+           count(*) AS n,
+           round(CAST(SUM(xm) AS DOUBLE) / count(*) / 1000000, 6) AS mean,
+           round((CAST(SUM(CAST(xm AS DECIMAL(38,0)) * xm) AS DOUBLE)
+                  - CAST(SUM(xm) AS DOUBLE) * SUM(xm) / count(*))
+                 / (count(*) - 1) / 1000000000000.0, 6) AS variance,
+           round(CAST(min(xm) AS DOUBLE) / 1000000, 6) AS min_val,
+           round(CAST(max(xm) AS DOUBLE) / 1000000, 6) AS max_val
+    FROM comp GROUP BY d ORDER BY d
+    """,
+    doc="Per-dimension embedding health audit: mean, variance, min, "
+    "max for each of the 64 dimensions — the screen that catches "
+    "dead dimensions (variance ~0), un-centered features (|mean| "
+    "large), and scale drift between embedding versions before they "
+    "poison cosine rankings. Components micro-quantize first, so "
+    "mean and variance come from exact integer power sums "
+    "(DECIMAL(38,0) squares) — order-free — with doubles only in "
+    "the final scaling. Scale: one explode + hash-agg keyed by "
+    "dimension; output is always exactly dim rows.",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    comp = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    ).select(
+        "d",
+        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("bigint").alias("xm"),
+    )
+    return (
+        comp.groupBy(F.col("d").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum("xm").cast("double") / F.count("*") / 1000000, 6
+            ).alias("mean"),
+            F.round(
+                (
+                    F.sum(F.col("xm").cast("decimal(38,0)") * F.col("xm")).cast(
+                        "double"
+                    )
+                    - F.sum("xm").cast("double") * F.sum("xm") / F.count("*")
+                )
+                / (F.count("*") - 1)
+                / 1000000000000.0,
+                6,
+            ).alias("variance"),
+            F.round(F.min("xm").cast("double") / 1000000, 6).alias("min_val"),
+            F.round(F.max("xm").cast("double") / 1000000, 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
