@@ -5048,3 +5048,140 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "sim_rrf_fusion_eval",
+    f"""
+    WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
+    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+           FROM embeddings, p),
+    cb AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
+           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
+    qb AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
+           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0 WHERE vec_id < 10)),
+    lcand AS (
+        SELECT DISTINCT query_id, vec_id
+        FROM cb JOIN qb USING (tbl, bucket) WHERE vec_id <> query_id),
+    lsims AS (
+        SELECT lcand.query_id, lcand.vec_id,
+               {_SQL_COSINE.format(a="cv.v", b="qv.v")} AS s
+        FROM lcand JOIN c0 cv ON lcand.vec_id = cv.vec_id
+                   JOIN c0 qv ON lcand.query_id = qv.vec_id),
+    lsh AS (SELECT query_id, vec_id, rk FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rk
+                FROM lsims) WHERE rk <= 5),
+    qz AS (SELECT vec_id, v, {_SQL_QUANT.format(v="v")} AS qv FROM c0),
+    qn AS (SELECT vec_id, v, qv, sqrt(list_dot_product(qv, qv)) AS qnorm
+           FROM qz),
+    qq AS (SELECT vec_id AS query_id, v AS qv_full, qv AS qqv, qnorm AS qqn
+           FROM qn WHERE vec_id < 10),
+    qscored AS (
+        SELECT query_id, c.vec_id,
+               list_dot_product(c.qv, qq.qqv) / (c.qnorm * qq.qqn) AS qcos
+        FROM qn c, qq WHERE c.vec_id <> qq.query_id),
+    qcand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, vec_id) AS qrk
+            FROM qscored) WHERE qrk <= 20),
+    qrr AS (
+        SELECT qcand.query_id, qcand.vec_id,
+               {_SQL_COSINE.format(a="c.v", b="qq.qv_full")} AS s
+        FROM qcand JOIN c0 c ON qcand.vec_id = c.vec_id
+                   JOIN qq ON qcand.query_id = qq.query_id),
+    quant AS (SELECT query_id, vec_id, rk FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, vec_id) AS rk
+                  FROM qrr) WHERE rk <= 5),
+    rrf AS (
+        SELECT query_id, vec_id,
+               CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf_micro
+        FROM (SELECT * FROM lsh UNION ALL SELECT * FROM quant)
+        GROUP BY 1, 2),
+    fused AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY rrf_micro DESC, vec_id)
+                             AS rk
+                  FROM rrf) WHERE rk <= 5),
+    bsims AS (
+        SELECT bq.query_id, bc.vec_id,
+               {_SQL_COSINE.format(a="bc.v", b="bq.v")} AS s
+        FROM c0 bc, (SELECT vec_id AS query_id, v FROM c0 WHERE vec_id < 10) bq
+        WHERE bc.vec_id <> bq.query_id),
+    exact AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, vec_id) AS rk
+                  FROM bsims) WHERE rk <= 5)
+    SELECT e.query_id,
+           round(count(l.vec_id) / 5.0, 6) AS recall_lsh,
+           round(count(qt.vec_id) / 5.0, 6) AS recall_quant,
+           round(count(f.vec_id) / 5.0, 6) AS recall_rrf
+    FROM exact e
+    LEFT JOIN lsh l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+    LEFT JOIN quant qt ON e.query_id = qt.query_id AND e.vec_id = qt.vec_id
+    LEFT JOIN fused f ON e.query_id = f.query_id AND e.vec_id = f.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+    doc="Reciprocal-rank-fusion (RRF, k=60) of the two approximate "
+    "rankers — LSH buckets and int8-quantized two-stage — evaluated "
+    "side by side against the exact brute-force top-5: the hybrid-"
+    "search pattern (fuse heterogeneous rankers by 1/(60+rank), no "
+    "score calibration needed) measured the only way that matters, "
+    "recall per query for each system and for the fusion. RRF terms "
+    "are exact integer divisions (1000000 // (60+rank)), so fused "
+    "ranking and every recall are integer-determined. Scale: reuses "
+    "the two production rankers end-to-end (bucketed candidate join "
+    "resp. quantized scan + exact re-rank); fusion and eval run on "
+    "|Q| x k rows.",
+)
+def q_sim_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qs = _queries_subset(corpus)
+    lsh = lsh_ann_topk(
+        corpus, qs, k=5, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"), "rk")
+    quant = quantized_topk(corpus, qs, k=5, m=20, dim=_DIM).select(
+        "query_id", F.col("neighbor_id").alias("vec_id"), "rk"
+    )
+    both = lsh.unionByName(quant)
+    rrf = both.groupBy("query_id", "vec_id").agg(
+        F.sum(F.floor(F.lit(1000000) / (60 + F.col("rk"))))
+        .cast("bigint")
+        .alias("rrf_micro")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("vec_id")
+    )
+    fused = (
+        rrf.withColumn("frk", F.row_number().over(wf))
+        .filter(F.col("frk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    exact = cosine_topk(corpus, qs, k=5).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    l1 = lsh.select("query_id", "vec_id", F.lit(1).alias("_l"))
+    q1 = quant.select("query_id", "vec_id", F.lit(1).alias("_q"))
+    f1 = fused.select("query_id", "vec_id", F.lit(1).alias("_f"))
+    j = (
+        exact.join(l1, ["query_id", "vec_id"], "left")
+        .join(q1, ["query_id", "vec_id"], "left")
+        .join(f1, ["query_id", "vec_id"], "left")
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.round(F.count("_l") / 5.0, 6).alias("recall_lsh"),
+            F.round(F.count("_q") / 5.0, 6).alias("recall_quant"),
+            F.round(F.count("_f") / 5.0, 6).alias("recall_rrf"),
+        )
+        .orderBy("query_id")
+    )
