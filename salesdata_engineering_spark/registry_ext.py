@@ -5185,3 +5185,77 @@ def q_sim_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    """
+    WITH qid AS (
+        SELECT lang, source,
+               CAST(floor(n_chars / 100) AS BIGINT) AS len_band
+        FROM documents),
+    g AS (
+        SELECT lang, source, len_band, count(*) AS k
+        FROM qid GROUP BY 1, 2, 3),
+    banded AS (
+        SELECT CASE WHEN k = 1 THEN '1 (unique)'
+                    WHEN k < 5 THEN '2-4'
+                    WHEN k < 20 THEN '5-19'
+                    ELSE '20+' END AS k_band,
+               k
+        FROM g)
+    SELECT k_band,
+           count(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           round(CAST(SUM(k) AS DOUBLE)
+                 / (SELECT count(*) FROM documents), 6) AS doc_share
+    FROM banded GROUP BY k_band ORDER BY k_band
+    """,
+    doc="k-anonymity audit over the quasi-identifier tuple (lang, "
+    "source, 100-char length band): how many documents sit in "
+    "equivalence classes of size 1 (uniquely re-identifiable by "
+    "metadata alone), 2-4 (below the usual k=5 release bar), and "
+    "above — the governance readout a training-data pipeline "
+    "attaches to a release manifest next to the PII scrub/detect "
+    "reports. Counts are exact; the only double is the share. "
+    "Scale: one hash-agg on the quasi-identifier key, then a "
+    "4-row banding — group-size skew lands in the agg's partial "
+    "combine, never on a single task.",
+)
+def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    g = (
+        d.select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+        )
+        .groupBy("lang", "source", "len_band")
+        .agg(F.count("*").alias("k"))
+    )
+    banded = g.select(
+        F.when(F.col("k") == 1, "1 (unique)")
+        .when(F.col("k") < 5, "2-4")
+        .when(F.col("k") < 20, "5-19")
+        .otherwise("20+")
+        .alias("k_band"),
+        "k",
+    )
+    total = d.agg(F.count("*").alias("_total"))
+    return (
+        banded.groupBy("k_band")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k_band",
+            "n_groups",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("_total"), 6).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy("k_band")
+    )
