@@ -3348,8 +3348,30 @@ def q_revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("x")
     )
-    d = rev.select(
-        "x", F.ntile(10).over(Window.orderBy("x", "o_custkey")).alias("decile")
+    # ntile over an unpartitioned Window funnels every customer row
+    # through ONE task; reproduce ntile(10)'s exact tiling arithmetic
+    # on the two-pass global rank instead (first n%10 tiles get one
+    # extra row — the SQL-standard ntile split, bit-identical to the
+    # oracle's ntile)
+    from .ops.sorts import global_row_number
+
+    rn = global_row_number(
+        rev, ["x", "o_custkey"], alias="rn", persist_key="lorenz_rank"
+    )
+    tot = rn.agg(F.count("*").alias("_n"))
+    base = F.floor(F.col("_n") / 10)
+    r = F.col("_n") % 10
+    cut = r * (base + 1)
+    decile = (
+        F.when(base == 0, F.col("rn"))
+        .when(
+            F.col("rn") <= cut,
+            F.floor((F.col("rn") - 1) / (base + 1)) + 1,
+        )
+        .otherwise(r + F.floor((F.col("rn") - cut - 1) / base) + 1)
+    )
+    d = rn.crossJoin(F.broadcast(tot)).select(
+        "x", decile.cast("int").alias("decile")
     )
     g = d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),

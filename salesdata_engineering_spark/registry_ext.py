@@ -3821,24 +3821,26 @@ def q_text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE max(hv) END AS hk,
                least(nd, 64) AS k
         FROM rk WHERE rn <= 64 GROUP BY nation, nd)
+    , est AS (
+        SELECT nation, exact_distinct, k,
+               CASE WHEN exact_distinct >= 64
+                    THEN round((CAST(k AS DOUBLE) - 1)
+                               / (CAST(hk AS DOUBLE) / 1152921504606846976), 4)
+                    ELSE CAST(exact_distinct AS DOUBLE) END AS kmv_estimate
+        FROM kth)
     SELECT nation, CAST(exact_distinct AS BIGINT) AS exact_distinct,
-           CAST(k AS INT) AS k,
-           round((CAST(k AS DOUBLE) - 1)
-                 / (CAST(hk AS DOUBLE) / 1152921504606846976), 4)
-               AS kmv_estimate,
-           round(abs((CAST(k AS DOUBLE) - 1)
-                     / (CAST(hk AS DOUBLE) / 1152921504606846976)
-                     - exact_distinct)
+           CAST(k AS INT) AS k, kmv_estimate,
+           round(abs(kmv_estimate - exact_distinct)
                  / exact_distinct * 100, 4) AS rel_error_pct
-    FROM kth ORDER BY nation
+    FROM est ORDER BY nation
     """,
     doc="KMV (k-minimum-values) distinct-count sketch per nation, "
     "k=64, with the exact count and relative error as the readout — "
     "the mergeable bottom-k twin of HLL: keep the k smallest 60-bit "
     "md5 hashes of the key; estimate = (k-1)/u_(k) where u_(k) is the "
-    "k-th smallest hash normalized by 2^60. Degenerate groups with "
-    "fewer than k distinct keys fall back to the exact bottom-k count "
-    "(estimate = exact by construction). Deterministic md5 hashing "
+    "k-th smallest hash normalized by 2^60. Groups with fewer than k "
+    "distinct keys short-circuit to the exact count (the sketch holds "
+    "every value, so the estimator is not applied below k). Deterministic md5 hashing "
     "(ext/hashing.py) makes the sketch value-reproducible in DuckDB, "
     "so the driver hash-checks the ESTIMATE itself, not just shape. "
     "Scale: sketch state is k longs per group no matter the row "
@@ -3881,12 +3883,19 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hk"),
         F.least(F.first("nd"), F.lit(K)).alias("k"),
     )
-    est = (F.col("k").cast("double") - 1) / (F.col("hk").cast("double") / TWO60)
+    est = F.when(
+        F.col("nd") >= K,
+        F.round(
+            (F.col("k").cast("double") - 1)
+            / (F.col("hk").cast("double") / TWO60),
+            4,
+        ),
+    ).otherwise(F.col("nd").cast("double"))
     return kth.select(
         "nation",
         F.col("nd").cast("bigint").alias("exact_distinct"),
         F.col("k").cast("int").alias("k"),
-        F.round(est, 4).alias("kmv_estimate"),
+        est.alias("kmv_estimate"),
         F.round(
             F.abs(est - F.col("nd")) / F.col("nd") * 100, 4
         ).alias("rel_error_pct"),
@@ -4704,13 +4713,15 @@ def q_text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("n1"),
         F.sum(1 - F.col("y")).cast("bigint").alias("n0"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = h.select(
-        "s",
-        "n1",
-        "n0",
-        F.coalesce(F.sum("n0").over(w), F.lit(0)).alias("c0"),
-    )
+    # the score histogram can approach corpus cardinality (quality has
+    # continuous inputs), so the ECDF cumulation uses the two-pass
+    # global cumsum, not an unpartitioned window (the KS/Mann-Whitney
+    # convention); subtract n0 to make it exclusive (strictly below)
+    from .ops.sorts import global_cumsum
+
+    cum = global_cumsum(
+        h, ["s"], "n0", alias="c0i", persist_key="auc_cum"
+    ).select("s", "n1", "n0", (F.col("c0i") - F.col("n0")).alias("c0"))
     u = cum.agg(
         F.sum("n1").cast("bigint").alias("np"),
         F.sum("n0").cast("bigint").alias("nn"),
