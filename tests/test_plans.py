@@ -961,3 +961,19 @@ def test_elasticity_cells_before_regression(spark, sf_dir):
     plan = plan_of(QUERIES["price_elasticity_loglog"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4  # cells partial+final, brand partial+final
     assert "Window" not in plan
+
+
+def test_quality_auc_uses_two_pass_cumsum(spark, sf_dir):
+    """The AUC histogram ECDF must range-partition (two-pass cumsum),
+    never an unpartitioned running-sum window over the score frame."""
+    plan = plan_of(QUERIES["text_quality_auc"].fn(spark, sf_dir))
+    assert "Exchange rangepartitioning" in plan
+    assert "InMemoryTableScan" in plan  # the shared cumulation frame
+
+
+def test_lorenz_deciles_two_pass_rank(spark, sf_dir):
+    """Decile assignment reproduces ntile arithmetic on the two-pass
+    global rank — range partition + bounded-frame windows only."""
+    plan = plan_of(QUERIES["revenue_lorenz_deciles"].fn(spark, sf_dir))
+    assert "Exchange rangepartitioning" in plan
+    assert "ntile" not in plan.lower()
