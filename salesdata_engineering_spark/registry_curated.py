@@ -3926,3 +3926,157 @@ def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d("sy") - slope * F.col("sx")) / F.col("n") / 1000000, 6
         ).alias("ln_intercept"),
     ).orderBy("brand")
+
+
+@register(
+    "returns_rate_mart",
+    """
+    WITH j AS (
+        SELECT n_name AS nation,
+               substring(CAST(l_shipdate AS VARCHAR), 1, 7) AS m,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+               CAST(l_quantity AS DECIMAL(12,2)) AS qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+    g AS (
+        SELECT nation, m,
+               count(*) AS n_lines,
+               CAST(SUM(r) AS BIGINT) AS n_returned,
+               CAST(SUM(CASE WHEN r = 1 THEN qty ELSE 0 END)
+                    AS DECIMAL(18,2)) AS qty_returned,
+               CAST(SUM(qty) AS DECIMAL(18,2)) AS qty_total
+        FROM j GROUP BY 1, 2)
+    SELECT nation, m,
+           n_lines, n_returned,
+           round(CAST(n_returned AS DOUBLE) / n_lines, 6) AS line_return_rate,
+           round(CAST(qty_returned AS DOUBLE) / CAST(qty_total AS DOUBLE), 6)
+               AS qty_return_rate,
+           round(CAST(n_returned AS DOUBLE) / n_lines
+                 - lag(CAST(n_returned AS DOUBLE) / n_lines)
+                   OVER (PARTITION BY nation ORDER BY m), 6) AS mom_delta
+    FROM g ORDER BY nation, m
+    """,
+    doc="Returns-rate mart: monthly line- and quantity-weighted return "
+    "rates per customer nation with the month-over-month delta — the "
+    "reverse-logistics KPI sheet (l_returnflag = 'R' marks returned "
+    "lines). Counts and quantities are exact (integer / decimal) "
+    "before the ratio; the MoM delta lags the same fixed double "
+    "expression so both engines subtract identical values. Scale: "
+    "one star join (broadcast nation) collapsing to the bounded "
+    "nation-month frame; the lag window runs on that frame.",
+)
+def q_returns_rate_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("m"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+            F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        )
+    )
+    g = j.groupBy("nation", "m").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("r").cast("bigint").alias("n_returned"),
+        F.sum(F.when(F.col("r") == 1, F.col("qty")).otherwise(0))
+        .cast("decimal(18,2)")
+        .alias("qty_returned"),
+        F.sum("qty").cast("decimal(18,2)").alias("qty_total"),
+    )
+    rate = F.col("n_returned").cast("double") / F.col("n_lines")
+    wl = Window.partitionBy("nation").orderBy("m")
+    return g.select(
+        "nation",
+        "m",
+        "n_lines",
+        "n_returned",
+        F.round(rate, 6).alias("line_return_rate"),
+        F.round(
+            F.col("qty_returned").cast("double")
+            / F.col("qty_total").cast("double"),
+            6,
+        ).alias("qty_return_rate"),
+        F.round(rate - F.lag(rate).over(wl), 6).alias("mom_delta"),
+    ).orderBy("nation", "m")
+
+
+@register(
+    "part_substitution_candidates",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_name, p_brand, p_type, p_size,
+               CAST(p_retailprice AS DECIMAL(12,2)) AS price
+        FROM part),
+    pairs AS (
+        SELECT a.p_type AS ptype, a.p_size AS psize,
+               a.p_brand AS brand_a, b.p_brand AS brand_b,
+               a.price - b.price AS saving
+        FROM p a JOIN p b
+          ON a.p_type = b.p_type AND a.p_size = b.p_size
+         AND a.p_brand <> b.p_brand AND b.price < a.price)
+    SELECT ptype, psize,
+           count(*) AS n_candidates,
+           CAST(max(saving) AS DOUBLE) AS max_saving,
+           round(CAST(SUM(saving) AS DOUBLE) / count(*), 6) AS avg_saving
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 3
+    ORDER BY ptype, psize
+    """,
+    doc="Part substitution finder: for every (type, size) equivalence "
+    "class, cheaper same-spec parts from a DIFFERENT brand — the "
+    "procurement 'can we swap this SKU' screen, reported per class "
+    "with candidate count and price savings (classes with <3 "
+    "candidates suppressed as noise). Prices stay DECIMAL(12,2) so "
+    "savings are exact cents. Scale: the pair join is blocked by the "
+    "(type, size) class key — the same sum-of-block-squares bound as "
+    "the ER blocking join, never an all-pairs catalog scan; "
+    "plan-assertable as a pure equi-join.",
+)
+def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir)["part"].select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+    )
+    a = p.select(
+        F.col("p_type").alias("ptype"),
+        F.col("p_size").alias("psize"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("price").alias("price_a"),
+    )
+    b = p.select(
+        F.col("p_type").alias("btype"),
+        F.col("p_size").alias("bsize"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("price").alias("price_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ptype") == F.col("btype"))
+        & (F.col("psize") == F.col("bsize"))
+        & (F.col("brand_a") != F.col("brand_b"))
+        & (F.col("price_b") < F.col("price_a")),
+    ).select("ptype", "psize", (F.col("price_a") - F.col("price_b")).alias("saving"))
+    return (
+        pairs.groupBy("ptype", "psize")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.max("saving").cast("double").alias("max_saving"),
+            F.round(F.sum("saving").cast("double") / F.count("*"), 6).alias(
+                "avg_saving"
+            ),
+        )
+        .filter(F.col("n_candidates") >= 3)
+        .orderBy("ptype", "psize")
+    )

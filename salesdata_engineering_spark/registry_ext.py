@@ -5270,3 +5270,119 @@ def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_band")
     )
+
+
+@register(
+    "text_heaps_law_fit",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+    firsts AS (
+        SELECT term, min(doc_id) AS fd FROM toks WHERE term <> ''
+        GROUP BY term),
+    newterms AS (
+        SELECT fd AS doc_id, count(*) AS nv FROM firsts GROUP BY fd),
+    dt AS (
+        SELECT d.doc_id,
+               len(list_filter({SQL_TOKENS}, x -> x <> '')) AS nt,
+               COALESCE(nv, 0) AS nv
+        FROM documents d LEFT JOIN newterms USING (doc_id)),
+    cum AS (
+        SELECT doc_id,
+               SUM(nt) OVER (ORDER BY doc_id) AS cumtok,
+               SUM(nv) OVER (ORDER BY doc_id) AS cumvocab
+        FROM dt),
+    lg AS (
+        SELECT CAST(floor(ln(CAST(cumtok AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS lx,
+               CAST(floor(ln(CAST(cumvocab AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS ly
+        FROM cum WHERE cumtok > 0 AND cumvocab > 0),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * lx) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * ly) AS DECIMAL(38,0))
+                   AS sxy
+        FROM lg)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+               AS heaps_beta,
+           round((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                    * sx) / n / 1000000, 6) AS ln_k
+    FROM m
+    """,
+    doc="Heaps'-law fit: vocabulary growth V(n) ~ k * n^beta over the "
+    "corpus read in doc_id order — beta estimated as the OLS slope "
+    "of ln(cumulative vocabulary) on ln(cumulative tokens), the "
+    "corpus-linguistics twin of text_zipf_fit (natural text sits "
+    "near beta ~0.5; beta near 1 means the vocabulary never "
+    "saturates — a tokenizer-budget red flag). Each term's "
+    "first-occurrence doc makes vocabulary growth a per-doc "
+    "new-term count, so BOTH running series (tokens, vocabulary) "
+    "come from one shared cumulation over the doc axis — in Spark "
+    "the two-pass global_cumsum_multi, never an unpartitioned "
+    "window over the corpus; logs micro-nat-quantize per point and "
+    "the fit is closed-form on DECIMAL(38,0) power sums. Scale: one "
+    "tokenize pass for first-occurrences (hash-agg on term), one "
+    "for per-doc counts, one shared range-partitioned cumsum.",
+)
+def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_cumsum_multi
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    newterms = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").alias("nv")
+    )
+    nt = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    )
+    dt = (
+        d.select("doc_id", nt.alias("nt"))
+        .join(newterms, "doc_id", "left")
+        .select("doc_id", "nt", F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
+    )
+    cum = global_cumsum_multi(
+        dt,
+        ["doc_id"],
+        {"cumtok": "nt", "cumvocab": "nv"},
+        persist_key="heaps_cum",
+    )
+    lg = cum.filter((F.col("cumtok") > 0) & (F.col("cumvocab") > 0)).select(
+        F.floor(F.log(F.col("cumtok").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("lx"),
+        F.floor(F.log(F.col("cumvocab").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ly"),
+    )
+    m = lg.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("lx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("ly"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (F.col("n") * dd("sxy") - dd("sx") * F.col("sy")) / (
+        F.col("n") * dd("sxx") - dd("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((dd("sy") - slope * F.col("sx")) / F.col("n") / 1000000, 6).alias(
+            "ln_k"
+        ),
+    )
