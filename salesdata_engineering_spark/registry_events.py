@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .datasets import load_tables
+from .ext.hashing import md5_long, sql_md5_long
 from .registry import register
 from .streaming.runner import read_events_stream, run_to_completion
 from .streaming.windows import session_agg, sliding_agg, tumbling_agg
@@ -3797,3 +3798,211 @@ def q_events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_alert_hr"
         ),
     )
+
+
+@register(
+    "events_cohort_ltv_curve",
+    """
+    WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+    base AS (
+        SELECT user_id,
+               CAST(floor(date_diff('second', t0, ts) / 604800.0) AS BIGINT)
+                   AS wk,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events CROSS JOIN t0),
+    cohort AS (
+        SELECT user_id, min(wk) AS cw FROM base GROUP BY user_id),
+    cell AS (
+        SELECT c.cw AS cohort_week, b.wk - c.cw AS age_week,
+               CAST(SUM(b.cents) AS BIGINT) AS cents
+        FROM base b JOIN cohort c ON b.user_id = c.user_id
+        GROUP BY 1, 2),
+    sz AS (SELECT cw AS cohort_week, count(*) AS n_users
+           FROM cohort GROUP BY cw)
+    SELECT cell.cohort_week AS cohort_week, age_week, n_users,
+           round(CAST(SUM(cents) OVER (PARTITION BY cell.cohort_week
+                                       ORDER BY age_week) AS DOUBLE)
+                 / n_users / 100, 6) AS cum_ltv_per_user
+    FROM cell JOIN sz ON cell.cohort_week = sz.cohort_week
+    ORDER BY cell.cohort_week, age_week
+    """,
+    doc="Cohort LTV curves: users are cohorted by their first active "
+    "week (weeks since the global stream start), and each cohort's "
+    "CUMULATIVE value per user is tracked by age week — the "
+    "triangle every growth team reads to see whether newer cohorts "
+    "monetize faster. Week indexing is exact integer arithmetic on "
+    "second differences; value rides as integer cents until the one "
+    "per-user division. Scale: one user-keyed aggregate for "
+    "cohorting, one (cohort, age) aggregate, and the running sum on "
+    "the bounded cohort-age triangle (weeks x weeks, regardless of "
+    "event volume).",
+)
+def q_events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    t0 = e.agg(F.min("ts").alias("t0"))
+    base = e.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        F.floor(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("t0")
+            )
+            / 604800.0
+        )
+        .cast("bigint")
+        .alias("wk"),
+        (_dec_val() * 100).cast("bigint").alias("cents"),
+    )
+    cohort = base.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    cell = (
+        base.join(cohort, "user_id")
+        .groupBy(F.col("cw").alias("cohort_week"), (F.col("wk") - F.col("cw")).alias("age_week"))
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    sz = cohort.groupBy(F.col("cw").alias("cohort_week")).agg(
+        F.count("*").alias("n_users")
+    )
+    wc = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cell.join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            F.round(
+                F.sum("cents").over(wc).cast("double") / F.col("n_users") / 100,
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
+
+
+@register(
+    "stats_poisson_bootstrap_ci",
+    f"""
+    WITH reps AS (SELECT i AS r FROM range(0, 20) t(i)),
+    w AS (
+        SELECT event_type, r,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               CASE
+                 WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238462 THEN 3
+                 WHEN u < 0.9963401531726563 THEN 4
+                 ELSE 5 END AS wt
+        FROM (
+            SELECT event_type, value, r,
+                   {sql_md5_long("event_id::VARCHAR || ':' || r::VARCHAR", "boot")}
+                       / 1152921504606846976.0 AS u
+            FROM events CROSS JOIN reps)),
+    means AS (
+        SELECT event_type, r,
+               CAST(floor(CAST(SUM(wt * cents) AS DOUBLE) / SUM(wt)
+                          * 10000 + 0.5) AS BIGINT) AS mean_cmicro
+        FROM w GROUP BY event_type, r HAVING SUM(wt) > 0),
+    agg AS (
+        SELECT event_type,
+               count(*) AS n_replicates,
+               CAST(SUM(mean_cmicro) AS BIGINT) AS s1,
+               CAST(SUM(CAST(mean_cmicro AS DECIMAL(38,0)) * mean_cmicro)
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(min(mean_cmicro) AS BIGINT) AS lo,
+               CAST(max(mean_cmicro) AS BIGINT) AS hi
+        FROM means GROUP BY event_type)
+    SELECT event_type, n_replicates,
+           round(CAST(s1 AS DOUBLE) / n_replicates / 1000000, 6)
+               AS boot_mean,
+           round(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * s1 / n_replicates)
+                      / (n_replicates - 1)) / 1000000, 6) AS boot_sd,
+           round(CAST(lo AS DOUBLE) / 1000000, 6) AS boot_lo,
+           round(CAST(hi AS DOUBLE) / 1000000, 6) AS boot_hi
+    FROM agg ORDER BY event_type
+    """,
+    doc="Poisson bootstrap of the mean event value per type — the "
+    "DISTRIBUTED bootstrap (each row draws an independent "
+    "Poisson(1) replicate weight, so no resampling pass needs the "
+    "full dataset on one node; the estimator large-scale A/B "
+    "platforms actually use). Weights come from the deterministic "
+    "md5 hash of (event_id, replicate) mapped through the exact "
+    "Poisson(1) CDF cutoffs (double literals spelled identically in "
+    "both engines; u = hash/2^60 is an exact-input IEEE division), "
+    "so all 20 replicates are reproducible and hash-checked. Each "
+    "replicate mean quantizes to integer hundredth-cent micro-units; "
+    "the CI readout (min/max of 20 replicates ~ the 5% band, plus "
+    "the bootstrap sd from integer power sums) is order-free. "
+    "Scale: one scan fanned x20 by a broadcast replicate spine, one "
+    "hash-agg keyed (type, replicate) — the classic weight-fanout "
+    "bootstrap shape; no per-row state, no driver resampling.",
+)
+def q_stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    reps = e.sparkSession.range(0, 20).select(F.col("id").alias("r"))
+    u = md5_long(
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(":"), F.col("r").cast("string")
+        ),
+        "boot",
+    ) / F.lit(1152921504606846976.0)
+    wt = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    w = e.crossJoin(F.broadcast(reps)).select(
+        "event_type",
+        "r",
+        (_dec_val() * 100).cast("bigint").alias("cents"),
+        wt.alias("wt"),
+    )
+    means = (
+        w.groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swc"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            F.floor(
+                F.col("swc").cast("double") / F.col("sw") * 10000 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_cmicro"),
+        )
+    )
+    agg = means.groupBy("event_type").agg(
+        F.count("*").alias("n_replicates"),
+        F.sum("mean_cmicro").cast("bigint").alias("s1"),
+        F.sum(F.col("mean_cmicro").cast("decimal(38,0)") * F.col("mean_cmicro"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.min("mean_cmicro").cast("bigint").alias("lo"),
+        F.max("mean_cmicro").cast("bigint").alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        "n_replicates",
+        F.round(
+            F.col("s1").cast("double") / F.col("n_replicates") / 1000000, 6
+        ).alias("boot_mean"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n_replicates")
+                )
+                / (F.col("n_replicates") - 1)
+            )
+            / 1000000,
+            6,
+        ).alias("boot_sd"),
+        F.round(F.col("lo").cast("double") / 1000000, 6).alias("boot_lo"),
+        F.round(F.col("hi").cast("double") / 1000000, 6).alias("boot_hi"),
+    ).orderBy("event_type")
