@@ -4006,3 +4006,97 @@ def q_stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo").cast("double") / 1000000, 6).alias("boot_lo"),
         F.round(F.col("hi").cast("double") / 1000000, 6).alias("boot_hi"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_rollup_cascade",
+    """
+    WITH h AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+        FROM events GROUP BY 1),
+    d AS (
+        SELECT CAST(floor(hr / 24) AS BIGINT) AS dy,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(v) AS DECIMAL(18,2)) AS v
+        FROM h GROUP BY 1),
+    w AS (
+        SELECT CAST(floor(dy / 7) AS BIGINT) AS wk,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(v) AS DECIMAL(18,2)) AS v
+        FROM d GROUP BY 1)
+    SELECT 'hour' AS grain, count(*) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           CAST(max(n) AS BIGINT) AS peak_bucket_events
+    FROM h
+    UNION ALL
+    SELECT 'day', count(*), CAST(SUM(n) AS BIGINT),
+           CAST(SUM(v) AS DOUBLE), CAST(max(n) AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'week', count(*), CAST(SUM(n) AS BIGINT),
+           CAST(SUM(v) AS DOUBLE), CAST(max(n) AS BIGINT) FROM w
+    ORDER BY grain
+    """,
+    doc="Multi-granularity rollup cascade: hour -> day -> week, where "
+    "each coarser grain RE-AGGREGATES the next finer one instead of "
+    "rescanning the fact (day buckets = floor(hr/24), week = "
+    "floor(day/7) — pure integer bucket arithmetic, and counts/"
+    "decimal sums re-aggregate losslessly). The per-grain summary "
+    "row pins the invariant a rollup cascade must keep: identical "
+    "n_events and total_value at every grain. Scale: THE "
+    "materialized-rollup pattern for 100 TB dashboards — the fact "
+    "is scanned once for the hourly frame (persisted; plan-asserted "
+    "single scan), and the day/week grains cost aggregations over "
+    "bounded frames, not fact scans.",
+)
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    h = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+            _dec_val().alias("v"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    from .ext.caching import swap_persist
+
+    h = swap_persist("rollup_cascade_h", h)
+    d = (
+        h.groupBy(F.floor(F.col("hr") / 24).cast("bigint").alias("dy"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("v").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    d = swap_persist("rollup_cascade_d", d)
+    w = (
+        d.groupBy(F.floor(F.col("dy") / 7).cast("bigint").alias("wk"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("v").cast("decimal(18,2)").alias("v"),
+        )
+    )
+
+    def summary(df: DataFrame, grain: str) -> DataFrame:
+        return df.agg(
+            F.lit(grain).alias("grain"),
+            F.count("*").alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+            F.max("n").cast("bigint").alias("peak_bucket_events"),
+        ).select(
+            "grain", "n_buckets", "n_events", "total_value", "peak_bucket_events"
+        )
+
+    return (
+        summary(h, "hour")
+        .unionByName(summary(d, "day"))
+        .unionByName(summary(w, "week"))
+        .orderBy("grain")
+    )

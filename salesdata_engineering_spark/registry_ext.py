@@ -5386,3 +5386,65 @@ def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ln_k"
         ),
     )
+
+
+@register(
+    "text_blocklist_screen",
+    f"""
+    WITH hits AS (
+        SELECT doc_id, lang,
+               len(list_intersect({SQL_TOKENS},
+                                  ['dup', 'slow', 'error'])) AS n_terms_hit
+        FROM documents),
+    flagged AS (SELECT * FROM hits WHERE n_terms_hit > 0)
+    SELECT lang,
+           count(*) AS n_flagged,
+           CAST(SUM(n_terms_hit) AS BIGINT) AS total_term_hits,
+           CAST(min(doc_id) AS BIGINT) AS first_flagged_doc,
+           round(count(*) / CAST((SELECT count(*) FROM documents WHERE
+                                  documents.lang = flagged.lang) AS DOUBLE), 6)
+               AS flag_rate
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+    doc="Blocklist content screen: per language, documents containing "
+    "any blocklisted DISTINCT token ({{dup, slow, error}} standing in "
+    "for a real deny-list), with hit counts and the per-language "
+    "flag rate — the content-filter gate that sits next to the PII "
+    "scrub in a curation pipeline (token-level set intersection, "
+    "not substring matching, so 'error' does not flag 'terror'). "
+    "Counts exact; the rate divides by a per-language total. Scale: "
+    "one scan, per-row array intersection against a broadcast-"
+    "literal list (JVM expression, no UDF, no join), then a "
+    "language-keyed aggregate.",
+)
+def q_text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), r"\s+")
+    hit = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(F.lit("dup"), F.lit("slow"), F.lit("error")),
+        )
+    )
+    hits = d.select("doc_id", "lang", hit.alias("n_terms_hit"))
+    totals = d.groupBy("lang").agg(F.count("*").alias("_lang_total"))
+    flagged = hits.filter(F.col("n_terms_hit") > 0)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_flagged"),
+            F.sum("n_terms_hit").cast("bigint").alias("total_term_hits"),
+            F.min("doc_id").cast("bigint").alias("first_flagged_doc"),
+        )
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "n_flagged",
+            "total_term_hits",
+            "first_flagged_doc",
+            F.round(
+                F.col("n_flagged") / F.col("_lang_total").cast("double"), 6
+            ).alias("flag_rate"),
+        )
+        .orderBy("lang")
+    )
