@@ -4100,3 +4100,78 @@ def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summary(w, "week"))
         .orderBy("grain")
     )
+
+
+@register(
+    "events_weekend_lift",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+        FROM events),
+    c AS (
+        SELECT event_type, we, count(*) AS n,
+               CAST(count(DISTINCT hr) AS BIGINT) AS n_hours
+        FROM h GROUP BY 1, 2),
+    piv AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN we = 1 THEN n ELSE 0 END) AS BIGINT) AS n_we,
+               CAST(SUM(CASE WHEN we = 1 THEN n_hours ELSE 0 END) AS BIGINT)
+                   AS h_we,
+               CAST(SUM(CASE WHEN we = 0 THEN n ELSE 0 END) AS BIGINT) AS n_wd,
+               CAST(SUM(CASE WHEN we = 0 THEN n_hours ELSE 0 END) AS BIGINT)
+                   AS h_wd
+        FROM c GROUP BY event_type)
+    SELECT event_type, n_we AS weekend_events, n_wd AS weekday_events,
+           round(CAST(n_we AS DOUBLE) / h_we, 6) AS weekend_rate_per_hour,
+           round(CAST(n_wd AS DOUBLE) / h_wd, 6) AS weekday_rate_per_hour,
+           round((CAST(n_we AS DOUBLE) / h_we)
+                 / (CAST(n_wd AS DOUBLE) / h_wd), 6) AS weekend_lift
+    FROM piv ORDER BY event_type
+    """,
+    doc="Weekend lift per event type: active-hour-normalized weekend "
+    "vs weekday event rates and their ratio — the day-mix control "
+    "every traffic comparison needs before reading a WoW delta "
+    "(normalizing by ACTIVE hours, not calendar hours, so partial "
+    "first/last weeks don't bias the rate). DuckDB dayofweek is "
+    "0=Sunday; Spark's dayofweek is 1=Sunday — the Spark side "
+    "subtracts 1 so both engines test {0,6}. Exact counts, two "
+    "IEEE divisions and one ratio. Scale: one scan, bounded "
+    "readout.",
+)
+def q_events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    h = e.select(
+        "event_type",
+        F.when((F.dayofweek("ts") - 1).isin(0, 6), 1).otherwise(0).alias("we"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+    )
+    c = h.groupBy("event_type", "we").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("hr").cast("bigint").alias("n_hours"),
+    )
+    piv = c.groupBy("event_type").agg(
+        F.sum(F.when(F.col("we") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_we"),
+        F.sum(F.when(F.col("we") == 1, F.col("n_hours")).otherwise(0))
+        .cast("bigint")
+        .alias("h_we"),
+        F.sum(F.when(F.col("we") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_wd"),
+        F.sum(F.when(F.col("we") == 0, F.col("n_hours")).otherwise(0))
+        .cast("bigint")
+        .alias("h_wd"),
+    )
+    rwe = F.col("n_we").cast("double") / F.col("h_we")
+    rwd = F.col("n_wd").cast("double") / F.col("h_wd")
+    return piv.select(
+        "event_type",
+        F.col("n_we").alias("weekend_events"),
+        F.col("n_wd").alias("weekday_events"),
+        F.round(rwe, 6).alias("weekend_rate_per_hour"),
+        F.round(rwd, 6).alias("weekday_rate_per_hour"),
+        F.round(rwe / rwd, 6).alias("weekend_lift"),
+    ).orderBy("event_type")

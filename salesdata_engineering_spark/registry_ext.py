@@ -5448,3 +5448,108 @@ def q_text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "graph_edge_churn_monthly",
+    """
+    WITH e AS (
+        SELECT DISTINCT substring(CAST(l_shipdate AS VARCHAR), 1, 7) AS m,
+               l_suppkey AS s, l_partkey AS p
+        FROM lineitem),
+    sz AS (SELECT m, count(*) AS n_edges FROM e GROUP BY m),
+    months AS (
+        SELECT m, row_number() OVER (ORDER BY m) AS mi FROM sz),
+    inter AS (
+        SELECT b.m AS m, count(*) AS n_common
+        FROM e a
+        JOIN months ma ON a.m = ma.m
+        JOIN months mb ON mb.mi = ma.mi + 1
+        JOIN e b ON b.m = mb.m AND a.s = b.s AND a.p = b.p
+        GROUP BY b.m),
+    prev AS (
+        SELECT mb.m AS m, sa.n_edges AS n_prev
+        FROM months ma JOIN months mb ON mb.mi = ma.mi + 1
+        JOIN sz sa ON sa.m = ma.m)
+    SELECT sz.m AS month,
+           sz.n_edges,
+           CAST(COALESCE(n_common, 0) AS BIGINT) AS edges_retained,
+           CAST(sz.n_edges - COALESCE(n_common, 0) AS BIGINT) AS edges_new,
+           CAST(n_prev - COALESCE(n_common, 0) AS BIGINT) AS edges_dropped,
+           round(COALESCE(n_common, 0)
+                 / CAST(sz.n_edges + n_prev - COALESCE(n_common, 0)
+                        AS DOUBLE), 6) AS jaccard_vs_prev
+    FROM sz JOIN prev ON sz.m = prev.m
+    LEFT JOIN inter ON sz.m = inter.m
+    ORDER BY month
+    """,
+    doc="Temporal graph churn: month-over-month stability of the "
+    "supplier-part edge set — retained/new/dropped edges and the "
+    "Jaccard overlap with the previous month — the supply-graph "
+    "drift monitor (a collapsing Jaccard means the sourcing "
+    "network is being rewired). Consecutive months pair via a "
+    "row_number spine over the bounded month list, so calendar gaps "
+    "pair adjacent ACTIVE months explicitly rather than silently "
+    "comparing across holes. Scale: the only fact-sized work is the "
+    "distinct-edge aggregate; the intersection join is keyed "
+    "(edge, month) and every spine/size frame is months-sized.",
+)
+def q_graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = (
+        li.select(
+            F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("m"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_partkey").alias("p"),
+        )
+        .groupBy("m", "s", "p")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    from .ext.caching import swap_persist
+
+    e = swap_persist("edge_churn_e", e)
+    sz = e.groupBy("m").agg(F.count("*").alias("n_edges"))
+    months = sz.select(
+        "m", "n_edges", F.row_number().over(Window.orderBy("m")).alias("mi")
+    )
+    ma = months.select(
+        F.col("m").alias("m_prev"),
+        F.col("n_edges").alias("n_prev"),
+        F.col("mi").alias("mi_prev"),
+    )
+    mb = months.select("m", "n_edges", F.col("mi").alias("mi_cur"))
+    pairs = ma.join(F.broadcast(mb), F.col("mi_cur") == F.col("mi_prev") + 1)
+    ea = e.select(F.col("m").alias("m_prev"), "s", "p")
+    eb = e.select(F.col("m").alias("m"), "s", "p")
+    inter = (
+        ea.join(
+            F.broadcast(pairs.select("m_prev", "m")), "m_prev"
+        )
+        .join(eb, ["m", "s", "p"])
+        .groupBy("m")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = pairs.join(inter, "m", "left").select(
+        F.col("m").alias("month"),
+        F.col("n_edges"),
+        F.coalesce(F.col("n_common"), F.lit(0))
+        .cast("bigint")
+        .alias("edges_retained"),
+        (F.col("n_edges") - F.coalesce(F.col("n_common"), F.lit(0)))
+        .cast("bigint")
+        .alias("edges_new"),
+        (F.col("n_prev") - F.coalesce(F.col("n_common"), F.lit(0)))
+        .cast("bigint")
+        .alias("edges_dropped"),
+        F.round(
+            F.coalesce(F.col("n_common"), F.lit(0))
+            / (
+                F.col("n_edges")
+                + F.col("n_prev")
+                - F.coalesce(F.col("n_common"), F.lit(0))
+            ).cast("double"),
+            6,
+        ).alias("jaccard_vs_prev"),
+    )
+    return out.orderBy("month")
