@@ -151,3 +151,36 @@ def global_cumsum_multi(
     for a, v in values.items():
         out = out.withColumn(a, F.sum(v).over(w_in) + F.col(f"_off_{a}"))
     return out.drop("_pid", *[f"_off_{a}" for a in values])
+
+
+def global_ntile(
+    df: DataFrame,
+    order: list[Column | str],
+    n_tiles: int,
+    alias: str = "tile",
+    persist_key: str = "global_ntile",
+) -> DataFrame:
+    """``ntile(n)`` over a TOTAL order without the single-task global
+    window: reproduce ntile's exact tiling arithmetic (the first
+    ``n mod n_tiles`` tiles get one extra row — the SQL standard) on
+    :func:`global_row_number`'s two-pass rank. Equal to the naive
+    ``ntile(n) OVER (ORDER BY ...)`` for any total order; pass a
+    tie-breaking key, as with every total-order helper here."""
+    rn = global_row_number(df, order, alias="_gn_rn", persist_key=persist_key)
+    tot = rn.agg(F.count("*").alias("_gn_n"))
+    base = F.floor(F.col("_gn_n") / n_tiles)
+    r = F.col("_gn_n") % n_tiles
+    cut = r * (base + 1)
+    tile = (
+        F.when(base == 0, F.col("_gn_rn"))
+        .when(
+            F.col("_gn_rn") <= cut,
+            F.floor((F.col("_gn_rn") - 1) / (base + 1)) + 1,
+        )
+        .otherwise(r + F.floor((F.col("_gn_rn") - cut - 1) / base) + 1)
+    )
+    return (
+        rn.crossJoin(F.broadcast(tot))
+        .withColumn(alias, tile.cast("int"))
+        .drop("_gn_rn", "_gn_n")
+    )

@@ -3349,30 +3349,13 @@ def q_revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x")
     )
     # ntile over an unpartitioned Window funnels every customer row
-    # through ONE task; reproduce ntile(10)'s exact tiling arithmetic
-    # on the two-pass global rank instead (first n%10 tiles get one
-    # extra row — the SQL-standard ntile split, bit-identical to the
-    # oracle's ntile)
-    from .ops.sorts import global_row_number
+    # through ONE task; global_ntile reproduces ntile(10)'s exact
+    # tiling arithmetic on the two-pass global rank instead
+    from .ops.sorts import global_ntile
 
-    rn = global_row_number(
-        rev, ["x", "o_custkey"], alias="rn", persist_key="lorenz_rank"
-    )
-    tot = rn.agg(F.count("*").alias("_n"))
-    base = F.floor(F.col("_n") / 10)
-    r = F.col("_n") % 10
-    cut = r * (base + 1)
-    decile = (
-        F.when(base == 0, F.col("rn"))
-        .when(
-            F.col("rn") <= cut,
-            F.floor((F.col("rn") - 1) / (base + 1)) + 1,
-        )
-        .otherwise(r + F.floor((F.col("rn") - cut - 1) / base) + 1)
-    )
-    d = rn.crossJoin(F.broadcast(tot)).select(
-        "x", decile.cast("int").alias("decile")
-    )
+    d = global_ntile(
+        rev, ["x", "o_custkey"], 10, alias="decile", persist_key="lorenz_rank"
+    ).select("x", "decile")
     g = d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("x").cast("decimal(18,2)").alias("decile_revenue"),
@@ -4080,3 +4063,83 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("n_candidates") >= 3)
         .orderBy("ptype", "psize")
     )
+
+
+@register(
+    "customer_tercile_migration",
+    """
+    WITH h1 AS (
+        SELECT o_custkey AS c,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS x
+        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+        GROUP BY 1),
+    h2 AS (
+        SELECT o_custkey AS c,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS x
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-07-01'
+        GROUP BY 1),
+    t1 AS (SELECT c, ntile(3) OVER (ORDER BY x, c) AS t FROM h1),
+    t2 AS (SELECT c, ntile(3) OVER (ORDER BY x, c) AS t FROM h2),
+    mig AS (
+        SELECT t1.t AS tercile_h1, t2.t AS tercile_h2, count(*) AS n
+        FROM t1 JOIN t2 ON t1.c = t2.c GROUP BY 1, 2)
+    SELECT tercile_h1, tercile_h2, n AS n_customers,
+           round(n / CAST(SUM(n) OVER (PARTITION BY tercile_h1) AS DOUBLE), 6)
+               AS row_share
+    FROM mig ORDER BY tercile_h1, tercile_h2
+    """,
+    doc="Customer value-segment migration matrix: customers are "
+    "terciled by revenue independently in each half of the order "
+    "history (split at 1998-07-01) and the 3x3 transition matrix "
+    "shows who climbed, held, or slid — the segment-migration "
+    "readout behind retention playbooks (complements "
+    "customer_rfm_segments, which is a point-in-time cut). Only "
+    "customers active in BOTH halves enter the matrix (an inner "
+    "join — churn/acquisition are the missing row/column by "
+    "design). Terciles use global_ntile (ops/sorts.py): ntile's "
+    "exact tiling arithmetic on the two-pass global rank, so "
+    "neither half funnels its customer frame through one window "
+    "task; ties break on the customer key identically to the "
+    "oracle's ntile. Scale: two custkey aggregates, two range-"
+    "partitioned ranks, a key join, and a 9-row readout.",
+)
+def q_customer_tercile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_ntile
+
+    o = load_tables(spark, sf_dir)["orders"]
+    od = F.col("o_orderdate").cast("date")
+    cut = F.lit("1998-07-01").cast("date")
+
+    def half(pred, key):
+        rev = (
+            o.filter(pred)
+            .groupBy(F.col("o_custkey").alias("c"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("x")
+            )
+        )
+        return global_ntile(
+            rev, ["x", "c"], 3, alias="t", persist_key=key
+        ).select("c", "t")
+
+    t1 = half(od < cut, "tercile_h1")
+    t2 = half(od >= cut, "tercile_h2")
+    mig = (
+        t1.select("c", F.col("t").alias("tercile_h1"))
+        .join(t2.select("c", F.col("t").alias("tercile_h2")), "c")
+        .groupBy("tercile_h1", "tercile_h2")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.partitionBy("tercile_h1")
+    return mig.select(
+        "tercile_h1",
+        "tercile_h2",
+        F.col("n").alias("n_customers"),
+        F.round(F.col("n") / F.sum("n").over(wr).cast("double"), 6).alias(
+            "row_share"
+        ),
+    ).orderBy("tercile_h1", "tercile_h2")
