@@ -4175,3 +4175,89 @@ def q_events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rwd, 6).alias("weekday_rate_per_hour"),
         F.round(rwe / rwd, 6).alias("weekend_lift"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_alert_flapping",
+    """
+    WITH h AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               count(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1),
+    a AS (
+        SELECT hr,
+               CASE WHEN CAST(e AS DOUBLE) / n / 0.25 > 1.5 THEN 1 ELSE 0 END
+                   AS alert
+        FROM h),
+    al AS (SELECT hr FROM a WHERE alert = 1),
+    isl AS (
+        SELECT hr, hr - row_number() OVER (ORDER BY hr) AS grp
+        FROM al),
+    runs AS (
+        SELECT grp, count(*) AS run_len,
+               CAST(min(hr) AS BIGINT) AS run_start
+        FROM isl GROUP BY grp)
+    SELECT count(*) AS n_alert_runs,
+           CAST(COALESCE(SUM(run_len), 0) AS BIGINT) AS n_alert_hours,
+           CAST(COALESCE(max(run_len), 0) AS BIGINT) AS longest_run_hours,
+           CAST(COALESCE(SUM(CASE WHEN run_len = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS flapping_runs,
+           round(COALESCE(SUM(CASE WHEN run_len = 1 THEN 1 ELSE 0 END), 0)
+                 / CAST(count(*) AS DOUBLE), 6) AS flap_ratio
+    FROM runs
+    """,
+    doc="Alert flapping analysis over the fast-burn signal of "
+    "events_slo_burn_alerts: consecutive alert hours collapse into "
+    "RUNS via gaps-and-islands on the hour index (hr minus its rank "
+    "is constant within a consecutive run — the classic islands "
+    "trick on an integer spine), and the readout separates sustained "
+    "incidents (long runs) from flapping (1-hour runs) — the number "
+    "that decides whether the alert needs hysteresis. Integer "
+    "arithmetic throughout; the islands window runs on the bounded "
+    "alert-hour frame. Scale: one scan to hours, filter to alert "
+    "hours, bounded-frame window + 1-row readout.",
+)
+def q_events_alert_flapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    h = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("ee"),
+        )
+        .groupBy("hr")
+        .agg(F.count("*").alias("n"), F.sum("ee").cast("bigint").alias("e"))
+    )
+    al = h.filter(
+        F.col("e").cast("double") / F.col("n") / 0.25 > 1.5
+    ).select("hr")
+    isl = al.select(
+        "hr",
+        (F.col("hr") - F.row_number().over(Window.orderBy("hr"))).alias("grp"),
+    )
+    runs = isl.groupBy("grp").agg(
+        F.count("*").alias("run_len"),
+        F.min("hr").cast("bigint").alias("run_start"),
+    )
+    return runs.agg(
+        F.count("*").alias("n_alert_runs"),
+        F.coalesce(F.sum("run_len"), F.lit(0))
+        .cast("bigint")
+        .alias("n_alert_hours"),
+        F.coalesce(F.max("run_len"), F.lit(0))
+        .cast("bigint")
+        .alias("longest_run_hours"),
+        F.coalesce(
+            F.sum(F.when(F.col("run_len") == 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("flapping_runs"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("run_len") == 1, 1).otherwise(0)), F.lit(0)
+            )
+            / F.count("*").cast("double"),
+            6,
+        ).alias("flap_ratio"),
+    )
