@@ -161,6 +161,15 @@ def main() -> None:
         for out in pipeline_outs:
             shutil.rmtree(out, ignore_errors=True)
 
+    # Round-7 flagship additions, timed as EXTRAS so the headline total
+    # stays comparable round-over-round (same policy as pipeline_full):
+    # sparse retrieval, hybrid fusion, and the rollup cascade.
+    for extra_q in ("text_bm25_search", "sim_rrf_fusion_eval", "events_rollup_cascade"):
+        if extra_q in QUERIES:
+            extras[extra_q] = _measure(
+                spark, runs, lambda q=extra_q: force(QUERIES[q].fn(spark, sf_dir))
+            )
+
     # sales_team_mart over a pre-split fact layout (spread() no-op path)
     split_dir = _split_layout_dir(spark, sf_dir)
     try:
