@@ -4143,3 +4143,110 @@ def q_customer_tercile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     ).orderBy("tercile_h1", "tercile_h2")
+
+
+def _bisect_oracle_sql(steps: int = 20) -> str:
+    """Unrolled-CTE mirror of the SQL-scripting bisection loop (the
+    BPE-trainer convention: loops the oracle engine lacks are unrolled
+    mechanically at module load)."""
+    cte = [
+        """tgt AS (SELECT CAST(ceil(count(*) * 0.95) AS BIGINT) AS t
+                   FROM orders)""",
+        "s0 AS (SELECT 0.0 AS lo, 1048576.0 AS hi, t FROM tgt)",
+    ]
+    for i in range(1, steps + 1):
+        cte.append(f"""
+    s{i} AS (
+        SELECT CASE WHEN c >= t THEN lo ELSE m END AS lo,
+               CASE WHEN c >= t THEN m ELSE hi END AS hi, t
+        FROM (SELECT lo, hi, (lo + hi) / 2 AS m, t,
+                     (SELECT count(*) FROM orders
+                      WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                            <= (s.lo + s.hi) / 2) AS c
+              FROM s{i - 1} s))""")
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f""",
+    hx AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS y, count(*) AS c
+           FROM orders GROUP BY 1),
+    cum AS (SELECT y, SUM(c) OVER (ORDER BY y) AS cm FROM hx),
+    exact AS (SELECT CAST(min(CASE WHEN cm >= t THEN y END) AS DOUBLE)
+                     AS p95_exact
+              FROM cum CROSS JOIN tgt)
+    SELECT {steps} AS n_iterations, t AS target_rank,
+           round(hi, 6) AS p95_bisected, p95_exact
+    FROM s{steps} CROSS JOIN exact"""
+    )
+
+
+@register(
+    "sql_scripting_bisect_p95",
+    _bisect_oracle_sql(20),
+    doc="SQL-scripting surface (Spark 4 BEGIN/DECLARE/WHILE/IF): the "
+    "95th-percentile order value found by 20 rounds of BISECTION, "
+    "each round a data-driven COUNT probe whose result steers the "
+    "next bound through procedural SET logic — the control-flow "
+    "shape (scalar state + loop + conditional over live query "
+    "results) that needed a driver program before SQL scripting "
+    "existed. Bounds live on dyadic rationals (start [0, 2^20], "
+    "halved each round), so every mid is exactly representable and "
+    "the 20-step trajectory is bit-identical in the unrolled-CTE "
+    "oracle (the BPE-trainer unrolling convention); the exact "
+    "histogram-rank p95 rides along for comparison (bisected bound "
+    "lands within 2^20/2^20 = 1.0 of it). Scale: honest trade-off "
+    "stated — 20 sequential counted scans vs ONE histogram "
+    "cumulation (stats_trimmed_mean's machinery); bisection wins "
+    "only when the predicate is expensive to histogram (remote "
+    "stores, opaque filters), and this operator exists to exercise "
+    "the scripting engine, with the exact pick as the recommended "
+    "batch path.",
+)
+def q_sql_scripting_bisect_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sorts import global_cumsum
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders_scripting_v")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    script = spark.sql(
+        """
+        BEGIN
+          DECLARE lo DOUBLE = 0.0;
+          DECLARE hi DOUBLE = 1048576.0;
+          DECLARE mid DOUBLE = 0.0;
+          DECLARE cnt BIGINT = 0;
+          DECLARE target BIGINT = 0;
+          DECLARE i INT = 0;
+          SET target = (SELECT CAST(ceil(count(*) * 0.95) AS BIGINT)
+                        FROM orders_scripting_v);
+          WHILE i < 20 DO
+            SET mid = (lo + hi) / 2;
+            SET cnt = (SELECT count(*) FROM orders_scripting_v
+                       WHERE CAST(o_totalprice AS DECIMAL(18,2)) <= mid);
+            IF cnt >= target THEN SET hi = mid; ELSE SET lo = mid; END IF;
+            SET i = i + 1;
+          END WHILE;
+          SELECT i AS n_iterations, target AS target_rank,
+                 round(hi, 6) AS p95_bisected;
+        END
+        """
+    )
+    h = t["orders"].groupBy(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y")
+    ).agg(F.count("*").alias("c"))
+    cum = global_cumsum(h, ["y"], "c", alias="cm", persist_key="bisect_cum")
+    exact = (
+        cum.crossJoin(
+            F.broadcast(
+                t["orders"].agg(
+                    F.ceil(F.count("*") * 0.95).cast("bigint").alias("t")
+                )
+            )
+        )
+        .agg(
+            F.min(F.when(F.col("cm") >= F.col("t"), F.col("y")))
+            .cast("double")
+            .alias("p95_exact")
+        )
+    )
+    return script.crossJoin(F.broadcast(exact))
