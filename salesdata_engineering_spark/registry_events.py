@@ -4261,3 +4261,100 @@ def q_events_alert_flapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flap_ratio"),
     )
+
+
+@register(
+    "events_attribution_time_decay",
+    """
+    WITH t AS (SELECT user_id, event_id AS touch_id, event_type AS channel,
+                      ts AS touch_ts
+               FROM events WHERE event_type IN ('view', 'click')),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS mc
+          FROM events WHERE event_type = 'purchase'),
+    pr AS (SELECT t.channel, t.touch_id, p.purchase_id, p.mc,
+                  epoch_us(p.purchase_ts) - epoch_us(t.touch_ts) AS age_us
+           FROM t JOIN p ON t.user_id = p.user_id
+            AND t.touch_ts <= p.purchase_ts
+            AND p.purchase_ts <= t.touch_ts + INTERVAL 7 DAY),
+    wt AS (SELECT channel, purchase_id, mc,
+                  CAST(floor(pow(2.0, -(CAST(age_us AS DOUBLE)
+                                        / 302400000000.0)) * 1000000 + 0.5)
+                       AS BIGINT) AS w
+           FROM pr),
+    sw AS (SELECT *, SUM(w) OVER (PARTITION BY purchase_id) AS s FROM wt),
+    alloc AS (SELECT channel, (mc * w) // s AS share FROM sw)
+    SELECT channel, count(*) AS n_touches,
+           SUM(share) / 1000000.0 AS attributed_revenue
+    FROM alloc GROUP BY 1 ORDER BY channel
+    """,
+    doc="Time-decay multi-touch attribution (half-life 3.5 days): "
+    "each purchase's value is split over the user's view/click "
+    "touches in the prior 7 days proportionally to 2^(-age/halflife) "
+    "— the recency-weighted model between position-based (40/20/40) "
+    "and Shapley in this engine's attribution family. Weights "
+    "quantize to integer micro-units immediately after the one pow() "
+    "call (the ln-pinning convention applied to exp2), so the "
+    "proportional split is integer arithmetic: share = mc*w div "
+    "SUM(w) per purchase, exact and order-free, sub-micro-cent "
+    "truncation documented like the position model's. Touch-purchase "
+    "pairing reuses the banded interval join. Scale: one user-keyed "
+    "interval join, one purchase-keyed window on the touch frame, "
+    "hash-agg by channel.",
+)
+def q_events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        (_dec_val() * 1000000).cast("bigint").alias("mc"),
+    )
+    pr = t.join(p, "user_id").filter(
+        (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("touch_ts") + F.expr("INTERVAL 7 DAY")
+        )
+    ).select(
+        "channel",
+        "purchase_id",
+        "mc",
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+        ).alias("age_us"),
+    )
+    w = pr.select(
+        "channel",
+        "purchase_id",
+        "mc",
+        F.floor(
+            F.pow(F.lit(2.0), -(F.col("age_us").cast("double") / 302400000000.0))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    sw = w.withColumn(
+        "s", F.sum("w").over(Window.partitionBy("purchase_id"))
+    )
+    # exact BIGINT division (`div`), not floor(double /): at warehouse
+    # scale mc*w approaches 2^53 and the double quotient can round
+    # across an integer boundary where true integer division would not
+    alloc = sw.select("channel", F.expr("(mc * w) div s").alias("share"))
+    return (
+        alloc.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            (F.sum("share") / 1000000.0).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
