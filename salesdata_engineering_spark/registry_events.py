@@ -4358,3 +4358,124 @@ def q_events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "events_retention_decay_fit",
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events),
+    tri AS (
+        SELECT CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER)
+                   AS week_no,
+               count(*) AS active
+        FROM act JOIN first USING (user_id)
+        GROUP BY 1),
+    base AS (SELECT active AS cohort0 FROM tri WHERE week_no = 0),
+    pts AS (
+        SELECT week_no,
+               CAST(floor(ln(CAST(week_no AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS lx,
+               CAST(floor(ln(CAST(active AS DOUBLE)
+                             / (SELECT cohort0 FROM base))
+                          * 1000000 + 0.5) AS BIGINT) AS ly
+        FROM tri WHERE week_no >= 1 AND active > 0),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * lx) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * ly) AS DECIMAL(38,0))
+                   AS sxy
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_weeks,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+               AS decay_exponent,
+           round((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                    * sx) / n / 1000000, 6) AS ln_r1
+    FROM m
+    """,
+    doc="Retention decay-curve fit: pooled weekly retention ratios "
+    "(active users at week w over week-0 actives, all cohorts "
+    "pooled) fitted to the power law r(w) ~ r1 * w^b by OLS in "
+    "ln-ln space — the decay exponent is the single number that "
+    "separates a flattening (habit-forming) retention curve (b "
+    "near 0) from a churn-to-zero one, and projecting it forward "
+    "is how LTV horizons get set (composes with "
+    "events_cohort_ltv_curve). Same ln micro-nat + DECIMAL power-"
+    "sum convention as price_elasticity_loglog. Scale: the "
+    "retention triangle is the same two user-keyed passes as "
+    "events_retention_cohorts; the fit sees only the bounded "
+    "week_no frame.",
+)
+def q_events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    tri = (
+        act.join(first, "user_id")
+        .groupBy(
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_no")
+        )
+        .agg(F.count("*").alias("active"))
+    )
+    from .ext.caching import swap_persist
+
+    tri = swap_persist("retention_decay_tri", tri)
+    base = tri.filter(F.col("week_no") == 0).select(
+        F.col("active").alias("cohort0")
+    )
+    pts = (
+        tri.filter((F.col("week_no") >= 1) & (F.col("active") > 0))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.floor(
+                F.log(F.col("week_no").cast("double")) * 1000000 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lx"),
+            F.floor(
+                F.log(
+                    F.col("active").cast("double") / F.col("cohort0")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ly"),
+        )
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("lx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("ly"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (F.col("n") * d("sxy") - d("sx") * F.col("sy")) / (
+        F.col("n") * d("sxx") - d("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_weeks"),
+        F.round(slope, 6).alias("decay_exponent"),
+        F.round((d("sy") - slope * F.col("sx")) / F.col("n") / 1000000, 6).alias(
+            "ln_r1"
+        ),
+    )

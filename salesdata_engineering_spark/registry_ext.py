@@ -5553,3 +5553,121 @@ def q_graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard_vs_prev"),
     )
     return out.orderBy("month")
+
+
+@register(
+    "text_cdc_chunking",
+    f"""
+    WITH b AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_filter(generate_series(1, greatest(length(text) - 7, 1)),
+                           i -> {sql_md5_long("substr(text, i, 8)")} % 64 = 0)
+                   AS cuts
+        FROM documents),
+    spans AS (
+        SELECT doc_id, text,
+               list_prepend(1, list_transform(cuts, x -> x)) AS starts,
+               list_append(list_transform(cuts, x -> x), n + 1) AS ends
+        FROM b),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(starts)),
+                      j -> substr(text, starts[j], ends[j] - starts[j])))
+                   AS chunk
+        FROM spans),
+    ch AS (
+        SELECT doc_id, md5(chunk) AS h, length(chunk) AS clen
+        FROM chunks WHERE length(chunk) > 0),
+    dedup AS (
+        SELECT h, count(*) AS occ, count(DISTINCT doc_id) AS docs
+        FROM ch GROUP BY h)
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_chunks,
+           round(CAST(SUM(clen) AS DOUBLE) / count(*), 6) AS avg_chunk_chars,
+           CAST((SELECT count(*) FROM dedup) AS BIGINT) AS distinct_chunks,
+           CAST((SELECT count(*) FROM dedup WHERE docs >= 2) AS BIGINT)
+               AS cross_doc_chunks,
+           round(1 - (SELECT count(*) FROM dedup)
+                     / CAST(count(*) AS DOUBLE), 6) AS chunk_dedup_share
+    FROM ch
+    """,
+    doc="Content-defined chunking (CDC): chunk boundaries fall where "
+    "the rolling 8-char-gram hash hits 0 mod 64 (expected ~64-char "
+    "chunks), so an edit moves only its local boundaries and "
+    "unchanged content re-chunks to IDENTICAL chunks — the property "
+    "fixed-width chunking (doc_chunking) lacks and the reason "
+    "storage dedup and incremental-ingest pipelines chunk this way; "
+    "the readout measures exactly that payoff (distinct vs total "
+    "chunks, chunks shared across docs). Boundary hashing reuses "
+    "the winnowing gram convention (same md5-substr spelling), so "
+    "chunk sets hash-match the oracle. Scale: boundaries and spans "
+    "are per-row array expressions (no explode until chunks emit, "
+    "no shuffle before the hash-agg on chunk hashes); the dedup "
+    "aggregate is the standard exact-dedup shape on 16-byte keys.",
+)
+def q_text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # substring with a dynamic start inside the lambda needs the
+    # expr-form of the boundary predicate (same md5-substr spelling as
+    # the winnowing grams)
+    b = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.expr(
+            "filter(sequence(1, greatest(length(text) - 7, 1)), "
+            "i -> conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10)"
+            " % 64 = 0)"
+        ).alias("cuts"),
+    )
+    spans = b.select(
+        "doc_id",
+        "text",
+        F.expr("concat(array(1), cuts)").alias("starts"),
+        F.expr("concat(cuts, array(n + 1))").alias("ends"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(starts)), "
+                "j -> substring(text, starts[j - 1], ends[j - 1] - starts[j - 1]))"
+            )
+        ).alias("chunk"),
+    )
+    ch = chunks.filter(F.length("chunk") > 0).select(
+        "doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
+    )
+    from .ext.caching import swap_persist
+
+    ch = swap_persist("cdc_chunks", ch)
+    dedup = ch.groupBy("h").agg(
+        F.count("*").alias("occ"), F.countDistinct("doc_id").alias("docs")
+    )
+    dsum = dedup.agg(
+        F.count("*").alias("distinct_chunks"),
+        F.sum(F.when(F.col("docs") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cross_doc_chunks"),
+    )
+    return (
+        ch.agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.round(F.sum("clen").cast("double") / F.count("*"), 6).alias(
+                "avg_chunk_chars"
+            ),
+        )
+        .crossJoin(F.broadcast(dsum))
+        .select(
+            "n_docs",
+            "n_chunks",
+            "avg_chunk_chars",
+            F.col("distinct_chunks").cast("bigint").alias("distinct_chunks"),
+            "cross_doc_chunks",
+            F.round(
+                1 - F.col("distinct_chunks") / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("chunk_dedup_share"),
+        )
+    )
