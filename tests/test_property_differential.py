@@ -253,3 +253,144 @@ def test_containment_pairs_matches_python_reference(spark):
         for r in containment_pairs(df, n=n, threshold=0.7).collect()
     }
     assert got == expect
+
+
+def test_global_ntile_equals_naive_ntile(spark):
+    """global_ntile must reproduce ntile(n) EXACTLY for any n and any
+    total order, including the first-tiles-get-one-extra-row split and
+    the n > rows degenerate case."""
+    from pyspark.sql import Window
+
+    from salesdata_engineering_spark.ops.sorts import global_ntile
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(997),  # prime row count: every tile split is uneven
+            "v": rng.integers(0, 500, 997),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for n_tiles in (3, 10, 64, 2000):
+        naive = {
+            r.k: r.t
+            for r in df.select(
+                "k", F.ntile(n_tiles).over(Window.orderBy("v", "k")).alias("t")
+            ).collect()
+        }
+        two_pass = {
+            r.k: r.tile
+            for r in global_ntile(
+                df, ["v", "k"], n_tiles, persist_key=f"gnt_{n_tiles}"
+            ).collect()
+        }
+        assert two_pass == naive, f"n_tiles={n_tiles} diverged"
+
+
+def test_dynamic_gap_sessions_match_python_reference(spark):
+    """The running-max gaps-and-islands rewrite (the oracle's logic)
+    must match a brute-force Python sessionizer under Spark's merge
+    rule (new session when ts >= max end so far), on adversarial data
+    where a long-gap event outlasts several short-gap successors."""
+    rng = np.random.default_rng(31)
+    rows = []
+    t = 0
+    for uid in range(20):
+        t = 0
+        for _ in range(200):
+            t += int(rng.integers(1, 900))
+            gap = 1800 if rng.random() < 0.2 else 600
+            rows.append((uid, t, gap))
+    # python reference
+    expected = {}
+    for uid in range(20):
+        evs = sorted((t, g) for u, t, g in rows if u == uid)
+        n_sessions = 0
+        end = None
+        for t, g in evs:
+            if end is None or t >= end:
+                n_sessions += 1
+                end = t + g
+            else:
+                end = max(end, t + g)
+        expected[uid] = n_sessions
+    pdf = pd.DataFrame(rows, columns=["user_id", "tus", "gap"])
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "eus")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = df.withColumn("eus", F.col("tus") + F.col("gap")).withColumn(
+        "runmax", F.max("eus").over(w)
+    )
+    got = {
+        r.user_id: r.n
+        for r in f.select(
+            "user_id",
+            F.when(
+                F.col("runmax").isNull() | (F.col("tus") >= F.col("runmax")), 1
+            )
+            .otherwise(0)
+            .alias("new_s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_band_join_bucket_explode_is_lossless(spark):
+    """The +-1-bucket explode band join must find EXACTLY the pairs a
+    naive theta-join finds for |a-b| <= width, for random values and
+    bucket-edge-straddling pairs alike."""
+    rng = np.random.default_rng(41)
+    n = 2_000
+    width = 500
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "g": rng.integers(0, 20, n),
+            # cluster near bucket edges on purpose
+            "x": (rng.integers(0, 40) * width + rng.integers(-3, 4, n)).astype(
+                "int64"
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "b", F.floor(F.col("x") / width).cast("long")
+    )
+    a = df.select(
+        F.col("id").alias("ida"), F.col("g").alias("ga"),
+        F.col("x").alias("xa"),
+        F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)).alias("bb"),
+    )
+    bside = df.select(
+        F.col("id").alias("idb"), F.col("g").alias("gb"),
+        F.col("x").alias("xb"), F.col("b").alias("bb"),
+    )
+    banded = (
+        a.join(bside, ["bb"])
+        .filter(
+            (F.col("ga") == F.col("gb"))
+            & (F.col("ida") < F.col("idb"))
+            & (F.abs(F.col("xa") - F.col("xb")) <= width)
+        )
+        .select("ida", "idb")
+    )
+    naive = (
+        df.alias("l")
+        .join(
+            df.alias("r"),
+            (F.col("l.g") == F.col("r.g"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (F.abs(F.col("l.x") - F.col("r.x")) <= width),
+        )
+        .select(F.col("l.id").alias("ida"), F.col("r.id").alias("idb"))
+    )
+    got = {(r.ida, r.idb) for r in banded.collect()}
+    want = {(r.ida, r.idb) for r in naive.collect()}
+    assert got == want
