@@ -4250,3 +4250,130 @@ def q_sql_scripting_bisect_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return script.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "numeric_corr_matrix",
+    """
+    WITH v AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS p,
+               CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT) AS d,
+               CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000 AS BIGINT) AS t
+        FROM lineitem),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(SUM(q) AS DECIMAL(38,0)) AS sq,
+               CAST(SUM(p) AS DECIMAL(38,0)) AS sp,
+               CAST(SUM(d) AS DECIMAL(38,0)) AS sd,
+               CAST(SUM(t) AS DECIMAL(38,0)) AS st,
+               CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS sqq,
+               CAST(SUM(CAST(p AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS spp,
+               CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sdd,
+               CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS stt,
+               CAST(SUM(CAST(q AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS sqp,
+               CAST(SUM(CAST(q AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sqd,
+               CAST(SUM(CAST(q AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS sqt,
+               CAST(SUM(CAST(p AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS spd,
+               CAST(SUM(CAST(p AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS spt,
+               CAST(SUM(CAST(d AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS sdt
+        FROM v),
+    pairs AS (
+        SELECT 'quantity~extendedprice' AS pair,
+               CAST(sqp AS DOUBLE) AS sxy, CAST(sq AS DOUBLE) AS sx,
+               CAST(sp AS DOUBLE) AS sy, CAST(sqq AS DOUBLE) AS sxx,
+               CAST(spp AS DOUBLE) AS syy, n FROM m
+        UNION ALL
+        SELECT 'quantity~discount', CAST(sqd AS DOUBLE), CAST(sq AS DOUBLE),
+               CAST(sd AS DOUBLE), CAST(sqq AS DOUBLE), CAST(sdd AS DOUBLE), n
+        FROM m
+        UNION ALL
+        SELECT 'quantity~tax', CAST(sqt AS DOUBLE), CAST(sq AS DOUBLE),
+               CAST(st AS DOUBLE), CAST(sqq AS DOUBLE), CAST(stt AS DOUBLE), n
+        FROM m
+        UNION ALL
+        SELECT 'extendedprice~discount', CAST(spd AS DOUBLE),
+               CAST(sp AS DOUBLE), CAST(sd AS DOUBLE), CAST(spp AS DOUBLE),
+               CAST(sdd AS DOUBLE), n FROM m
+        UNION ALL
+        SELECT 'extendedprice~tax', CAST(spt AS DOUBLE), CAST(sp AS DOUBLE),
+               CAST(st AS DOUBLE), CAST(spp AS DOUBLE), CAST(stt AS DOUBLE), n
+        FROM m
+        UNION ALL
+        SELECT 'discount~tax', CAST(sdt AS DOUBLE), CAST(sd AS DOUBLE),
+               CAST(st AS DOUBLE), CAST(sdd AS DOUBLE), CAST(stt AS DOUBLE), n
+        FROM m)
+    SELECT pair,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS pearson_r
+    FROM pairs ORDER BY pair
+    """,
+    doc="Pairwise Pearson correlation matrix over the four lineitem "
+    "measures (quantity, extended price, discount, tax) — the "
+    "numeric-profile screen a modeling pipeline runs before feature "
+    "selection (collinear measures, degenerate columns). ONE fact "
+    "scan computes all 14 power sums (each measure quantized to its "
+    "exact integer grid first: cents resp. basis points), then the "
+    "six correlations are closed-form doubles off that 1-row frame — "
+    "adding measures grows the sum list, never the scan count. "
+    "DECIMAL(38,0) accumulators because cent-scale squares times "
+    "warehouse row counts overflow BIGINT. Scale: single "
+    "partial+final aggregate; readout is 6 rows.",
+)
+def q_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    v = li.select(
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+        (F.col("l_discount").cast("decimal(8,4)") * 10000)
+        .cast("bigint")
+        .alias("d"),
+        (F.col("l_tax").cast("decimal(8,4)") * 10000).cast("bigint").alias("t"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = v.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(dec(c)).cast("decimal(38,0)").alias(f"s{c}")
+            for c in ("q", "p", "d", "t")
+        ],
+        *[
+            F.sum(dec(a) * F.col(b)).cast("decimal(38,0)").alias(f"s{a}{b}")
+            for a, b in (
+                ("q", "q"), ("p", "p"), ("d", "d"), ("t", "t"),
+                ("q", "p"), ("q", "d"), ("q", "t"),
+                ("p", "d"), ("p", "t"), ("d", "t"),
+            )
+        ],
+    )
+    from .ext.caching import swap_persist
+
+    m = swap_persist("corr_matrix_sums", m)
+    names = {
+        ("q", "p"): "quantity~extendedprice",
+        ("q", "d"): "quantity~discount",
+        ("q", "t"): "quantity~tax",
+        ("p", "d"): "extendedprice~discount",
+        ("p", "t"): "extendedprice~tax",
+        ("d", "t"): "discount~tax",
+    }
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    outs = []
+    for (a, b), label in names.items():
+        r = (F.col("n") * dd(f"s{a}{b}") - dd(f"s{a}") * dd(f"s{b}")) / F.sqrt(
+            (F.col("n") * dd(f"s{a}{a}") - dd(f"s{a}") * dd(f"s{a}"))
+            * (F.col("n") * dd(f"s{b}{b}") - dd(f"s{b}") * dd(f"s{b}"))
+        )
+        outs.append(
+            m.select(F.lit(label).alias("pair"), F.round(r, 6).alias("pearson_r"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("pair")
