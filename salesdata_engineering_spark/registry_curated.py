@@ -4377,3 +4377,48 @@ def q_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("pair")
+
+
+@register(
+    "sql_parameterized_revenue_bands",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 200000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           round(CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+                                    >= 200000 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS large_share
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Parameterized SQL surface (Spark 3.4+ named parameter "
+    "markers): the query text carries :status and :threshold "
+    "placeholders and the VALUES arrive through spark.sql(..., "
+    "args={...}) — the injection-safe templating path an "
+    "application layer should use instead of string formatting "
+    "(parameters are bound as literals by the parser, never "
+    "concatenated). Semantically a plain filtered band aggregate, "
+    "so the oracle inlines the same constants. Scale: pushed "
+    "filter + partial/final agg; the parameter binding is purely a "
+    "front-end surface.",
+)
+def q_sql_parameterized_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+                                  >= :threshold THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_large,
+               round(CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+                                        >= :threshold THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS large_share
+        FROM orders
+        WHERE o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "threshold": 200000},
+    )

@@ -60,3 +60,43 @@ def test_queries_and_oracles_aligned():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_observe_metrics_match_recompute(spark, sf_dir):
+    """Observation API (CollectMetrics): in-flight metrics collected
+    during one mart pass must equal a separate aggregate recompute —
+    the zero-extra-scan pipeline-telemetry surface."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from salesdata_engineering_spark.datasets import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+    n_rows = observed.count()  # one action materializes the metrics
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    ).collect()[0]
+    assert obs.get["n"] == direct.n == n_rows
+    assert obs.get["total"] == direct.total
+
+
+def test_to_arrow_roundtrip_matches_to_pandas(spark, sf_dir):
+    """Spark 4 DataFrame.toArrow(): the Arrow table must carry the
+    same rows/values as toPandas for a mixed-type frame."""
+    from salesdata_engineering_spark.datasets import load_tables
+
+    nation = load_tables(spark, sf_dir)["nation"]
+    at = nation.toArrow()
+    pd_direct = nation.toPandas()
+    assert at.num_rows == len(pd_direct)
+    assert set(at.column_names) == set(pd_direct.columns)
+    assert sorted(at.column("n_name").to_pylist()) == sorted(
+        pd_direct["n_name"].tolist()
+    )
