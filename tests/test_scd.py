@@ -87,3 +87,40 @@ def test_incremental_equals_full_at_any_cutoff(spark, tables):
         )
         got = {r.o_orderpriority: (str(r.s), r.n) for r in merged.collect()}
         assert got == full, f"cutoff {cutoff}: incremental != full"
+
+
+def test_merge_into_api_gated_to_v2_tables(spark, tables):
+    """Spark 4 DataFrame.mergeInto: the builder API resolves (alias-
+    qualified condition, updateAll/insertAll clauses), and the v1
+    parquet catalog rejects execution with UNSUPPORTED_FEATURE.
+    TABLE_OPERATION — pinning exactly where the engine's CDC merge
+    (cdc_apply_changes / scd2_merge) takes over until a v2 catalog
+    (Delta/Iceberg) is attached. If this test ever FAILS because the
+    merge succeeded, a v2 catalog arrived: wire cdc_apply_changes'
+    foreachBatch sink to native MERGE and retire the anti-join
+    rewrite."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    spark.sql("DROP TABLE IF EXISTS merge_gate_probe")
+    spark.range(5).withColumn("v", F.col("id") * 10).write.saveAsTable(
+        "merge_gate_probe"
+    )
+    try:
+        src = spark.range(3, 8).withColumn("v", F.col("id") * 100).alias("s")
+        builder = (
+            src.mergeInto("merge_gate_probe", F.expr("merge_gate_probe.id = s.id"))
+            .whenMatched()
+            .updateAll()
+            .whenNotMatched()
+            .insertAll()
+        )
+        with pytest.raises(Exception) as exc:
+            builder.merge()
+        assert "UNSUPPORTED_FEATURE.TABLE_OPERATION" in str(exc.value), (
+            "v1 parquet table accepted MERGE INTO — a v2 catalog is "
+            f"present; revisit the CDC path. Got: {exc.value}"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_gate_probe")
