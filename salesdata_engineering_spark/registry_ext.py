@@ -5671,3 +5671,152 @@ def q_text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_dedup_share"),
         )
     )
+
+
+@register(
+    "sketch_kmv_union",
+    f"""
+    WITH h AS (
+        SELECT r_name AS region, c_custkey,
+               {sql_md5_long("c_custkey::VARCHAR", "kmv")} AS hv
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey),
+    dh AS (SELECT region, hv FROM h GROUP BY 1, 2),
+    bk AS (
+        SELECT region, hv
+        FROM (SELECT region, hv,
+                     row_number() OVER (PARTITION BY region ORDER BY hv) AS rn
+              FROM dh) WHERE rn <= 64),
+    prs AS (
+        SELECT a.region AS region_a, b.region AS region_b
+        FROM (SELECT DISTINCT region FROM bk) a
+        JOIN (SELECT DISTINCT region FROM bk) b ON a.region < b.region),
+    merged AS (
+        SELECT region_a, region_b, hv
+        FROM prs JOIN bk ON bk.region IN (region_a, region_b)
+        GROUP BY 1, 2, 3),
+    kth AS (
+        SELECT region_a, region_b,
+               max(CASE WHEN rn = 64 THEN hv END) AS hk,
+               count(*) AS nm
+        FROM (SELECT region_a, region_b, hv,
+                     row_number() OVER (PARTITION BY region_a, region_b
+                                        ORDER BY hv) AS rn
+              FROM merged) WHERE rn <= 64
+        GROUP BY 1, 2),
+    exact AS (
+        SELECT p.region_a, p.region_b,
+               count(DISTINCT dh.hv) AS exact_union
+        FROM prs p JOIN dh ON dh.region IN (p.region_a, p.region_b)
+        GROUP BY 1, 2),
+    est AS (
+        SELECT kth.region_a, kth.region_b,
+               CAST(exact_union AS BIGINT) AS exact_union,
+               CASE WHEN nm >= 64
+                    THEN round(63 / (CAST(hk AS DOUBLE)
+                                     / 1152921504606846976), 4)
+                    ELSE CAST(nm AS DOUBLE) END AS kmv_union_estimate
+        FROM kth JOIN exact USING (region_a, region_b))
+    SELECT region_a, region_b, exact_union, kmv_union_estimate,
+           round(abs(kmv_union_estimate - exact_union)
+                 / exact_union * 100, 4) AS rel_error_pct
+    FROM est ORDER BY region_a, region_b
+    """,
+    doc="KMV sketch UNION: the per-region bottom-64 sketches of "
+    "sketch_kmv_distinct merge by keeping the 64 smallest of the "
+    "combined hash sets, and the merged k-th minimum estimates the "
+    "distinct-customer count of each region PAIR — the mergeability "
+    "property that makes bottom-k sketches composable across "
+    "partitions, days, or tenants without touching raw data (union "
+    "of sketches = sketch of union, exactly). Exact pair-union "
+    "counts ride along for the measured relative error; pairs whose "
+    "merged sketch holds fewer than k values short-circuit to the "
+    "exact count like the base sketch. Scale: the pair expansion "
+    "runs on the k-row sketches (10 pairs x 128 hashes), never on "
+    "customers — the whole point; only the exactness audit reads "
+    "the full hash sets, and a production rollup would drop it.",
+)
+def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    K = 64
+    TWO60 = float(1 << 60)
+    h = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            md5_long(F.col("c_custkey").cast("string"), "kmv").alias("hv"),
+        )
+    )
+    dh = h.groupBy("region", "hv").agg(F.lit(1).alias("_o")).drop("_o")
+    from .ext.caching import swap_persist
+
+    dh = swap_persist("kmv_union_dh", dh)
+    wr = Window.partitionBy("region").orderBy("hv")
+    bk = (
+        dh.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= K)
+        .select("region", "hv")
+    )
+    regions = bk.select("region").distinct()
+    prs = (
+        regions.select(F.col("region").alias("region_a"))
+        .crossJoin(regions.select(F.col("region").alias("region_b")))
+        .filter(F.col("region_a") < F.col("region_b"))
+    )
+    merged = (
+        prs.join(
+            F.broadcast(bk),
+            F.col("region").isin(F.col("region_a"), F.col("region_b")) == F.lit(True),
+        )
+        .select("region_a", "region_b", "hv")
+        .groupBy("region_a", "region_b", "hv")
+        .agg(F.lit(1).alias("_o"))
+        .drop("_o")
+    )
+    wp = Window.partitionBy("region_a", "region_b").orderBy("hv")
+    kth = (
+        merged.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= K)
+        .groupBy("region_a", "region_b")
+        .agg(
+            F.max(F.when(F.col("rn") == K, F.col("hv"))).alias("hk"),
+            F.count("*").alias("nm"),
+        )
+    )
+    exact = (
+        prs.join(
+            dh,
+            F.col("region").isin(F.col("region_a"), F.col("region_b")) == F.lit(True),
+        )
+        .groupBy("region_a", "region_b")
+        .agg(F.countDistinct("hv").alias("exact_union"))
+    )
+    est = F.when(
+        F.col("nm") >= K,
+        F.round(
+            F.lit(float(K - 1)) / (F.col("hk").cast("double") / TWO60), 4
+        ),
+    ).otherwise(F.col("nm").cast("double"))
+    return (
+        kth.join(exact, ["region_a", "region_b"])
+        .select(
+            "region_a",
+            "region_b",
+            F.col("exact_union").cast("bigint").alias("exact_union"),
+            est.alias("kmv_union_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_union")) / F.col("exact_union") * 100,
+                4,
+            ).alias("rel_error_pct"),
+        )
+        .orderBy("region_a", "region_b")
+    )
