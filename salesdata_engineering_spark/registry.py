@@ -640,40 +640,51 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "interval_join_click_error",
     "stream_tumbling_counts",
     "stream_stateful_totals",
-    # r5 analytics families rotated INTO the window r6 (VERDICT #3):
-    # sessionized funnel, Markov transition matrix, RFM segmentation,
-    # market-basket affinity, CDC snapshot, substring-span dedup
-    "events_session_funnel",
+    # events analytics reps, rotated r8 (VERDICT r7 #3): the r6 cohort
+    # (session funnel, RFM, basket affinity — driver-green r6+r7) moves
+    # to the tail; the round-7 additions DAU/MAU stickiness and Shapley
+    # attribution get their first driver check. Transition matrix and
+    # CDC stay (Markov + maintenance rows keep their window rep).
     "events_transition_matrix",
-    "customer_rfm_segments",
-    "basket_brand_affinity",
+    "events_dau_mau_stickiness",
+    "events_attribution_shapley",
     "cdc_apply_changes",
-    "dedup_substring_spans",
-    # dimension maintenance
-    "scd2_customer_segments",
+    # temporal-join family: the r7 point-in-time join joins asof/interval
+    "pit_join_orders_segments",
+    # stats second rep: KS two-sample (r7 surface) alongside Welch
+    "stats_ks_two_sample",
+    # sketch family's first driver check (KMV distinct estimator)
+    "sketch_kmv_distinct",
     # LLM-pipeline extensions: text, dedup, similarity, multimodal, sampling
+    # (winnow fingerprint, doc chunking, substring-span dedup and SCD2 —
+    # all driver-green r5/r6+r7 — rotated to the tail r8; their families
+    # keep text_profile/pii/repetition, dedup_exact/clusters/minhash,
+    # and cdc_apply_changes as window reps)
     "text_profile",
-    "text_winnow_fingerprint",
     "text_pii_scrub",
     "text_repetition_score",
-    "doc_chunking",
     "pack_training_sequences",
     "dedup_exact",
     "dedup_cluster_components",
     "contamination_ngram_overlap",
     "dedup_minhash_lsh",
+    # r8 rotation: n-gram containment (asymmetric near-dup, r7 surface)
+    "dedup_containment",
     "sim_cosine_topk",
     # composed IVF+quantized supersedes plain IVF as the X7 window rep
     # (same cell machinery plus the quantized scan; plain IVF stays
     # registered in the tail, pytest-oracle-checked). r7 rotation: the
-    # new IVF-PQ (cell-gated ADC scan) replaces the LSH rep — LSH
-    # bucketing stays covered by sim_embedding_near_dup's multi-table
-    # sign-bit buckets, and lsh_ann stays pytest-checked in the tail.
+    # new IVF-PQ (cell-gated ADC scan) replaced the LSH rep. r8: the
+    # persisted-index SERVE path (ext/ann_index.py — the canonical ANN
+    # timing per VERDICT r7 #2) replaces sim_embedding_near_dup
+    # (driver-green r6+r7; sign-bit bucketing stays pytest-checked).
     "sim_ivf_quantized_topk",
     "sim_ivf_pq_topk",
-    "sim_embedding_near_dup",
+    "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",
+    # sampling second rep: stratified k-fold (r7 surface, first check)
+    "sample_kfold_stratified",
     "corpus_curation_pipeline",
 )
 

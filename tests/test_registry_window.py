@@ -46,41 +46,43 @@ REQUIRED_IN_WINDOW = {
     "join_skew_salted",
     "stats_welch_ttest",
     # events + streaming + temporal joins (session_windows and
-    # stream_stream_join in the tail since r6; sessionization is
-    # represented by events_session_funnel)
+    # stream_stream_join in the tail since r6; session funnel/RFM/basket
+    # rotated to the tail r8 after two green rounds — the transition
+    # matrix keeps the Markov row, and the r7 additions DAU/MAU
+    # stickiness + Shapley attribution take their first driver check)
     "events_tumbling_counts",
     "asof_click_purchase",
     "interval_join_click_error",
+    "pit_join_orders_segments",
     "stream_tumbling_counts",
     "stream_stateful_totals",
-    # r6 rotation: round-5 analytics families now in the hard window
-    "events_session_funnel",
     "events_transition_matrix",
-    "customer_rfm_segments",
-    "basket_brand_affinity",
+    "events_dau_mau_stickiness",
+    "events_attribution_shapley",
     "cdc_apply_changes",
-    "dedup_substring_spans",
-    # dimension maintenance
-    "scd2_customer_segments",
-    # LLM-pipeline extensions
+    # stats second rep + sketch family first driver check (r8 rotation)
+    "stats_ks_two_sample",
+    "sketch_kmv_distinct",
+    # LLM-pipeline extensions (winnow/doc_chunking/substring-spans/SCD2
+    # rotated to the tail r8; families keep reps per registry comment)
     "text_profile",
-    "text_winnow_fingerprint",
     "text_pii_scrub",
     "text_repetition_score",
-    "doc_chunking",
     "pack_training_sequences",
     "dedup_exact",
     "dedup_cluster_components",
     "contamination_ngram_overlap",
     "dedup_minhash_lsh",
+    "dedup_containment",
     "sim_cosine_topk",
-    # ANN reps since r7: composed IVF+quantized and IVF-PQ (LSH rep in
-    # the tail; sign-bit bucketing still covered by embedding_near_dup)
+    # ANN reps: composed IVF+quantized, IVF-PQ, and (since r8) the
+    # persisted-index serve path — the canonical ANN timing
     "sim_ivf_quantized_topk",
     "sim_ivf_pq_topk",
-    "sim_embedding_near_dup",
+    "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",
+    "sample_kfold_stratified",
     "corpus_curation_pipeline",
 }
 
@@ -105,6 +107,16 @@ def test_umbrella_constituents_still_registered():
     for name in (
         # demoted from the window (family already represented there) —
         # must stay registered + pytest-oracle-checked in the tail
+        # r8 rotation outs (driver-green r5/r6 + r7):
+        "events_session_funnel",
+        "customer_rfm_segments",
+        "basket_brand_affinity",
+        "dedup_substring_spans",
+        "scd2_customer_segments",
+        "text_winnow_fingerprint",
+        "doc_chunking",
+        "sim_embedding_near_dup",
+        # earlier rotations:
         "graph_pagerank_bipartite",
         "global_topk_orders",
         "window_analytics_suite",
