@@ -194,6 +194,93 @@ def search_ivf_pq_index(
     )
 
 
+def encode_batch_for_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    *,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode a NEW batch against a persisted index's frozen geometry.
+
+    Returns the (id, s, code, cid) coded rows for ``batch`` using the
+    index's PERSISTED centroids and codebooks — both tiny, both
+    broadcast. The plan reads the batch, ``<dir>/centroids`` and
+    ``<dir>/codebooks`` and nothing else: the existing posting lists
+    (``<dir>/codes``) are never scanned, which is what makes append
+    O(|batch|) instead of O(corpus). Split out from
+    :func:`append_ivf_pq_index` so tests can assert that plan shape
+    directly.
+
+    Because the geometry is frozen, encoding a batch here is
+    bit-identical to what :func:`build_ivf_pq_index` would have coded
+    for the same rows in a full rebuild — PROVIDED the batch contains
+    none of the strided centroid/codebook sample ids (else the rebuild
+    would have picked different geometry). Callers own that split;
+    the registered query derives the batch predicate from the same
+    stride/step arithmetic the build uses.
+    """
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    dim, n_sub = meta["dim"], meta["n_sub"]
+    id_col = id_col or meta["id_col"]
+    cents = F.broadcast(
+        spark.read.parquet(f"{index_dir}/centroids").select(
+            "cid", "_cvec", norm_fold("_cvec", dim).alias("_cn")
+        )
+    )
+    cells = _assign_cells(
+        _spread(batch).select(id_col, vec_col), cents, id_col, 1, vec_col, dim
+    )
+    chunks = _pq_chunks_expr(n_sub, dim // n_sub)
+    cb = F.broadcast(spark.read.parquet(f"{index_dir}/codebooks"))
+    batch_chunks = cells.select(
+        F.col(id_col),
+        "cid",
+        F.posexplode(F.expr(chunks.format(v=vec_col))).alias("s", "_vchunk"),
+    )
+    return _pq_encode(batch_chunks, cb, [id_col, "cid"]).select(
+        id_col, "s", "code", "cid"
+    )
+
+
+def append_ivf_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    *,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> str:
+    """Incrementally add ``batch`` to a persisted IVF-PQ index — the
+    production operation a 100 TB corpus needs where full rebuilds are
+    not an option (VERDICT r7 item 2; the asymmetric-new-batch pattern
+    of ``dedup_incremental_new_batch``, applied to the ANN index).
+
+    Mechanics: encode the batch against the index's frozen
+    centroids/codebooks (:func:`encode_batch_for_index` — broadcast
+    geometry, batch-only scan) and APPEND the coded rows into the
+    cid-partitioned posting lists. Only the partitions of cells the
+    batch actually lands in receive new files; every pre-existing file
+    is untouched (asserted by test_ann_index.py at the filesystem
+    level).
+
+    Crash safety: Spark's file committer stages task output under
+    ``codes/_temporary`` and publishes at job commit; readers ignore
+    ``_``-prefixed paths, so a crash mid-append leaves the OLD index
+    fully intact and the retry is idempotent-by-rerun. ``<dir>/meta``
+    is deliberately IMMUTABLE under append: everything serve-time reads
+    from it (dim, n_sub, id_col) is invariant across appends, and its
+    ``n`` documents the BASE build — leaving it untouched means there
+    is no meta-rewrite crash window at all.
+    """
+    enc = encode_batch_for_index(
+        spark, index_dir, batch, id_col=id_col, vec_col=vec_col
+    )
+    enc.write.mode("append").partitionBy("cid").parquet(f"{index_dir}/codes")
+    return index_dir
+
+
 def corpus_fingerprint(data_dir: str, table: str = "embeddings.parquet") -> str:
     """Content key for index caching: md5 over the corpus parquet file
     inventory (path, size, mtime_ns).  Any regeneration of the testdata

@@ -2188,6 +2188,80 @@ def q_sim_ivf_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_pq_index_append",
+    _SQL_IVF_PQ,
+    doc="X2 incremental ANN index maintenance (ext/ann_index.py "
+    "append_ivf_pq_index — VERDICT r7 item 2): build the persisted "
+    "IVF-PQ index over ~90% of the corpus, APPEND the held-out batch "
+    "against the frozen geometry (broadcast centroids/codebooks, "
+    "batch-only scan, new files land only in the batch's cell "
+    "partitions), then serve — proving append+serve IS rebuild+serve: "
+    "the oracle is the SAME full-corpus _SQL_IVF_PQ that covers the "
+    "rebuild and serve paths, so a hash match here means the appended "
+    "index is bit-identical to one built from scratch. The held-out "
+    "batch is every 10th id (mod 10 == 7) minus the strided "
+    "centroid/codebook sample ids — exactly the ids whose absence "
+    "cannot perturb the frozen geometry, mirroring how production "
+    "appends arrive AFTER the trained geometry is pinned. Staged "
+    "publication: base build + append happen under <dir>.stage and "
+    "one rename publishes, so a crash mid-sequence can never leave a "
+    "cached index missing its batch.",
+)
+def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from .ext.ann_index import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        corpus_fingerprint,
+        search_ivf_pq_index,
+    )
+    from .fsops import _fs_and_path
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    n = corpus.count()
+    stride = _ivf_stride(corpus, n)
+    step = max(1, n // 64)
+    # the late-arriving batch: ~10% of ids, excluding the strided
+    # centroid (id % stride == 0) and PQ-codebook (id % step == 0,
+    # id < 64*step) sample ids so the base build's geometry equals the
+    # full build's — the precondition for append == rebuild
+    is_batch = (
+        (F.col("vec_id") % 10 == 7)
+        & (F.col("vec_id") % stride != 0)
+        & ~((F.col("vec_id") % step == 0) & (F.col("vec_id") < 64 * step))
+    )
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".data", "ann_index",
+    )
+    key_src = corpus_fingerprint(sf_dir) + f"append:{stride}:{step}:{n}"
+    idx = os.path.join(
+        cache_root, f"ivf_pq_app_{hashlib.md5(key_src.encode()).hexdigest()[:16]}"
+    )
+    if not (os.path.isdir(idx) and os.path.isdir(f"{idx}/codes")):
+        os.makedirs(cache_root, exist_ok=True)
+        stage = f"{idx}.stage"
+        build_ivf_pq_index(
+            spark, corpus.filter(~is_batch), stage,
+            stride=stride, n_codes=64, corpus_count=n,
+        )
+        append_ivf_pq_index(spark, stage, corpus.filter(is_batch))
+        fs, live_p = _fs_and_path(spark, idx)
+        stage_p = _fs_and_path(spark, stage)[1]
+        if fs.exists(live_p):
+            fs.delete(live_p, True)
+        if not fs.rename(stage_p, live_p):
+            raise IOError(f"publish failed: rename {stage} -> {idx}")
+    return search_ivf_pq_index(
+        spark, idx, corpus, _queries_subset(corpus),
+        k=5, m_cand=40, nprobe=_IVF_NPROBE,
+    )
+
+
+@register(
     "sim_ivf_pq_trained_topk",
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
