@@ -10,6 +10,7 @@ driver applies, we pass.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -23,7 +24,12 @@ from salesdata_engineering_spark.schemas import TESTDATA_TABLES
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata is one file per table; derived scale data
+        # (tools/gen_sf1.py) is a DIRECTORY of part files per table —
+        # DuckDB needs the glob form for the latter
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
