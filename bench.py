@@ -4,14 +4,22 @@
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "extras": {name: sec}, "sf1": summary, "sf": ...}.
+"queries": {name: sec}, "extras": {name: sec}, "sf1": summary,
+"sf3": summary, "env": co-load markers, "sf": ...}.
 "extras" (end-to-end pipeline, layout controls) are timed identically but
 kept out of the headline total so "value" compares round-over-round.
-The full record — including the per-query sf1 timings/ratios/spreads —
+The full record — including the per-query sf1/sf3 timings/ratios/spreads —
 goes to BENCH_LOCAL.json and stderr, NOT stdout: the driver retains only
 a bounded tail of stdout, and round 6's inlined sf1 block pushed the
 line's head past it (BENCH_r06 `parsed: null`). See the output-protocol
 comment in main().
+
+Round-8 additions (VERDICT r7 items 1/5/6):
+* ``env`` — loadavg + fixed-work calibration probes at every section
+  boundary, so co-load is machine-readable IN the artifact.
+* ``sf3`` — a 3x depth rung above sf1 for the 10 queries with the
+  largest sf1 medians (ratio 3.0 = linear).
+* ``--ab q1,q2`` — interleaved A/B mode for regression classification.
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect cost). A warmup query first amortizes JVM/codegen startup
@@ -24,6 +32,7 @@ deltas on ~1 s queries were unreliable.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -57,6 +66,112 @@ HEADLINE = [
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def probe_env(spark) -> dict:
+    """Machine-readable co-load marker (VERDICT r7 item 1).
+
+    Two independent signals, sampled at section boundaries so the
+    artifact itself carries the load context instead of it being
+    re-litigated each round:
+
+    * ``load1`` — 1-minute os.getloadavg(). On this box idle ≈ the
+      engine's own Spark threads; values far above ncpus during a
+      section mean an external co-tenant was competing for cores.
+    * ``calib_sec`` — wall time of a FIXED data-independent probe
+      (sum over a generated 200M range, pure JVM whole-stage codegen,
+      32 fixed input slices, no shuffle, no I/O). Identical work every
+      sample, so any drift between samples is scheduling noise or
+      co-load by construction — the per-round comparison baseline the
+      r6/r7 post-hoc repairs lacked. The probe's own JIT warm-up
+      (observed 0.47 s -> 0.12 s over cold samples) would read as
+      phantom load DECAY across markers, so the first call runs three
+      UNTIMED passes and every marker reports the median of three
+      timed passes — a genuine co-load episode lasting seconds hits
+      all three, while residual single-pass JIT/GC outliers are
+      trimmed.
+    """
+    run = lambda: (  # noqa: E731
+        spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id % 7) AS s").collect()
+    )
+    if not getattr(probe_env, "_warmed", False):
+        run(), run(), run()
+        probe_env._warmed = True
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    calib = round(statistics.median(ts), 3)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg — keep the calib probe
+        load1 = None
+    return {"calib_sec": calib, "load1": load1}
+
+
+def run_ab(spark, sf_dir: str, names: list[str], rounds: int) -> None:
+    """Interleaved A/B regression probe (VERDICT r7 item 6).
+
+    ``bench.py --ab q1,q2[,...]`` times the named queries INTERLEAVED
+    (one warmup each, then alternating passes in ABBA order across
+    rounds) so slow co-load drift hits every variant equally — the
+    discipline used by hand to classify the r6 `sales_team_mart` and
+    r7 shared-surface "regressions" as noise, now one command. Prints
+    ONE JSON line: per-query samples + median plus env probes, and
+    skips the headline/sf1/sf3 sections entirely.
+    """
+    missing = [n for n in names if n not in QUERIES]
+    if missing:
+        raise SystemExit(f"--ab: unknown queries {missing}")
+    env_start = probe_env(spark)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for n in names:  # one untimed warmup each (codegen/FS caches)
+        force(QUERIES[n].fn(spark, sf_dir))
+        spark.catalog.clearCache()
+    for i in range(rounds):
+        # ABBA: reverse order on odd passes so a monotone load ramp
+        # cannot systematically favor whichever variant runs first
+        for n in names if i % 2 == 0 else names[::-1]:
+            t0 = time.perf_counter()
+            force(QUERIES[n].fn(spark, sf_dir))
+            samples[n].append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "metric": "ab_interleaved",
+                "unit": "sec",
+                "queries": {
+                    n: {
+                        "median": round(statistics.median(s), 3),
+                        "min": min(s),
+                        "max": max(s),
+                        "samples": s,
+                    }
+                    for n, s in samples.items()
+                },
+                "rounds": rounds,
+                "order": "ABBA",
+                "env": {"start": env_start, "end": probe_env(spark)},
+                "sf_dir": sf_dir,
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+def _load_gen_module():
+    """tools/gen_sf1.py as a module (shared by the sf1 and sf3 sections)."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "gen_sf1", os.path.join(repo, "tools", "gen_sf1.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    return gen
 
 
 def _measure_samples(spark, runs: int, run_once) -> list[float]:
@@ -112,14 +227,40 @@ def _split_layout_dir(spark, sf_dir: str, table: str = "lineitem") -> str:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--ab",
+        default=None,
+        metavar="Q1,Q2",
+        help="interleaved A/B mode: time ONLY these queries, alternating "
+        "(ABBA), and print one JSON line of samples — the regression-"
+        "classification tool; skips headline/sf1/sf3",
+    )
+    ap.add_argument(
+        "--ab-rounds",
+        type=int,
+        default=5,
+        help="timed passes per query in --ab mode (default 5)",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="salesdata-engine-bench")
+
+    if args.ab:
+        run_ab(spark, sf_dir, [n for n in args.ab.split(",") if n], args.ab_rounds)
+        spark.stop()
+        return
 
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in QUERIES if n not in names and QUERIES[n].bench]
 
     force(QUERIES[names[0]].fn(spark, sf_dir))  # warmup: JVM + codegen + FS caches
+
+    # co-load markers at every section boundary (VERDICT r7 item 1);
+    # sampled AFTER warmup so the calib probe is itself steady-state
+    env_probes: dict[str, dict] = {"start": probe_env(spark)}
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
@@ -127,6 +268,7 @@ def main() -> None:
         timings[name] = _measure(
             spark, runs, lambda: force(QUERIES[name].fn(spark, sf_dir))
         )
+    env_probes["after_headline"] = probe_env(spark)
 
     # Extras are timed the same way but reported OUTSIDE the headline
     # total so "value" stays comparable round-over-round (they are not
@@ -178,6 +320,7 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
+    env_probes["after_extras"] = probe_env(spark)
 
     # sf1 scale-ratio section (VERDICT r5 ask #1): rerun the headline set
     # at ~10x the data (6M lineitem rows, derived from the read-only
@@ -194,6 +337,8 @@ def main() -> None:
     # "superlinear bug"). Any sf1-side failure degrades to sf1=null —
     # the base JSON line must never be lost to the extra section.
     sf1_block = None
+    sf1_timings: dict[str, float] = {}
+    sf1_dir = None
     sf1_src = "/root/testdata/sf0.1"
     base_is_src = os.path.realpath(sf_dir) == os.path.realpath(sf1_src)
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and base_is_src:
@@ -203,21 +348,13 @@ def main() -> None:
                 "SPARK_GRAFT_SF1_DIR", os.path.join(repo, ".data", "sf1")
             )
             if not os.path.isdir(sf1_dir):
-                import importlib.util
-
-                spec = importlib.util.spec_from_file_location(
-                    "gen_sf1", os.path.join(repo, "tools", "gen_sf1.py")
-                )
-                gen = importlib.util.module_from_spec(spec)
-                spec.loader.exec_module(gen)
-                gen.generate(spark, sf1_src, sf1_dir)
+                _load_gen_module().generate(spark, sf1_src, sf1_dir)
             # default 2 timed runs since round 7: the r6 single-run sf1
             # numbers were taken on a co-loaded box and disagreed with
             # in-round observations by up to 1.7x with no way to tell
             # noise from regression (VERDICT r6 item 7) — medians of >=2
             # runs plus the recorded per-query spread settle that.
             sf1_runs = max(1, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2")))
-            sf1_timings: dict[str, float] = {}
             sf1_spread: dict[str, list[float]] = {}
             for name in names:
                 samples = _measure_samples(
@@ -239,6 +376,63 @@ def main() -> None:
             }
         except Exception as exc:  # degrade, never kill the base output
             sf1_block = {"error": str(exc)[:300]}
+    env_probes["after_sf1"] = probe_env(spark)
+
+    # sf3 depth rung (VERDICT r7 item 5): one more 3x step up the scale
+    # ladder for the 10 most expensive queries BY THEIR OWN sf1 MEDIAN
+    # (the selection the verdict asked for — the cheap scheduling-bound
+    # queries reveal nothing new at 3x). Data is derived from the sf1
+    # dataset by the same key-shifted decorrelated replication (reps=3:
+    # per-token suffixes compose to 2-char [a-z] strings, embedding
+    # rotations compose, key shifts compose — so the construction
+    # invariants of gen_sf1 hold transitively) and cached in .data/sf3.
+    # ONE timed run after warmup: at ~18M lineitem rows per-run compute
+    # dwarfs scheduling noise and the section must fit the round budget.
+    # Linear cost here is ratio 3.0 vs sf1; anything well above 3 is
+    # superlinear and gets classified in PERF_NOTES. Failures degrade to
+    # an error marker exactly like sf1 — never kill the base record.
+    sf3_block = None
+    if (
+        os.environ.get("SPARK_GRAFT_SF3", "1") != "0"
+        and sf1_timings
+        and sf1_dir
+    ):
+        try:
+            repo = os.path.dirname(os.path.abspath(__file__))
+            sf3_dir = os.environ.get(
+                "SPARK_GRAFT_SF3_DIR", os.path.join(repo, ".data", "sf3")
+            )
+            if not os.path.isdir(sf3_dir):
+                _load_gen_module().generate(spark, sf1_dir, sf3_dir, reps=3)
+            top10 = sorted(sf1_timings, key=sf1_timings.get, reverse=True)[:10]
+            sf3_runs = max(1, int(os.environ.get("SPARK_GRAFT_SF3_RUNS", "1")))
+            sf3_timings: dict[str, float] = {}
+            for name in top10:
+                sf3_timings[name] = round(
+                    statistics.median(
+                        _measure_samples(
+                            spark,
+                            sf3_runs,
+                            lambda: force(QUERIES[name].fn(spark, sf3_dir)),
+                        )
+                    ),
+                    3,
+                )
+            sf3_block = {
+                "value": round(sum(sf3_timings.values()), 3),
+                "queries": sf3_timings,
+                "ratio_vs_sf1": {
+                    n: round(sf3_timings[n] / sf1_timings[n], 2)
+                    for n in top10
+                    if sf1_timings.get(n)
+                },
+                "timed_runs": sf3_runs,
+                "scale_vs_sf1": 3,
+                "selection": "top-10 by sf1 median",
+            }
+        except Exception as exc:
+            sf3_block = {"error": str(exc)[:300]}
+        env_probes["after_sf3"] = probe_env(spark)
 
     # Output protocol (rewritten for round 7 — VERDICT r6 item 1): the
     # driver retains only a BOUNDED TAIL of stdout (~2 KB observed) and
@@ -273,6 +467,20 @@ def main() -> None:
     elif isinstance(sf1_block, dict):  # degraded: carry the error marker
         sf1_summary = {"error": sf1_block.get("error", "")[:120]}
 
+    sf3_summary = None
+    if isinstance(sf3_block, dict) and "value" in sf3_block:
+        r3 = sf3_block.get("ratio_vs_sf1") or {}
+        worst3 = max(r3, key=r3.get) if r3 else None
+        sf3_summary = {
+            "value": sf3_block["value"],
+            "n_queries": len(sf3_block["queries"]),
+            "max_ratio_vs_sf1": r3.get(worst3),
+            "max_ratio_query": worst3,
+            "detail": "BENCH_LOCAL.json",
+        }
+    elif isinstance(sf3_block, dict):
+        sf3_summary = {"error": sf3_block.get("error", "")[:120]}
+
     headline = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -280,6 +488,13 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "sf1": sf1_summary,
+        "sf3": sf3_summary,
+        # co-load context (VERDICT r7 item 1): 1-min loadavg + a fixed
+        # calibration probe at each section boundary. Identical probe
+        # work every time — calib_sec drift between markers (or between
+        # rounds) IS measured co-load; a headline delta without matching
+        # calib drift is a real regression.
+        "env": env_probes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # methodology markers: medians exclude one untimed per-query
         # warmup run (Catalyst/Janino first-compile cost), a change
@@ -289,7 +504,7 @@ def main() -> None:
         "timed_runs": runs,
         "stat": "median",
     }
-    full = dict(headline, sf1=sf1_block)
+    full = dict(headline, sf1=sf1_block, sf3=sf3_block)
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as fh:
