@@ -420,8 +420,18 @@ def connected_components(
     Returns (id, component) for every vertex that appears in an edge;
     component = min id in the cluster (the conventional keeper).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the symmetric edge list ONCE. ``edges`` is typically
+    # the tip of an expensive pipeline (LSH candidate join + cosine
+    # verify); without this, every propagation round's join re-derives
+    # that whole pipeline from lineage — measured at sf1 on the
+    # sim_embedding_clusters edge set: ~50 s of edge generation
+    # replayed per round, turning a <2 min fixpoint into >30 min. The
+    # checkpoint pins 2|E| narrow rows and each round then costs one
+    # join + one min-agg over them.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("id")).distinct().select("id", F.col("id").alias("component"))
