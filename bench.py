@@ -253,6 +253,8 @@ def main() -> None:
         spark.stop()
         return
 
+    t_run0 = time.perf_counter()  # for the sf3 section's budget guard
+
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in QUERIES if n not in names and QUERIES[n].bench]
 
@@ -391,12 +393,23 @@ def main() -> None:
     # Linear cost here is ratio 3.0 vs sf1; anything well above 3 is
     # superlinear and gets classified in PERF_NOTES. Failures degrade to
     # an error marker exactly like sf1 — never kill the base record.
+    # Defensive budget guard: the sections before sf3 are the proven
+    # r7 envelope; if THEY already overran (heavy co-load, cold sf1
+    # gen), adding the sf3 rung risks the driver's command budget and
+    # with it the entire stdout record (the r6 parsed-null lesson, in
+    # time instead of bytes). Skip with an explicit marker instead.
+    elapsed = time.perf_counter() - t_run0
+    sf3_budget = int(os.environ.get("SPARK_GRAFT_SF3_BUDGET_S", "1500"))
     sf3_block = None
-    if (
-        os.environ.get("SPARK_GRAFT_SF3", "1") != "0"
-        and sf1_timings
-        and sf1_dir
-    ):
+    sf3_enabled = bool(
+        os.environ.get("SPARK_GRAFT_SF3", "1") != "0" and sf1_timings and sf1_dir
+    )
+    if sf3_enabled and elapsed > sf3_budget:
+        sf3_block = {
+            "error": f"skipped: {elapsed:.0f}s elapsed before sf3 "
+            f"exceeds budget {sf3_budget}s"
+        }
+    elif sf3_enabled:
         try:
             repo = os.path.dirname(os.path.abspath(__file__))
             sf3_dir = os.environ.get(
