@@ -482,7 +482,13 @@ def unigram_logprob(
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.sum("s") / F.lit(1000000.0) / F.count("*"), 6).alias(
+        # floor-quantize readout, NOT round(_, 6): sum(s)/count is the
+        # same IEEE divide in both engines, and floor(x + 0.5) the same
+        # HALF_UP — round(double, 6) goes through engine-specific
+        # decimal rendering whose boundary cases disagree ~1-per-1e5
+        # rows (first surfaced by the r8 sf1 window sweep on the bigram
+        # twin: -3.448945 vs -3.448946)
+        (F.floor(F.sum("s") / F.count("*") + 0.5) / F.lit(1000000.0)).alias(
             "mean_logprob"
         ),
     )
@@ -600,7 +606,8 @@ def bigram_logprob(
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.sum("s") / F.lit(1000000.0) / F.count("*"), 6).alias(
+        # floor-quantize readout — see unigram_logprob for the rationale
+        (F.floor(F.sum("s") / F.count("*") + 0.5) / F.lit(1000000.0)).alias(
             "mean_logprob"
         ),
     )

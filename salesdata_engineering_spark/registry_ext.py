@@ -1600,7 +1600,7 @@ def q_dq_chisq_uniform_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(round(ln((c + 1) / (t + v)) * 1000000) AS BIGINT) AS s
            FROM tkf JOIN cnt USING (term) CROSS JOIN st)
     SELECT doc_id, count(*) AS n_tokens,
-           round(SUM(s) / 1000000.0 / count(*), 6) AS mean_logprob
+           floor(SUM(s) / count(*) + 0.5) / 1000000.0 AS mean_logprob
     FROM sc GROUP BY 1
     """,
     doc="LM-perplexity-proxy quality gate (ext/text.py unigram_logprob): "
@@ -1730,7 +1730,7 @@ def q_text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM pairs JOIN bc USING (prev, cur)
                       JOIN cc USING (prev) CROSS JOIN vv)
     SELECT doc_id, count(*) AS n_bigrams,
-           round(SUM(s) / 1000000.0 / count(*), 6) AS mean_logprob
+           floor(SUM(s) / count(*) + 0.5) / 1000000.0 AS mean_logprob
     FROM sc GROUP BY 1
     """,
     doc="Bigram-LM perplexity gate (ext/text.py bigram_logprob): per-doc "

@@ -78,20 +78,31 @@ def read_events_stream(
             raise
         # retry succeeded: the footer really is nanos-typed, and the conf
         # must STAY set for the lifetime of the stream (documented above)
-    # recursive=True supports a STAGED layout (sf_dir/events.parquet/ as
-    # a directory of part files, e.g. base data + a watermark-advancing
-    # sentinel file): leaf part files then match *.parquet, not the
-    # single-file glob, and the schema probe above already read the
-    # directory form transparently.
+    # Layout-adaptive source root. pathGlobFilter matches LEAF FILE
+    # names only, so the single-file driver layout (sf_dir/
+    # events.parquet as a file) needs root=sf_dir + glob
+    # "events.parquet", while a DIRECTORY table (the derived sf1/sf3
+    # data, or any multi-file producer) needs root=the directory +
+    # glob "*.parquet" — with the old single-file glob, a directory
+    # layout matched ZERO leaf files and the stream silently drained
+    # empty (caught by the r8 sf1 window sweep: both streaming queries
+    # returned 0 rows against a 21k-row oracle). recursive=True keeps
+    # supporting a STAGED layout (nested part files, e.g. base data +
+    # a watermark-advancing sentinel); the schema probe above already
+    # reads every layout transparently.
+    import os
+
+    events_is_dir = os.path.isdir(events_path)
+    src = events_path if events_is_dir else sf_dir
     reader = (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "*.parquet" if recursive else "events.parquet")
+        .option("pathGlobFilter", "*.parquet" if (recursive or events_is_dir) else "events.parquet")
     )
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    out = _restore_timestamps("events", reader.parquet(sf_dir))
+    out = _restore_timestamps("events", reader.parquet(src))
     if dict(out.dtypes)["ts"] == "timestamp_ntz":
         # watermarks demand TIMESTAMP (with local-tz semantics); the cast is
         # value-preserving because the session timezone is pinned to UTC above

@@ -32,17 +32,31 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--first", type=int, default=None, help="check only the first N registered queries")
     ap.add_argument("--out", default=None, help="write JSON results here")
+    ap.add_argument(
+        "--engine-session",
+        action="store_true",
+        help="use the engine's tuned session (16g driver) instead of the "
+        "driver-replica bare one — required for sf1+ sweeps, where the "
+        "bare session's default 1g heap OOMs on the first scan; the "
+        "driver itself only ever runs at sf0.01, so bare stays the "
+        "default",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    # Deliberately bare: no engine confs. Mirrors the verification driver.
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
-        .appName("check-all-bare")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    if args.engine_session:
+        from salesdata_engineering_spark.session import get_spark
+
+        spark = get_spark(app_name="check-all-engine")
+    else:
+        # Deliberately bare: no engine confs. Mirrors the verification driver.
+        spark = (
+            SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+            .appName("check-all-bare")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
