@@ -2417,10 +2417,26 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
             else [src]
         )
         now = time.time()
-        for i, bp in enumerate(base_paths):
-            tgt = os.path.join(d, f"base-{i:04d}.parquet")
-            shutil.copy(bp, tgt)
-            os.utime(tgt, (now - 60, now - 60))
+        # The base corpus must land in ONE micro-batch: the punctuation
+        # design needs batch 1 = all base data, then one sentinel per
+        # batch. With maxFilesPerTrigger=1 and a MULTI-FILE source
+        # whose part files each span the full time range (repartition
+        # mixes event times), file 1 would advance each side's
+        # watermark to ~max-1h and files 2..N would arrive as LATE
+        # data and be dropped — observed at sf1: 25k of 199k oracle
+        # rows survived. Consolidating to a single staged file keeps
+        # the arrival order event-time-honest on any source layout
+        # (and is a no-op copy for the driver's single-file layout).
+        tgt = os.path.join(d, "base-0000.parquet")
+        if len(base_paths) == 1:
+            shutil.copy(base_paths[0], tgt)
+        else:
+            pq.write_table(
+                pa.concat_tables([pq.read_table(bp) for bp in base_paths]),
+                tgt,
+                version="2.6",
+            )
+        os.utime(tgt, (now - 60, now - 60))
         schema = pq.read_schema(base_paths[0])
         for k in (1, 2):
             cols = {}
@@ -4205,7 +4221,7 @@ def q_events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(SUM(CASE WHEN run_len = 1 THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS flapping_runs,
            round(COALESCE(SUM(CASE WHEN run_len = 1 THEN 1 ELSE 0 END), 0)
-                 / CAST(count(*) AS DOUBLE), 6) AS flap_ratio
+                 / NULLIF(CAST(count(*) AS DOUBLE), 0), 6) AS flap_ratio
     FROM runs
     """,
     doc="Alert flapping analysis over the fast-burn signal of "
@@ -4253,11 +4269,19 @@ def q_events_alert_flapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("flapping_runs"),
+        # try_divide, not /: with NO alert hours anywhere (possible at
+        # scale — replica mixing pulls every hour under the burn
+        # threshold, first seen at sf1) the global agg divides 0 by 0,
+        # which ANSI Spark throws on while DuckDB's NULLIF twin yields
+        # NULL; both now yield NULL for the empty-runs readout
         F.round(
-            F.coalesce(
-                F.sum(F.when(F.col("run_len") == 1, 1).otherwise(0)), F.lit(0)
-            )
-            / F.count("*").cast("double"),
+            F.try_divide(
+                F.coalesce(
+                    F.sum(F.when(F.col("run_len") == 1, 1).otherwise(0)),
+                    F.lit(0),
+                ),
+                F.count("*").cast("double"),
+            ),
             6,
         ).alias("flap_ratio"),
     )
