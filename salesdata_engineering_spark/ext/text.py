@@ -432,6 +432,24 @@ def tfidf_top_terms(
     )
 
 
+def micro_mean_readout(sum_col, count_col):
+    """Cross-engine-deterministic mean readout over integer micro-units.
+
+    ``floor(S/n + 0.5) / 1e6`` — NOT ``round(S/n/1e6, 6)``: S/n is the
+    same IEEE divide in Spark and DuckDB, and ``floor(x + 0.5)`` is the
+    same HALF_UP there too, so both engines read out bit-identical
+    doubles. ``round(double, 6)`` instead goes through engine-specific
+    decimal rendering (Spark: Double.toString → BigDecimal HALF_UP;
+    DuckDB: binary-double arithmetic) whose one-ulp boundary cases
+    disagree ~1-per-1e5 rows — first surfaced by the r8 sf1 window
+    sweep on ``bigram_logprob`` (-3.448945 vs -3.448946). Shared by
+    both LM readouts so the boundary regression test
+    (tests/test_scale_regressions.py) pins the production expression,
+    not a copy.
+    """
+    return F.floor(sum_col / count_col + 0.5) / F.lit(1000000.0)
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -482,15 +500,7 @@ def unigram_logprob(
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        # floor-quantize readout, NOT round(_, 6): sum(s)/count is the
-        # same IEEE divide in both engines, and floor(x + 0.5) the same
-        # HALF_UP — round(double, 6) goes through engine-specific
-        # decimal rendering whose boundary cases disagree ~1-per-1e5
-        # rows (first surfaced by the r8 sf1 window sweep on the bigram
-        # twin: -3.448945 vs -3.448946)
-        (F.floor(F.sum("s") / F.count("*") + 0.5) / F.lit(1000000.0)).alias(
-            "mean_logprob"
-        ),
+        micro_mean_readout(F.sum("s"), F.count("*")).alias("mean_logprob"),
     )
 
 
@@ -606,10 +616,7 @@ def bigram_logprob(
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        # floor-quantize readout — see unigram_logprob for the rationale
-        (F.floor(F.sum("s") / F.count("*") + 0.5) / F.lit(1000000.0)).alias(
-            "mean_logprob"
-        ),
+        micro_mean_readout(F.sum("s"), F.count("*")).alias("mean_logprob"),
     )
 
 

@@ -2431,11 +2431,24 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
         if len(base_paths) == 1:
             shutil.copy(base_paths[0], tgt)
         else:
-            pq.write_table(
-                pa.concat_tables([pq.read_table(bp) for bp in base_paths]),
-                tgt,
-                version="2.6",
-            )
+            # Stream row groups file-by-file instead of pa.concat_tables:
+            # materializing every part at once is a driver OOM at derived
+            # scales (sf3+ holds the whole events table in driver memory
+            # twice — once as tables, once as the concat).
+            writer = None
+            try:
+                for bp in base_paths:
+                    f = pq.ParquetFile(bp)
+                    for rg in range(f.num_row_groups):
+                        batch_tbl = f.read_row_group(rg)
+                        if writer is None:
+                            writer = pq.ParquetWriter(
+                                tgt, batch_tbl.schema, version="2.6"
+                            )
+                        writer.write_table(batch_tbl)
+            finally:
+                if writer is not None:
+                    writer.close()
         os.utime(tgt, (now - 60, now - 60))
         schema = pq.read_schema(base_paths[0])
         for k in (1, 2):

@@ -93,10 +93,22 @@ def read_events_stream(
     import os
 
     events_is_dir = os.path.isdir(events_path)
+    if recursive and not events_is_dir:
+        # recursive=True widens the glob to *.parquet, which on a
+        # single-FILE layout would anchor at sf_dir and slurp EVERY
+        # table's parquet under the events schema (silent nulls /
+        # garbage rows). Recursive callers stage an isolated directory
+        # of event files (the stream-stream outer join does); require
+        # that instead of guessing.
+        raise ValueError(
+            "read_events_stream(recursive=True) requires events.parquet "
+            f"to be a DIRECTORY of event files; got a single file under "
+            f"{sf_dir} — stage the event files into their own directory"
+        )
     src = events_path if events_is_dir else sf_dir
     reader = (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "*.parquet" if (recursive or events_is_dir) else "events.parquet")
+        .option("pathGlobFilter", "*.parquet" if events_is_dir else "events.parquet")
     )
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")

@@ -1,0 +1,248 @@
+"""Fast pytest pins for the scale-bug classes the r8 sf1 sweep found.
+
+Five real bugs were structurally invisible to the sf0.001 suite because
+every fixture used the driver's single-file table layout and never fed
+the degenerate inputs replica-mixing produces at scale (VERDICT r8,
+"What's wrong #1"). These tests re-cover each class in seconds:
+
+1. directory-layout streaming source (streaming/runner.py glob anchor —
+   pre-fix: the stream silently drained EMPTY on multi-part-file tables);
+2. stream-stream left-outer watermark loss (registry_events.py staged
+   base consolidation — pre-fix: later base part files arrived as late
+   data and 87% of outer rows were dropped at sf1);
+3. ``events_alert_flapping`` on an input with ZERO alert hours
+   (pre-fix: ANSI 0/0 DIVIDE_BY_ZERO crash);
+4. ``connected_components`` lineage replay (ext/dedup.py — pre-fix:
+   every propagation round re-derived the full upstream edge pipeline,
+   >510 s at sf1);
+5. the LM mean-logprob readout's one-ulp round(double, 6) divergence
+   (ext/text.py micro_mean_readout — pre-fix: Spark and DuckDB disagreed
+   ~1-per-1e5 docs at the .5 quantize boundary).
+
+Each test was verified to FAIL against the pre-fix r8 parents (git
+checkout of the pre-fix file once, locally) and pass at HEAD.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from salesdata_engineering_spark.registry import QUERIES
+from salesdata_engineering_spark.streaming.runner import (
+    read_events_stream,
+    run_to_completion,
+)
+
+from .oracle_utils import assert_oracle_match, duckdb_con
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _variant_sf_dir(src_sf: str, dst: str, events_tbl=None, n_parts: int = 0) -> str:
+    """Build a temp sf dir: every table symlinked from ``src_sf``, except
+    events which is either replaced by ``events_tbl`` (single file) or
+    striped into ``n_parts`` interleaved part files (directory layout —
+    each part spans the FULL time range, the worst case for per-file
+    watermark advancement, exactly what repartitioned producers emit)."""
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(src_sf, f"{t}.parquet")
+        tgt = os.path.join(dst, f"{t}.parquet")
+        if t != "events" and os.path.exists(src) and not os.path.exists(tgt):
+            os.symlink(src, tgt)
+    ev = os.path.join(dst, "events.parquet")
+    if events_tbl is not None:
+        pq.write_table(events_tbl, ev, version="2.6")
+    elif n_parts:
+        tbl = pq.read_table(os.path.join(src_sf, "events.parquet"))
+        tbl = tbl.sort_by("ts")
+        os.makedirs(ev, exist_ok=True)
+        for i in range(n_parts):
+            part = tbl.take(list(range(i, tbl.num_rows, n_parts)))
+            pq.write_table(
+                part, os.path.join(ev, f"part-{i:05d}.parquet"), version="2.6"
+            )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def dir_layout_sf(sf_dir, tmp_path_factory) -> str:
+    """sf0.001 with events.parquet as a DIRECTORY of 4 interleaved part
+    files — the layout of every derived-scale table (tools/gen_sf1.py)
+    and of any real multi-executor producer."""
+    dst = str(tmp_path_factory.mktemp("sf_dirlayout"))
+    return _variant_sf_dir(sf_dir, dst, n_parts=4)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --- class 1: the streaming source must read directory-layout tables ---
+
+
+def test_stream_source_reads_directory_layout(spark, sf_dir, dir_layout_sf):
+    batch_n = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    drained = run_to_completion(
+        read_events_stream(spark, dir_layout_sf), output_mode="append"
+    )
+    # pre-fix: pathGlobFilter='events.parquet' matched ZERO leaf files
+    # under the directory layout and the stream drained silently empty
+    assert drained.count() == batch_n
+
+
+def test_stream_source_recursive_rejects_single_file_layout(spark, sf_dir):
+    # recursive=True anchors the glob at *.parquet; on a single-file
+    # layout that would read EVERY table under the events schema —
+    # require the staged-directory layout instead (ADVICE r8)
+    with pytest.raises(ValueError, match="recursive"):
+        read_events_stream(spark, sf_dir, recursive=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["stream_tumbling_counts", "stream_stateful_totals", "stream_cdc_latest"]
+)
+def test_streaming_queries_layout_invariant(spark, sf_dir, dir_layout_sf, name):
+    """Every registered streaming query must produce identical results on
+    the single-file and directory layouts of the same data."""
+    want = _rows(QUERIES[name].fn(spark, sf_dir))
+    got = _rows(QUERIES[name].fn(spark, dir_layout_sf))
+    assert got == want
+
+
+# --- class 2: staged outer-join base must land in ONE micro-batch ---
+
+
+def test_stream_stream_left_outer_join_layout_invariant(
+    spark, sf_dir, dir_layout_sf
+):
+    """Pre-fix, each base part file became its own micro-batch; part 1
+    advanced both watermarks to ~max-1h and parts 2..4 (which all span
+    the full time range) arrived late and were dropped — at sf1, 87% of
+    the oracle rows vanished. The striped 4-part fixture reproduces that
+    loss at sf0.001 in seconds."""
+    want = _rows(QUERIES["stream_stream_left_outer_join"].fn(spark, sf_dir))
+    got = _rows(QUERIES["stream_stream_left_outer_join"].fn(spark, dir_layout_sf))
+    assert len(want) > 0
+    assert got == want
+
+
+# --- class 3: alert flapping over an input with no alert hours ---
+
+
+def test_alert_flapping_empty_runs(spark, sf_dir, tmp_path):
+    """Replica mixing at sf1 pulled every hour under the burn threshold;
+    the readout then divides 0 runs by 0 runs. ANSI Spark throws on the
+    plain '/', DuckDB's NULLIF twin yields NULL — the engine must use
+    try_divide and agree with the oracle on NULL."""
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    et = src.column("event_type").to_pylist()
+    calm = src.set_column(
+        src.schema.get_field_index("event_type"),
+        "event_type",
+        pa.array(["view" if v == "error" else v for v in et], type=pa.string()),
+    )
+    calm_sf = _variant_sf_dir(sf_dir, str(tmp_path / "calm"), events_tbl=calm)
+    q = QUERIES["events_alert_flapping"]
+    out = q.fn(spark, calm_sf)  # pre-fix: DIVIDE_BY_ZERO here
+    row = out.collect()[0]
+    assert row["n_alert_runs"] == 0
+    assert row["flap_ratio"] is None
+    assert_oracle_match(
+        q.fn(spark, calm_sf), duckdb_con(calm_sf), q.oracle, "alert_flapping_empty"
+    )
+
+
+# --- class 4: connected_components must not replay edge lineage ---
+
+
+def test_connected_components_materializes_edges_once(spark):
+    """The edges frame is typically the tip of an expensive pipeline
+    (LSH candidates + cosine verify); without the localCheckpoint each
+    propagation round replays the WHOLE upstream from lineage (measured
+    at sf1: >510 s vs 143 s fixed). Count upstream evaluations with an
+    accumulator: the symmetric-edge materialization reads the source
+    exactly twice (two union branches); a lineage replay on a 9-node
+    path graph (8 propagation rounds) would read it ≥16 times."""
+    from salesdata_engineering_spark.ext.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_evals(it):
+        acc.add(1)
+        yield from it
+
+    edges = (
+        spark.range(0, 8)
+        .repartition(1)
+        .mapInPandas(count_evals, "id bigint")
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    out = connected_components(edges, require_converged=True)
+    assert {(r["id"], r["component"]) for r in out.collect()} == {
+        (i, 0) for i in range(9)
+    }
+    assert acc.value <= 4, (
+        f"edge pipeline evaluated {acc.value} times — lineage replay is back"
+    )
+
+
+# --- class 5: LM readout must floor-quantize, not round(double, 6) ---
+
+
+def test_lm_readout_floor_quantize_boundary(spark):
+    """Spark's round(double, 6) renders through Double.toString →
+    BigDecimal HALF_UP while DuckDB rounds the binary double, so means
+    landing one ulp under a .5 micro-unit boundary disagree between the
+    engines (r8: -3.448945 vs -3.448946 at 50k docs). The shared
+    micro_mean_readout must floor-quantize: identical IEEE divide +
+    floor in both engines. Drive exact .5 boundaries through the
+    PRODUCTION expression and diff against DuckDB's twin."""
+    import duckdb
+
+    from salesdata_engineering_spark.ext.text import micro_mean_readout
+
+    # groups whose integer micro-nat mean lands exactly on k + 0.5 (the
+    # boundary round() resolves via decimal rendering) plus off-boundary
+    # controls; g2's mean -3448945.5 is the literal r8 divergence case
+    rows = [
+        ("g1", 2), ("g1", 3),              # mean 2.5
+        ("g2", -3448945), ("g2", -3448946),  # mean -3448945.5
+        ("g3", 7), ("g3", 7),              # mean 7.0 (control)
+        ("g4", -1), ("g4", 2),             # mean 0.5
+        ("g5", 1), ("g5", 1), ("g5", 2),   # mean 4/3 (non-terminating)
+    ]
+    df = spark.createDataFrame(rows, "g string, s bigint")
+    got = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(micro_mean_readout(F.sum("s"), F.count("*")).alias("m"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        g: m
+        for g, m in con.execute(
+            "SELECT g, floor(SUM(s) / count(*) + 0.5) / 1000000.0 AS m "
+            "FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want
+    # teeth: on the r8 boundary group the legacy round() readout really
+    # does diverge from the floor-quantize value inside Spark itself
+    legacy = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(F.round(F.sum("s") / F.count("*") / 1000000.0, 6).alias("m"))
+        .collect()
+    }
+    assert legacy["g2"] != got["g2"]
