@@ -604,9 +604,9 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "distinct_pairs",
     "agg_grouping_variants",
     "events_funnel_conversion",
-    # graph rep rotated r7: BFS levels (new r6 surface, recursive-CTE
-    # oracle) replaces pagerank (driver-green r5+r6, now in the tail)
-    "graph_bfs_levels",
+    # graph rep rotated r9: triangle cliques (driver-suggested) replaces
+    # BFS levels (driver-green r7+r8, now in the tail; pagerank rotated r7)
+    "graph_triangle_cliques",
     # joins (anti rep rotated to the tail r6; semi/q13/q3 cover the row)
     "join_semi_customers_with_orders",
     "q13_customer_order_distribution",
@@ -623,7 +623,10 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # month spine represents the modern-SQL family in the window)
     "scalar_string_functions",
     "date_null_predicates",
-    "text_bigram_logprob",
+    # LM rep rotated r9: the unigram twin takes the window slot (its
+    # floor-quantize readout changed r8; bigram — driver-green r7+r8
+    # with the same readout — moves to the tail)
+    "text_unigram_logprob",
     "json_functions",
     "sql_recursive_month_spine",
     "udf_surface",
@@ -636,18 +639,28 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # (session_windows + stream_stream_join rotated to the tail r6;
     # sessionization is now represented by events_session_funnel)
     "events_tumbling_counts",
-    "asof_click_purchase",
     "interval_join_click_error",
-    "stream_tumbling_counts",
-    "stream_stateful_totals",
+    # streaming reps rotated r9 (VERDICT r8 #3): the two surfaces whose
+    # code changed in the r8 bug fixes — session windows (directory-
+    # layout source) and the stream-stream LEFT OUTER join (staged base
+    # consolidation) — take the window slots; stream_tumbling_counts /
+    # stream_stateful_totals (driver-green r6-r8) and asof_click_purchase
+    # (green r5-r8; interval + point-in-time keep the temporal-join
+    # family) move to the tail
+    "stream_session_windows",
+    "stream_stream_left_outer_join",
     # events analytics reps, rotated r8 (VERDICT r7 #3): the r6 cohort
     # (session funnel, RFM, basket affinity — driver-green r6+r7) moves
     # to the tail; the round-7 additions DAU/MAU stickiness and Shapley
     # attribution get their first driver check. Transition matrix and
     # CDC stay (Markov + maintenance rows keep their window rep).
-    "events_transition_matrix",
     "events_dau_mau_stickiness",
     "events_attribution_shapley",
+    # events analytics rotated r9: alert flapping (its 0/0 guard changed
+    # r8) and mix-shift decomposition (first driver check) replace the
+    # transition matrix (driver-green r6-r8, now in the tail)
+    "events_alert_flapping",
+    "events_mix_shift_decomposition",
     "cdc_apply_changes",
     # temporal-join family: the r7 point-in-time join joins asof/interval
     "pit_join_orders_segments",
@@ -667,10 +680,14 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_cluster_components",
     "contamination_ngram_overlap",
-    "dedup_minhash_lsh",
     # r8 rotation: n-gram containment (asymmetric near-dup, r7 surface)
     "dedup_containment",
     "sim_cosine_topk",
+    # r9 rotation: the embedding-clusters pipeline (its components stage
+    # was the r8 lineage-replay fix; sf1-verified by tools/sf1_gap_check)
+    # replaces dedup_minhash_lsh (driver-green r5-r8; the banded LSH
+    # machinery stays covered by sim/LSH reps and the pytest tail)
+    "sim_embedding_clusters",
     # composed IVF+quantized supersedes plain IVF as the X7 window rep
     # (same cell machinery plus the quantized scan; plain IVF stays
     # registered in the tail, pytest-oracle-checked). r7 rotation: the
@@ -679,7 +696,10 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # timing per VERDICT r7 #2) replaces sim_embedding_near_dup
     # (driver-green r6+r7; sign-bit bucketing stays pytest-checked).
     "sim_ivf_quantized_topk",
-    "sim_ivf_pq_topk",
+    # r9 rotation: the persisted-index APPEND (new r8 surface, append==
+    # rebuild oracle) replaces the per-call-rebuild ivf_pq_topk (driver-
+    # green r7+r8; it stays registered as the build-cost datapoint)
+    "sim_ivf_pq_index_append",
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",

@@ -20,8 +20,8 @@ REQUIRED_IN_WINDOW = {
     # grouping variants + stats + pivot
     "agg_grouping_variants",
     "events_funnel_conversion",
-    # graph rep since r7: BFS (pagerank driver-green r5-r6, in the tail)
-    "graph_bfs_levels",
+    # graph rep since r9: triangle cliques (BFS green r7-r8, in the tail)
+    "graph_triangle_cliques",
     # join family (full-outer + anti reps live in the tail since r6;
     # semi/left/q13/q3 cover the §2 row inside the window)
     "join_semi_customers_with_orders",
@@ -37,7 +37,7 @@ REQUIRED_IN_WINDOW = {
     # scalar families / subqueries / UDFs / skew
     "scalar_string_functions",
     "date_null_predicates",
-    "text_bigram_logprob",
+    "text_unigram_logprob",
     "json_functions",
     # modern-SQL rep since r7 (subqueries_combined in the tail)
     "sql_recursive_month_spine",
@@ -45,20 +45,22 @@ REQUIRED_IN_WINDOW = {
     # skew rep since r7: salted JOIN (salted-sum agg in the tail)
     "join_skew_salted",
     "stats_welch_ttest",
-    # events + streaming + temporal joins (session_windows and
-    # stream_stream_join in the tail since r6; session funnel/RFM/basket
-    # rotated to the tail r8 after two green rounds — the transition
-    # matrix keeps the Markov row, and the r7 additions DAU/MAU
-    # stickiness + Shapley attribution take their first driver check)
+    # events + streaming + temporal joins. r9 rotation: the streaming
+    # reps are the two surfaces the r8 bug fixes changed (session
+    # windows — directory-layout source; stream-stream LEFT OUTER join —
+    # staged base consolidation); alert flapping (0/0 guard changed r8)
+    # and mix-shift decomposition (first check) take the analytics
+    # slots; tumbling/stateful/asof/transition-matrix (all green >=2
+    # rounds) are in the tail
     "events_tumbling_counts",
-    "asof_click_purchase",
     "interval_join_click_error",
     "pit_join_orders_segments",
-    "stream_tumbling_counts",
-    "stream_stateful_totals",
-    "events_transition_matrix",
+    "stream_session_windows",
+    "stream_stream_left_outer_join",
     "events_dau_mau_stickiness",
     "events_attribution_shapley",
+    "events_alert_flapping",
+    "events_mix_shift_decomposition",
     "cdc_apply_changes",
     # stats second rep + sketch family first driver check (r8 rotation)
     "stats_ks_two_sample",
@@ -72,13 +74,16 @@ REQUIRED_IN_WINDOW = {
     "dedup_exact",
     "dedup_cluster_components",
     "contamination_ngram_overlap",
-    "dedup_minhash_lsh",
     "dedup_containment",
     "sim_cosine_topk",
-    # ANN reps: composed IVF+quantized, IVF-PQ, and (since r8) the
-    # persisted-index serve path — the canonical ANN timing
+    # r9: embedding clusters (r8 components fix) in; minhash_lsh (green
+    # r5-r8) to the tail
+    "sim_embedding_clusters",
+    # ANN reps: composed IVF+quantized plus the persisted-index
+    # serve + append lifecycle (append new r8, first driver check r9;
+    # per-call-rebuild ivf_pq_topk green r7-r8, in the tail)
     "sim_ivf_quantized_topk",
-    "sim_ivf_pq_topk",
+    "sim_ivf_pq_index_append",
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",
@@ -107,6 +112,15 @@ def test_umbrella_constituents_still_registered():
     for name in (
         # demoted from the window (family already represented there) —
         # must stay registered + pytest-oracle-checked in the tail
+        # r9 rotation outs (all driver-green >=2 rounds):
+        "graph_bfs_levels",
+        "text_bigram_logprob",
+        "sim_ivf_pq_topk",
+        "dedup_minhash_lsh",
+        "stream_tumbling_counts",
+        "stream_stateful_totals",
+        "events_transition_matrix",
+        "asof_click_purchase",
         # r8 rotation outs (driver-green r5/r6 + r7):
         "events_session_funnel",
         "customer_rfm_segments",
