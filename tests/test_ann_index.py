@@ -188,3 +188,72 @@ def test_build_republishes_over_leftover_new_dir(spark, sf_dir, corpus, tmp_path
     )
     assert os.path.isdir(os.path.join(idx, "codes"))
     assert not os.path.exists(f"{target}.new")
+
+
+def test_index_counts_tracks_appends(spark, sf_dir, corpus, tmp_path):
+    """meta/n documents the BASE build only (immutable under append —
+    no meta-rewrite crash window); index_counts reads the codes-side
+    truth so a consumer can never be misled by the stale base count
+    (VERDICT r8 item 5b)."""
+    from salesdata_engineering_spark.ext.ann_index import index_counts
+
+    n = corpus.count()
+    stride = _ivf_stride(corpus, n)
+    pred = _batch_pred(n, stride)
+    base_df, batch_df = corpus.filter(~pred), corpus.filter(pred)
+    base_n, batch_n = base_df.count(), batch_df.count()
+    idx = build_ivf_pq_index(
+        spark, base_df, str(tmp_path / "idx"),
+        stride=stride, n_codes=64, corpus_count=n,
+    )
+    # meta_n is the GEOMETRY parameter (full-corpus n), already != the
+    # indexed count on an incremental base build — exactly why a
+    # consumer must never read meta/n as "how many vectors are indexed"
+    c0 = index_counts(spark, idx)
+    assert c0 == {"meta_n": n, "indexed_n": base_n}
+    append_ivf_pq_index(spark, idx, batch_df)
+    c1 = index_counts(spark, idx)
+    assert c1 == {"meta_n": n, "indexed_n": base_n + batch_n}
+    # meta itself stays untouched — the immutable build record
+    assert spark.read.parquet(f"{idx}/meta").collect()[0]["n"] == n
+
+
+def test_compaction_preserves_serving_bitwise(spark, sf_dir, corpus, tmp_path):
+    """Posting compaction after appends must reduce per-cell file counts
+    without changing a single serve result (VERDICT r8 item 5a)."""
+    from salesdata_engineering_spark.ext.ann_index import (
+        compact_index_postings,
+        index_counts,
+    )
+
+    n = corpus.count()
+    stride = _ivf_stride(corpus, n)
+    pred = _batch_pred(n, stride)
+    idx = build_ivf_pq_index(
+        spark, corpus.filter(~pred), str(tmp_path / "idx"),
+        stride=stride, n_codes=64, corpus_count=n,
+    )
+    # two increments -> touched cells accumulate >=3 files each
+    batch = corpus.filter(pred)
+    append_ivf_pq_index(spark, idx, batch.filter(F.col("vec_id") % 3 != 0))
+    append_ivf_pq_index(spark, idx, batch.filter(F.col("vec_id") % 3 == 0))
+    q = _queries_subset(corpus)
+    want = _sorted_rows(
+        search_ivf_pq_index(spark, idx, corpus, q, k=5, m_cand=40, nprobe=4)
+    )
+    counts_before = index_counts(spark, idx)
+
+    stats = compact_index_postings(spark, idx)
+    assert stats["cells_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    # every multi-file cell collapsed to one file at test data volume
+    for root, _dirs, files in os.walk(os.path.join(idx, "codes")):
+        if os.path.basename(root).startswith("cid="):
+            pqs = [f for f in files if f.endswith(".parquet")]
+            assert len(pqs) == 1, f"{root} still has {len(pqs)} files"
+
+    got = _sorted_rows(
+        search_ivf_pq_index(spark, idx, corpus, q, k=5, m_cand=40, nprobe=4)
+    )
+    assert got == want
+    assert index_counts(spark, idx) == counts_before

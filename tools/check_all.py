@@ -10,6 +10,16 @@ column-name-sorted, order-insensitive exact value comparison.
 Usage:
     python tools/check_all.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
     python tools/check_all.py --first 50     # only the driver's checked window
+
+Round-closing SCALECHECK gate (VERDICT r8 item 2) — the full-registry
+sf1 exactness sweep that found five real bugs in round 8, as one
+command producing one machine-readable record:
+
+    python tools/check_all.py --engine-session \
+        --sf-dir .data/sf1 --out SCALECHECK_r9.json
+
+(~45 min; every oracle-paired query value-checked rows+schema+hash at
+sf1, per-query wall time recorded. Run it before closing every round.)
 """
 
 from __future__ import annotations
@@ -76,6 +86,7 @@ def main() -> int:
     t0 = time.time()
     for name in names:
         rec: dict = {}
+        t_q = time.time()
         try:
             sdf = queries[name](spark, args.sf_dir)
             spark_pd = sdf.toPandas()
@@ -111,6 +122,8 @@ def main() -> int:
             rec["err"] = traceback.format_exc(limit=5)
             n_err += 1
             status = "ERR"
+        rec["sec"] = round(time.time() - t_q, 2)
+        rec["status"] = status
         results[name] = rec
         line = f"{status:4} {name}"
         if "detail" in rec:
@@ -125,8 +138,21 @@ def main() -> int:
         f"  of {total} in {time.time() - t0:.1f}s"
     )
     if args.out:
+        record = {
+            "summary": {
+                "sf_dir": args.sf_dir,
+                "session": "engine" if args.engine_session else "bare-driver-replica",
+                "n_queries": total,
+                "pass": n_pass,
+                "fail": n_fail,
+                "err": n_err,
+                "rows_only": n_rows_only,
+                "wall_sec": round(time.time() - t0, 1),
+            },
+            "queries": results,
+        }
         with open(args.out, "w") as f:
-            json.dump(results, f, indent=1, default=str)
+            json.dump(record, f, indent=1, default=str)
     return 0 if (n_fail == 0 and n_err == 0) else 1
 
 

@@ -114,7 +114,12 @@ def check_audio_segments(spark, con, sf_dir: str, chunks: int) -> bool:
     from salesdata_engineering_spark.registry import QUERIES
 
     q = QUERIES["multimodal_audio_segments"]
-    hi = con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
+    # chunk bounds from the RESULT's own key domain, not documents.doc_id
+    # (ADVICE r8: a media_id outside the doc_id range would fall in no
+    # chunk and never be compared)
+    hi = con.execute(
+        f"SELECT max(media_id) + 1 FROM ({q.oracle})"
+    ).fetchone()[0]
     step = (hi + chunks - 1) // chunks
     total_s = total_o = 0
     ok = True
@@ -141,12 +146,17 @@ def check_audio_segments(spark, con, sf_dir: str, chunks: int) -> bool:
             f"({time.time() - t0:.1f}s)",
             flush=True,
         )
-    # cross-check: the chunk union saw every oracle row exactly once
+    # cross-check BOTH sides: the chunk union saw every oracle row AND
+    # every Spark row exactly once (ADVICE r8: oracle-only coverage
+    # would PASS even if Spark emitted rows outside every chunk's
+    # media_id range — negative ids, ids past hi)
     n_all = con.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
-    cover = total_o == n_all
+    n_spark = q.fn(spark, sf_dir).count()
+    cover = total_o == n_all and total_s == n_spark
     print(
         f"multimodal_audio_segments: {'PASS' if ok and cover else 'FAIL'} "
-        f"rows={total_s}/{total_o} (oracle total {n_all})",
+        f"rows={total_s}/{total_o} (oracle total {n_all}, "
+        f"spark total {n_spark})",
         flush=True,
     )
     return ok and cover
