@@ -108,7 +108,13 @@ def test_stream_source_recursive_rejects_single_file_layout(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["stream_tumbling_counts", "stream_stateful_totals", "stream_cdc_latest"]
+    "name",
+    [
+        "stream_tumbling_counts",
+        "stream_stateful_totals",
+        "stream_cdc_latest",
+        "stream_session_windows",
+    ],
 )
 def test_streaming_queries_layout_invariant(spark, sf_dir, dir_layout_sf, name):
     """Every registered streaming query must produce identical results on
