@@ -2205,7 +2205,10 @@ def q_sim_ivf_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "appends arrive AFTER the trained geometry is pinned. Staged "
     "publication: base build + append happen under <dir>.stage and "
     "one rename publishes, so a crash mid-sequence can never leave a "
-    "cached index missing its batch.",
+    "cached index missing its batch. Since r9 the staged sequence also "
+    "runs compact_index_postings (small-files compaction of the "
+    "appended cells through the crash-safe layout swap), so the SAME "
+    "oracle additionally proves compaction is serving-invariant.",
 )
 def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -2214,6 +2217,7 @@ def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.ann_index import (
         append_ivf_pq_index,
         build_ivf_pq_index,
+        compact_index_postings,
         corpus_fingerprint,
         search_ivf_pq_index,
     )
@@ -2249,6 +2253,11 @@ def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             stride=stride, n_codes=64, corpus_count=n,
         )
         append_ivf_pq_index(spark, stage, corpus.filter(is_batch))
+        # compact the appended posting lists (r9 lifecycle closure):
+        # the same full-corpus oracle below proves compaction is
+        # serving-invariant — re-binning (id, s, code) rows into fewer
+        # files per cid partition while partition pruning is preserved
+        compact_index_postings(spark, stage)
         fs, live_p = _fs_and_path(spark, idx)
         stage_p = _fs_and_path(spark, stage)[1]
         if fs.exists(live_p):
