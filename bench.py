@@ -187,41 +187,53 @@ def _load_gen_module():
 
 def _source_fingerprint(src_dir: str) -> str:
     """Content key for the derived-scale caches: stat metadata of every
-    parquet under ``src_dir`` plus the generator source itself — so a
-    regenerated source dataset OR a changed gen_sf1.py invalidates the
-    cache (ADVICE r8: a bare isdir check let a stale .data/sf3 survive
-    an sf1 regeneration and silently cross-compare datasets)."""
+    parquet under ``src_dir`` (the marker file itself is excluded by the
+    suffix filter) plus the generator source — so a regenerated source
+    dataset OR a changed gen_sf1.py invalidates the cache (ADVICE r8: a
+    bare isdir check let a stale .data/sf3 survive an sf1 regeneration
+    and silently cross-compare datasets)."""
     import hashlib
 
-    h = hashlib.md5()
-    for root, _dirs, files in sorted(os.walk(src_dir)):
-        for f in sorted(files):
-            if f.endswith(".parquet"):
-                st = os.stat(os.path.join(root, f))
-                h.update(f"{root}/{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    from salesdata_engineering_spark.ext.ann_index import inventory_fingerprint
+
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "tools", "gen_sf1.py"), "rb") as fh:
-        h.update(fh.read())
-    return h.hexdigest()
+        gen_src = fh.read()
+    return hashlib.md5(
+        inventory_fingerprint(src_dir, suffix=".parquet").encode() + gen_src
+    ).hexdigest()
 
 
 def _ensure_derived(spark, src_dir: str, dst_dir: str, reps: int) -> str:
     """Generate-or-reuse a derived-scale dataset, keyed on the source
-    fingerprint: a ``_FINGERPRINT`` marker written after generation must
-    match the current source; any mismatch (regenerated source, changed
-    generator, changed reps) deletes the stale cache and regenerates."""
+    fingerprint: a ``_FINGERPRINT`` marker (written as INCOMPLETE before
+    generation, finalized after) must match the current source; any
+    mismatch — regenerated source, changed generator, changed reps, or
+    a crashed half-generation — deletes the stale cache and
+    regenerates. A non-empty directory WITHOUT a marker was not created
+    by this tool and is never deleted: a user-supplied
+    SPARK_GRAFT_SF1_DIR pointing at hand-maintained data raises instead
+    of being rmtree'd."""
     import shutil
 
     marker = os.path.join(dst_dir, "_FINGERPRINT")
     want = f"{_source_fingerprint(src_dir)}:reps={reps}"
     if os.path.isdir(dst_dir):
-        have = None
         if os.path.exists(marker):
             with open(marker) as fh:
-                have = fh.read()
-        if have == want:
-            return dst_dir
-        shutil.rmtree(dst_dir, ignore_errors=True)
+                if fh.read() == want:
+                    return dst_dir
+            shutil.rmtree(dst_dir, ignore_errors=True)  # tool-created, stale
+        elif os.listdir(dst_dir):
+            raise RuntimeError(
+                f"{dst_dir} exists without a _FINGERPRINT marker — not "
+                "created by bench.py; refusing to delete it. Point "
+                "SPARK_GRAFT_SF1_DIR/SF3_DIR elsewhere or remove it "
+                "yourself."
+            )
+    os.makedirs(dst_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("INCOMPLETE")  # a crash mid-gen must read as stale
     _load_gen_module().generate(spark, src_dir, dst_dir, reps=reps)
     with open(marker, "w") as fh:
         fh.write(want)
@@ -545,6 +557,9 @@ def main() -> None:
     sf1_events = os.path.join(sf1_dir or "", "events.parquet")
     if (
         sf1_dir
+        and sf1_timings  # sf1 section succeeded — never drain a partial
+        # or stale events dir left by a failed _ensure_derived and
+        # publish plausible-looking throughput over inconsistent data
         and os.environ.get("SPARK_GRAFT_STREAMING_SF1", "1") != "0"
         and os.path.isdir(sf1_events)
     ):

@@ -324,15 +324,47 @@ def compact_index_postings(
     (test_ann_index.py pins this against the full-corpus oracle).
 
     Returns {"cells_compacted", "files_before", "files_after"} counted
-    over parquet data files in all cid partitions."""
+    over parquet data files in the cid partitions (debris-healed cells
+    count toward cells_compacted and files_after; their pre-heal file
+    count is ill-defined and excluded from files_before)."""
     from ..fsops import _fs_and_path
     from ..ops.layout import compact_parquet_dir
 
     codes_dir = f"{index_dir}/codes"
     fs, codes_p = _fs_and_path(spark, codes_dir)
-    before = after = compacted = 0
+    # Heal crash-window debris FIRST: a kill inside a previous call's
+    # swap can leave cid=N.old / cid=N.new (possibly with cid=N gone).
+    # Left alone they would be mis-read as live partitions — Spark's
+    # partition discovery parses 'N.old' and widens cid to string,
+    # silently breaking the serve-time cid IN (...) prune. Invoking
+    # compact_parquet_dir on the LIVE path runs its documented
+    # self-heal (restores a missing live dir from .new/.old, deletes
+    # stale scratch) before any new work.
+    debris_live = {
+        st.getPath().getName().rsplit(".", 1)[0]
+        for st in fs.listStatus(codes_p)
+        if not st.isFile()
+        and st.getPath().getName().startswith("cid=")
+        and st.getPath().getName().endswith((".old", ".new"))
+    }
+    for live in sorted(debris_live):
+        compact_parquet_dir(spark, f"{codes_dir}/{live}", target_file_bytes)
+    before = after = 0
+    compacted = len(debris_live)
     for st in fs.listStatus(codes_p):
-        if st.isFile() or not st.getPath().getName().startswith("cid="):
+        name = st.getPath().getName()
+        if (
+            st.isFile()
+            or not name.startswith("cid=")
+            or name.endswith((".old", ".new"))
+        ):
+            continue
+        if name in debris_live:
+            after += sum(
+                1
+                for s in fs.listStatus(st.getPath())
+                if s.isFile() and s.getPath().getName().endswith(".parquet")
+            )
             continue
         leaf = st.getPath()
         files = [
@@ -358,23 +390,33 @@ def compact_index_postings(
     }
 
 
+def inventory_fingerprint(path: str, suffix: str | None = None) -> str:
+    """md5 over the file inventory (path, size, mtime_ns) of ``path`` —
+    a file or a tree, optionally filtered to ``suffix`` files.  Pure
+    os.stat metadata: no data is read.  The shared content-key helper
+    behind index caching here and bench.py's derived-dataset caches
+    (one implementation, so inventory-hash fixes propagate to both)."""
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if suffix and not f.endswith(suffix):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                entries.append(f"{root}/{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()
+
+
 def corpus_fingerprint(data_dir: str, table: str = "embeddings.parquet") -> str:
     """Content key for index caching: md5 over the corpus parquet file
     inventory (path, size, mtime_ns).  Any regeneration of the testdata
     — same path, same row count, different values — changes mtimes and
     therefore the key, so a cached index can never silently serve stale
-    results.  Pure os.stat metadata: no data is read."""
-    p = os.path.join(data_dir, table)
-    entries = []
-    if os.path.isdir(p):
-        for root, _dirs, files in os.walk(p):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                entries.append(f"{root}/{f}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(p):
-        st = os.stat(p)
-        entries.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("\n".join(entries).encode()).hexdigest()
+    results."""
+    return inventory_fingerprint(os.path.join(data_dir, table))
 
 
 def ensure_ivf_pq_index(

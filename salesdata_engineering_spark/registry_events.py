@@ -2446,6 +2446,15 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
                                 tgt, batch_tbl.schema, version="2.6"
                             )
                         writer.write_table(batch_tbl)
+                if writer is None:
+                    # every part file was empty (zero row groups) — an
+                    # empty repartitioned events table does this; the
+                    # staged base file must still exist for the utime +
+                    # stream below (the concat_tables path always wrote
+                    # a valid, possibly empty, file)
+                    writer = pq.ParquetWriter(
+                        tgt, pq.read_schema(base_paths[0]), version="2.6"
+                    )
             finally:
                 if writer is not None:
                     writer.close()

@@ -257,3 +257,46 @@ def test_compaction_preserves_serving_bitwise(spark, sf_dir, corpus, tmp_path):
     )
     assert got == want
     assert index_counts(spark, idx) == counts_before
+
+
+def test_compaction_heals_crash_window_debris(spark, sf_dir, corpus, tmp_path):
+    """A kill inside compact_parquet_dir's swap can leave cid=N.old /
+    cid=N.new (with cid=N possibly gone). Unhealed, Spark's partition
+    discovery would parse 'N.old' and widen cid to STRING, silently
+    breaking the serve-time cid IN (...) partition prune; the next
+    compaction call must finish/roll back the swap instead."""
+    import shutil
+
+    from salesdata_engineering_spark.ext.ann_index import (
+        compact_index_postings,
+        index_counts,
+    )
+
+    n = corpus.count()
+    stride = _ivf_stride(corpus, n)
+    idx = build_ivf_pq_index(
+        spark, corpus, str(tmp_path / "idx"),
+        stride=stride, n_codes=64, corpus_count=n,
+    )
+    q = _queries_subset(corpus)
+    want = _sorted_rows(
+        search_ivf_pq_index(spark, idx, corpus, q, k=5, m_cand=40, nprobe=4)
+    )
+    counts = index_counts(spark, idx)
+    codes = os.path.join(idx, "codes")
+    victim = sorted(
+        d for d in os.listdir(codes) if d.startswith("cid=") and "." not in d
+    )[0]
+    # simulate a crash between the two swap renames: live gone, .old left
+    shutil.move(os.path.join(codes, victim), os.path.join(codes, victim + ".old"))
+
+    stats = compact_index_postings(spark, idx)
+    assert stats["cells_compacted"] >= 1
+    names = os.listdir(codes)
+    assert victim in names
+    assert not any(d.endswith((".old", ".new")) for d in names), names
+    got = _sorted_rows(
+        search_ivf_pq_index(spark, idx, corpus, q, k=5, m_cand=40, nprobe=4)
+    )
+    assert got == want
+    assert index_counts(spark, idx) == counts

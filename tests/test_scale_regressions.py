@@ -38,12 +38,9 @@ from salesdata_engineering_spark.streaming.runner import (
     run_to_completion,
 )
 
-from .oracle_utils import assert_oracle_match, duckdb_con
+from salesdata_engineering_spark.schemas import TESTDATA_TABLES
 
-TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
+from .oracle_utils import assert_oracle_match, duckdb_con
 
 
 def _variant_sf_dir(src_sf: str, dst: str, events_tbl=None, n_parts: int = 0) -> str:
@@ -53,7 +50,7 @@ def _variant_sf_dir(src_sf: str, dst: str, events_tbl=None, n_parts: int = 0) ->
     each part spans the FULL time range, the worst case for per-file
     watermark advancement, exactly what repartitioned producers emit)."""
     os.makedirs(dst, exist_ok=True)
-    for t in TABLES:
+    for t in TESTDATA_TABLES:
         src = os.path.join(src_sf, f"{t}.parquet")
         tgt = os.path.join(dst, f"{t}.parquet")
         if t != "events" and os.path.exists(src) and not os.path.exists(tgt):

@@ -120,6 +120,14 @@ def check_audio_segments(spark, con, sf_dir: str, chunks: int) -> bool:
     hi = con.execute(
         f"SELECT max(media_id) + 1 FROM ({q.oracle})"
     ).fetchone()[0]
+    if hi is None:  # oracle empty — PASS iff Spark is empty too
+        n_spark = q.fn(spark, sf_dir).count()
+        print(
+            f"multimodal_audio_segments: {'PASS' if n_spark == 0 else 'FAIL'} "
+            f"rows={n_spark}/0 (oracle empty)",
+            flush=True,
+        )
+        return n_spark == 0
     step = (hi + chunks - 1) // chunks
     total_s = total_o = 0
     ok = True
