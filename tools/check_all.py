@@ -15,11 +15,15 @@ Round-closing SCALECHECK gate (VERDICT r8 item 2) — the full-registry
 sf1 exactness sweep that found five real bugs in round 8, as one
 command producing one machine-readable record:
 
-    python tools/check_all.py --engine-session \
-        --sf-dir .data/sf1 --out SCALECHECK_r9.json
+    python tools/check_all.py --engine-session --sf-dir .data/sf1 \
+        --skip sim_embedding_clusters,multimodal_audio_segments \
+        --out SCALECHECK_r9.json
+    python tools/sf1_gap_check.py          # the two skipped queries
 
-(~45 min; every oracle-paired query value-checked rows+schema+hash at
-sf1, per-query wall time recorded. Run it before closing every round.)
+(~45 min + gap tool; every oracle-paired query value-checked
+rows+schema+hash at sf1, per-query wall time recorded. The two skips
+need the chunked gap tool at sf1: their DuckDB oracles blow past any
+single-session memory budget. Run both before closing every round.)
 """
 
 from __future__ import annotations
@@ -42,6 +46,22 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--first", type=int, default=None, help="check only the first N registered queries")
     ap.add_argument("--out", default=None, help="write JSON results here")
+    ap.add_argument(
+        "--skip",
+        default=None,
+        help="comma-separated query names to exclude (the sf1 sweep "
+        "skips sim_embedding_clusters + multimodal_audio_segments: "
+        "their DuckDB oracles need the chunked tools/sf1_gap_check.py "
+        "at scale — the r9 full-session attempt OOM-killed the whole "
+        "process at 112 GB inside the clusters oracle)",
+    )
+    ap.add_argument(
+        "--duckdb-mem",
+        default="32GB",
+        help="DuckDB memory_limit (with a disk temp_directory for "
+        "spill) so one heavy oracle fails as a recorded ERR instead "
+        "of OOM-killing the sweep",
+    )
     ap.add_argument(
         "--engine-session",
         action="store_true",
@@ -79,8 +99,18 @@ def main() -> int:
         names = names[: args.first]
     if args.only:
         names = [n for n in args.only.split(",") if n in queries]
+    if args.skip:
+        skip = set(args.skip.split(","))
+        names = [n for n in names if n not in skip]
 
     con = duckdb_con(args.sf_dir)
+    if args.duckdb_mem:
+        import tempfile
+
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
+        con.execute(
+            f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'"
+        )
     results: dict[str, dict] = {}
     n_pass = n_fail = n_err = n_rows_only = 0
     t0 = time.time()
