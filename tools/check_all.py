@@ -15,15 +15,13 @@ Round-closing SCALECHECK gate (VERDICT r8 item 2) — the full-registry
 sf1 exactness sweep that found five real bugs in round 8, as one
 command producing one machine-readable record:
 
-    python tools/check_all.py --engine-session --sf-dir .data/sf1 \
-        --skip sim_embedding_clusters,multimodal_audio_segments \
-        --out SCALECHECK_r9.json
-    python tools/sf1_gap_check.py          # the two skipped queries
+    python tools/scalecheck.py --out SCALECHECK_r{N}.json
 
-(~45 min + gap tool; every oracle-paired query value-checked
-rows+schema+hash at sf1, per-query wall time recorded. The two skips
-need the chunked gap tool at sf1: their DuckDB oracles blow past any
-single-session memory budget. Run both before closing every round.)
+(tools/scalecheck.py orchestrates BOTH phases — this sweep minus the
+two chunked-oracle queries, then tools/sf1_gap_check.py for those two
+— in isolated processes and merges one record. ~60 min at sf1; every
+oracle-paired query value-checked rows+schema+hash, per-query wall
+time recorded. Run it before closing every round.)
 """
 
 from __future__ import annotations
