@@ -613,6 +613,19 @@ def main() -> None:
     elif isinstance(sf1_block, dict):  # degraded: carry the error marker
         sf1_summary = {"error": sf1_block.get("error", "")[:120]}
 
+    # stdout carries only rows/sec per streaming probe (ints): the full
+    # block pushed the single JSON line to 1.9 KB against the driver's
+    # observed 2.0 KB retained tail — the exact r6 parsed-null failure
+    # mode, 100 bytes from recurring. Detail lands in BENCH_LOCAL.json.
+    streaming_summary = None
+    if isinstance(streaming_block, dict) and "queries" in streaming_block:
+        streaming_summary = {
+            n: rec["rows_per_sec"]
+            for n, rec in streaming_block["queries"].items()
+        }
+    elif isinstance(streaming_block, dict):
+        streaming_summary = {"error": streaming_block.get("error", "")[:120]}
+
     sf3_summary = None
     if isinstance(sf3_block, dict) and "value" in sf3_block:
         r3 = sf3_block.get("ratio_vs_sf1") or {}
@@ -635,7 +648,7 @@ def main() -> None:
         "extras": extras,
         "sf1": sf1_summary,
         "sf3": sf3_summary,
-        "streaming_sf1": streaming_block,
+        "streaming_sf1": streaming_summary,
         # co-load context (VERDICT r7 item 1): 1-min loadavg + a fixed
         # calibration probe at each section boundary. Identical probe
         # work every time — calib_sec drift between markers (or between
@@ -651,7 +664,9 @@ def main() -> None:
         "timed_runs": runs,
         "stat": "median",
     }
-    full = dict(headline, sf1=sf1_block, sf3=sf3_block)
+    full = dict(
+        headline, sf1=sf1_block, sf3=sf3_block, streaming_sf1=streaming_block
+    )
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as fh:
