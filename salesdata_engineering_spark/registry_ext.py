@@ -576,31 +576,46 @@ def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 4
 
-#: Centroid sampling stride, scaled so n_cells ~ sqrt(N). A FIXED stride
-#: (r5 used 50) makes n_cells = N/50 grow linearly with the corpus, so
-#: the corpus->cell assignment pass costs N * N/50 — quadratic in corpus
-#: size. The r6 sf1 datapoint caught it empirically: sim_ivf_quantized
-#: grew 13.5x on 10x data while every other headline query stayed <=4x.
-#: stride = round(sqrt(N)) gives n_cells ~ sqrt(N): assignment is
-#: N^1.5 and the probed fraction nprobe/sqrt(N) keeps SHRINKING with
-#: scale — the standard IVF sizing. Spark computes it from a metadata
-#: row count; the oracle embeds the identical arithmetic as a scalar
-#: subquery (sqrt of an integer can never land exactly on .5, so
-#: Python's banker-round and DuckDB's half-up round agree).
+#: Centroid sampling stride, scaled so n_cells ~ sqrt(N) UP TO a fixed
+#: cap. A FIXED stride (r5 used 50) makes n_cells = N/50 grow linearly
+#: with the corpus, so the corpus->cell assignment pass costs N * N/50 —
+#: quadratic in corpus size. The r6 sf1 datapoint caught it empirically:
+#: sim_ivf_quantized grew 13.5x on 10x data while every other headline
+#: query stayed <=4x. stride = round(sqrt(N)) fixed THAT, but left the
+#: assignment pass N * sqrt(N) — still superlinear, and the r9 sf3 rung
+#: measured it honestly (min-ratio 3.64 at 3x data, REAL per the
+#: min-vs-min classifier; VERDICT r9 item 2). The r10 form bounds
+#: n_cells at _IVF_MAX_CELLS: stride = max(round(sqrt(N)), ceil(N/K)),
+#: so below K^2 vectors the sizing is the standard sqrt(N) and beyond
+#: it the cell count freezes at K — assignment becomes N*K = LINEAR in
+#: the corpus, and recall is carried by the exact re-rank stage (the
+#: fixed-nlist design every production IVF system uses; FAISS defaults
+#: its nlist to a constant per index, not a function that tracks N).
+#: Spark computes the stride from a metadata row count; the oracle
+#: embeds the identical arithmetic as a scalar subquery. Cross-engine
+#: exactness of each arm: sqrt of an integer can never land exactly on
+#: .5, so Python's banker-round and DuckDB's half-up round agree; K is
+#: a power of two, so N/K is computed exactly in doubles and
+#: ceil(N/K.0) == -(-N//K) for every integer N.
+_IVF_MAX_CELLS = 128
+
 _SQL_STRIDE = (
-    "(SELECT greatest(1, CAST(round(sqrt(count(*)), 0) AS BIGINT))"
+    "(SELECT greatest(1, CAST(round(sqrt(count(*)), 0) AS BIGINT),"
+    f" CAST(ceil(count(*) / {_IVF_MAX_CELLS}.0) AS BIGINT))"
     " FROM embeddings)"
 )
 
 
 def _ivf_stride(corpus: DataFrame, n: int | None = None) -> int:
-    """Centroid stride = round(sqrt(N)) — ONE definition shared by every
-    Python call site (pass ``n`` when the count is already known) and
-    mirrored by _SQL_STRIDE; an inline copy that drifts from the SQL
-    arithmetic silently desynchronizes the index the oracle rebuilds."""
+    """Centroid stride = max(round(sqrt(N)), ceil(N/_IVF_MAX_CELLS)) —
+    ONE definition shared by every Python call site (pass ``n`` when the
+    count is already known) and mirrored by _SQL_STRIDE; an inline copy
+    that drifts from the SQL arithmetic silently desynchronizes the
+    index the oracle rebuilds."""
     import math
 
-    return max(1, round(math.sqrt(corpus.count() if n is None else n)))
+    n = corpus.count() if n is None else n
+    return max(1, round(math.sqrt(n)), -(-n // _IVF_MAX_CELLS))
 
 
 @register(

@@ -249,3 +249,47 @@ def test_lm_readout_floor_quantize_boundary(spark):
         .collect()
     }
     assert legacy["g2"] != got["g2"]
+
+
+# --- class 6: IVF cell count must be bounded (assignment stays linear) ---
+
+
+def test_ivf_stride_cap_cross_engine_and_bounded():
+    """r9's sf3 rung classified the IVF build's cell-assignment stage as
+    REALLY superlinear (min-ratio 3.64 at 3x): stride = round(sqrt(N))
+    makes n_cells track sqrt(N), so assignment costs N*sqrt(N). The r10
+    stride bounds n_cells at _IVF_MAX_CELLS — beyond K^2 vectors the
+    assignment pass is N*K, linear. Pin (a) the bound itself, (b) that
+    the committed _SQL_STRIDE text computes the IDENTICAL integer in
+    DuckDB (the oracle rebuilds the index from it — one ulp of drift
+    desynchronizes every cell boundary), including at the test ladder's
+    corpus sizes (sf0.01=500 uncapped, sf1=20000 and sf3=60000 capped)."""
+    import duckdb
+
+    from salesdata_engineering_spark.registry_ext import (
+        _IVF_MAX_CELLS,
+        _SQL_STRIDE,
+        _ivf_stride,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 2, 499, 500, 2000, 16384, 16385, 20000, 60000, 10**6):
+        py = _ivf_stride(None, n)
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT range AS vec_id FROM range({n})"
+        )
+        sql = con.execute(f"SELECT {_SQL_STRIDE}").fetchone()[0]
+        assert py == sql, f"stride drift at n={n}: python {py} vs sql {sql}"
+        assert -(-n // py) <= _IVF_MAX_CELLS, f"cell bound broken at n={n}"
+    # the bound must already bind inside the measured scale ladder
+    # (sf1-derived embeddings = 20000 rows) and not distort the driver's
+    # correctness scales (sf0.01 = 500 rows keeps the sqrt sizing)
+    assert -(-20000 // _ivf_stride(None, 20000)) == _IVF_MAX_CELLS
+    assert _ivf_stride(None, 500) == 22  # round(sqrt(500)) — uncapped
+    # linearity at scale: 100x the corpus, exactly 100x the assignment
+    # pairs (n * n_cells) once the cap binds
+    for n in (10**5, 10**7):
+        pairs = n * -(-n // _ivf_stride(None, n))
+        pairs_100x = 100 * n * -(-(100 * n) // _ivf_stride(None, 100 * n))
+        assert pairs_100x == 100 * pairs

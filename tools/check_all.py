@@ -102,13 +102,27 @@ def main() -> int:
         names = [n for n in names if n not in skip]
 
     con = duckdb_con(args.sf_dir)
+    spill_dir = None
     if args.duckdb_mem:
         import tempfile
 
+        # removed in the finally below — a leaked spill dir per sweep
+        # run can hold residual spill files (ADVICE r9)
+        spill_dir = tempfile.mkdtemp(prefix="duckdb_spill_")
         con.execute(f"SET memory_limit='{args.duckdb_mem}'")
-        con.execute(
-            f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'"
-        )
+        con.execute(f"SET temp_directory='{spill_dir}'")
+    try:
+        return _run_sweep(args, spark, queries, oracles, names, con)
+    finally:
+        if spill_dir:
+            import shutil
+
+            shutil.rmtree(spill_dir, ignore_errors=True)
+
+
+def _run_sweep(args, spark, queries, oracles, names, con) -> int:
+    from oracle_utils import canon_frame
+
     results: dict[str, dict] = {}
     n_pass = n_fail = n_err = n_rows_only = 0
     t0 = time.time()

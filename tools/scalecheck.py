@@ -60,13 +60,16 @@ def run_gap_tool(sf_dir: str) -> tuple[dict[str, dict], str]:
             }
             continue
         status, s_rows, o_rows, detail = m.groups()
-        ok = status == "PASS"
+        # the gap tool prints ONE verdict token covering its whole check
+        # (values + coverage cross-check); only the row counts are
+        # per-dimension facts here. Synthesizing schema/hash booleans
+        # from the token misrecorded a coverage-only FAIL as a schema+
+        # hash mismatch (ADVICE r9) — record the single verdict instead.
         merged[name] = {
             "spark_rows": int(s_rows),
             "oracle_rows": int(o_rows),
-            "rows_match": ok,
-            "schema_match": ok,
-            "hash_match": ok,
+            "rows_match": int(s_rows) == int(o_rows),
+            "verdict": status,
             "status": status,
             "via": "tools/sf1_gap_check.py (chunked oracle — too heavy for a "
             "single DuckDB session at sf1)" + (detail.strip() and f"; {detail.strip()}" or ""),
@@ -81,14 +84,21 @@ def main() -> int:
     args = ap.parse_args()
 
     t0 = time.time()
-    sweep_out = tempfile.mktemp(suffix=".json", prefix="scalecheck_sweep_")
+    # mkstemp, not the race-prone deprecated mktemp (ADVICE r9): the fd
+    # is closed immediately — only the reserved path is needed, and
+    # check_all truncates/overwrites it.
+    fd, sweep_out = tempfile.mkstemp(suffix=".json", prefix="scalecheck_sweep_")
+    os.close(fd)
     rc = subprocess.call(
         [sys.executable, os.path.join(REPO, "tools", "check_all.py"),
          "--engine-session", "--sf-dir", args.sf_dir,
          "--skip", ",".join(GAP_QUERIES), "--out", sweep_out]
     )
-    if not os.path.exists(sweep_out):
+    # mkstemp pre-creates the file, so "no record" now reads as empty
+    if not os.path.exists(sweep_out) or os.path.getsize(sweep_out) == 0:
         print(f"sweep produced no record (rc={rc})", file=sys.stderr)
+        if os.path.exists(sweep_out):
+            os.unlink(sweep_out)
         return 1
     with open(sweep_out) as f:
         record = json.load(f)
