@@ -301,10 +301,19 @@ def index_counts(spark: SparkSession, index_dir: str) -> dict:
     return {"meta_n": meta["n"], "indexed_n": indexed}
 
 
+def _parquet_files(fs, leaf_path) -> list:
+    return [
+        s
+        for s in fs.listStatus(leaf_path)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+
+
 def compact_index_postings(
     spark: SparkSession,
     index_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    batch_cells: int = 32,
 ) -> dict:
     """Compact the posting lists after N appends (VERDICT r8 item 5a).
 
@@ -312,12 +321,36 @@ def compact_index_postings(
     partition; after many increments the per-cell file count — not data
     volume — starts to dominate serve-time open cost (the classic
     small-files regression ``ops/layout.compact_parquet_dir`` exists
-    for). This walks the cid partitions of ``<dir>/codes`` and rewrites
-    each multi-file leaf through that same helper, inheriting its
-    crash-safe .new/.old swap and self-healing; single-file leaves are
-    left untouched (no needless rewrite, no mtime churn). Partition
-    pruning is preserved by construction: leaves are rewritten in
-    place, the hive ``cid=`` layout never changes.
+    for). Multi-file leaves are rewritten in place; single-file leaves
+    are left untouched (no needless rewrite, no mtime churn). Partition
+    pruning is preserved by construction: the hive ``cid=`` layout
+    never changes.
+
+    Job shape (VERDICT r9 item 3): the r9 form submitted one Spark job
+    per multi-file leaf — at production cell counts that is 10k+
+    sequential job submissions for one maintenance pass, with driver
+    round-trip latency dominating. Now every multi-file leaf whose data
+    fits ONE target file (the overwhelmingly common small-files case)
+    is rewritten in BATCHES: up to ``batch_cells`` leaves are read
+    together (``basePath`` recovers cid), repartitioned by cid and
+    written partitioned-by-cid to a ``_``-prefixed scratch dir — ONE
+    Spark job per batch, exactly one output file per cell — and then
+    each cell is swapped in with the same per-cell crash-safe
+    .new/.old rename discipline ``ops/layout.compact_parquet_dir``
+    uses. Oversized leaves (> target_file_bytes, needing a computed
+    multi-file output) still go through compact_parquet_dir
+    individually. ``batch_cells`` stays at Spark's default
+    parallelPartitionDiscovery threshold so the batched read never
+    spawns its own listing job.
+
+    Crash safety, window by window: a kill during the batched scratch
+    write leaves only ``codes/_compact_scratch`` (readers ignore
+    ``_``-prefixed paths; the next call deletes it). A kill after a
+    cell's scratch output was renamed to ``cid=N.new`` but before its
+    swap is healed by the debris pass below (stale .new next to a live
+    leaf is deleted and the leaf recompacted). A kill between the two
+    swap renames is compact_parquet_dir's documented self-heal. Readers
+    either see the old complete posting list or the new complete one.
 
     Serving results are bit-identical before/after — compaction only
     re-bins the same (id, s, code) rows into fewer files
@@ -332,6 +365,9 @@ def compact_index_postings(
 
     codes_dir = f"{index_dir}/codes"
     fs, codes_p = _fs_and_path(spark, codes_dir)
+    scratch = f"{codes_dir}/_compact_scratch"
+    scratch_p = _fs_and_path(spark, scratch)[1]
+    fs.delete(scratch_p, True)  # debris from a kill mid-batch-write
     # Heal crash-window debris FIRST: a kill inside a previous call's
     # swap can leave cid=N.old / cid=N.new (possibly with cid=N gone).
     # Left alone they would be mis-read as live partitions — Spark's
@@ -351,6 +387,7 @@ def compact_index_postings(
         compact_parquet_dir(spark, f"{codes_dir}/{live}", target_file_bytes)
     before = after = 0
     compacted = len(debris_live)
+    small_leaves = []  # multi-file leaves fitting ONE target file
     for st in fs.listStatus(codes_p):
         name = st.getPath().getName()
         if (
@@ -360,34 +397,101 @@ def compact_index_postings(
         ):
             continue
         if name in debris_live:
-            after += sum(
-                1
-                for s in fs.listStatus(st.getPath())
-                if s.isFile() and s.getPath().getName().endswith(".parquet")
-            )
+            after += len(_parquet_files(fs, st.getPath()))
             continue
         leaf = st.getPath()
-        files = [
-            s
-            for s in fs.listStatus(leaf)
-            if s.isFile() and s.getPath().getName().endswith(".parquet")
-        ]
+        files = _parquet_files(fs, leaf)
         before += len(files)
         if len(files) <= 1:
             after += len(files)
             continue
-        compact_parquet_dir(spark, leaf.toString(), target_file_bytes)
-        after += sum(
-            1
-            for s in fs.listStatus(leaf)
-            if s.isFile() and s.getPath().getName().endswith(".parquet")
-        )
-        compacted += 1
+        if sum(f.getLen() for f in files) > target_file_bytes:
+            # needs a computed multi-file output — per-leaf path
+            compact_parquet_dir(spark, leaf.toString(), target_file_bytes)
+            after += len(_parquet_files(fs, leaf))
+            compacted += 1
+        else:
+            small_leaves.append(leaf)
+    # Job accounting for the batch loop (the whole point of batching):
+    # parquet schema inference launches its own footer-reading job per
+    # read, so the schema is inferred ONCE (first batch) and passed
+    # explicitly after; AQE executes every shuffle query as 2+ jobs
+    # (map stage + re-planned write), so it is disabled around the
+    # loop — the plan is a fixed repartition(len(group), cid) with
+    # nothing for AQE to re-plan. Net: ceil(n_small/batch_cells) write
+    # jobs + 1 inference job for the whole pass (pinned by
+    # test_ann_index.py's job-group counter).
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_prev = spark.conf.get(aqe_key, None) if small_leaves else None
+    if small_leaves:
+        spark.conf.set(aqe_key, "false")
+    schema = None
+    try:
+        for i in range(0, len(small_leaves), max(1, batch_cells)):
+            group = small_leaves[i : i + max(1, batch_cells)]
+            n_after, schema = _compact_leaf_group(
+                spark, fs, codes_p, scratch, scratch_p, group, schema,
+                target_file_bytes,
+            )
+            after += n_after
+            compacted += len(group)
+    finally:
+        if aqe_prev is not None:
+            spark.conf.set(aqe_key, aqe_prev)
     return {
         "cells_compacted": compacted,
         "files_before": before,
         "files_after": after,
     }
+
+
+def _compact_leaf_group(
+    spark, fs, codes_p, scratch, scratch_p, group, schema, target_file_bytes
+):
+    """One batched rewrite: read ``group`` leaves together, write one
+    file per cell to scratch in ONE Spark job, then swap each cell in
+    with the per-cell crash-safe rename discipline. Returns (number of
+    parquet files now in the group's leaves, the codes schema) so the
+    caller can pass the schema to later batches (skipping per-read
+    inference jobs)."""
+    from ..fsops import _fs_and_path
+    from ..ops.layout import compact_parquet_dir
+
+    fs.delete(scratch_p, True)
+    reader = spark.read.option("basePath", codes_p.toString())
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*[leaf.toString() for leaf in group])
+    # each cid hashes into exactly one shuffle partition, so the
+    # partitionBy write emits exactly one file per cell
+    df.repartition(len(group), "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(scratch)
+    n_after = 0
+    for leaf in group:
+        src = _fs_and_path(spark, f"{scratch}/{leaf.getName()}")[1]
+        if not fs.exists(src):
+            # all-empty leaf: partitionBy wrote no dir — rare, fall
+            # back to the per-leaf rewrite (emits one empty file)
+            compact_parquet_dir(spark, leaf.toString(), target_file_bytes)
+        else:
+            # the compact_parquet_dir swap discipline, per cell:
+            # .new is complete before the live dir moves, and every
+            # intermediate state is healed at the next call's entry
+            new_p = _fs_and_path(spark, f"{leaf}.new")[1]
+            old_p = _fs_and_path(spark, f"{leaf}.old")[1]
+            fs.delete(new_p, True)
+            if not fs.rename(src, new_p):
+                raise IOError(f"compaction failed staging {leaf}.new")
+            fs.delete(old_p, True)
+            if not fs.rename(leaf, old_p):
+                raise IOError(f"compaction swap failed renaming {leaf}")
+            if not fs.rename(new_p, leaf):
+                raise IOError(f"compaction swap failed installing {leaf}")
+            fs.delete(old_p, True)
+        n_after += len(_parquet_files(fs, leaf))
+    fs.delete(scratch_p, True)
+    return n_after, df.schema
 
 
 def inventory_fingerprint(path: str, suffix: str | None = None) -> str:
