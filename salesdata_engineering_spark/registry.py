@@ -607,10 +607,12 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # graph rep rotated r9: triangle cliques (driver-suggested) replaces
     # BFS levels (driver-green r7+r8, now in the tail; pagerank rotated r7)
     "graph_triangle_cliques",
-    # joins (anti rep rotated to the tail r6; semi/q13/q3 cover the row)
+    # joins (anti rep rotated to the tail r6; semi/q13 + a TPC-H rep
+    # cover the row). r10 rotation (VERDICT r9 item 4): q5 (6-table
+    # star, first driver check) replaces q3 (driver-green r5-r9)
     "join_semi_customers_with_orders",
     "q13_customer_order_distribution",
-    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     # sorts / top-k / windows (frames rep rotated r6, global top-k and
     # the analytics-suite umbrella rotated r7 — topk_suppliers keeps the
     # O/W rows; ignore-nulls navigation gets its first driver check)
@@ -623,10 +625,11 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # month spine represents the modern-SQL family in the window)
     "scalar_string_functions",
     "date_null_predicates",
-    # LM rep rotated r9: the unigram twin takes the window slot (its
-    # floor-quantize readout changed r8; bigram — driver-green r7+r8
-    # with the same readout — moves to the tail)
-    "text_unigram_logprob",
+    # LM rep rotated r10 (VERDICT r9 item 4): the BPE merge trainer
+    # (iterative, heavy, pytest-only until now) gets its first driver
+    # check; the unigram twin (green r9) and bigram (green r7+r8) both
+    # sit in the tail with the same floor-quantized readout
+    "text_bpe_merge_steps",
     "json_functions",
     "sql_recursive_month_spine",
     "udf_surface",
@@ -640,15 +643,14 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # sessionization is now represented by events_session_funnel)
     "events_tumbling_counts",
     "interval_join_click_error",
-    # streaming reps rotated r9 (VERDICT r8 #3): the two surfaces whose
-    # code changed in the r8 bug fixes — session windows (directory-
-    # layout source) and the stream-stream LEFT OUTER join (staged base
-    # consolidation) — take the window slots; stream_tumbling_counts /
-    # stream_stateful_totals (driver-green r6-r8) and asof_click_purchase
-    # (green r5-r8; interval + point-in-time keep the temporal-join
-    # family) move to the tail
-    "stream_session_windows",
-    "stream_stream_left_outer_join",
+    # streaming reps rotated r10 (VERDICT r9 item 4): the dynamic-gap
+    # sessionizer (applyInPandasWithState custom state, pytest-only
+    # until now) and sliding-window counts get first driver checks;
+    # stream_session_windows + stream_stream_left_outer_join (both
+    # driver-green r9, and the left-outer join now has a dedicated
+    # streaming_sf1 bench rung) move to the tail
+    "events_session_dynamic_gap",
+    "stream_sliding_counts",
     # events analytics reps, rotated r8 (VERDICT r7 #3): the r6 cohort
     # (session funnel, RFM, basket affinity — driver-green r6+r7) moves
     # to the tail; the round-7 additions DAU/MAU stickiness and Shapley
@@ -656,10 +658,11 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # CDC stay (Markov + maintenance rows keep their window rep).
     "events_dau_mau_stickiness",
     "events_attribution_shapley",
-    # events analytics rotated r9: alert flapping (its 0/0 guard changed
-    # r8) and mix-shift decomposition (first driver check) replace the
-    # transition matrix (driver-green r6-r8, now in the tail)
-    "events_alert_flapping",
+    # events analytics rotated r10: the hourly autocorrelation (lag-
+    # windowed moment sums, pytest-only until now) replaces alert
+    # flapping (driver-green r9 incl. its empty-runs pin); mix-shift
+    # (green r9 only) keeps its slot one more round
+    "events_hourly_acf",
     "events_mix_shift_decomposition",
     "cdc_apply_changes",
     # temporal-join family: the r7 point-in-time join joins asof/interval
@@ -683,11 +686,11 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # r8 rotation: n-gram containment (asymmetric near-dup, r7 surface)
     "dedup_containment",
     "sim_cosine_topk",
-    # r9 rotation: the embedding-clusters pipeline (its components stage
-    # was the r8 lineage-replay fix; sf1-verified by tools/sf1_gap_check)
-    # replaces dedup_minhash_lsh (driver-green r5-r8; the banded LSH
-    # machinery stays covered by sim/LSH reps and the pytest tail)
-    "sim_embedding_clusters",
+    # r10 rotation: dedup_minhash_lsh returns (heavy banded-bucket-join
+    # pipeline, in the tail since r9 — VERDICT r9 item 4 asked for a
+    # fresh datapoint); sim_embedding_clusters (driver-green r9, sf1-
+    # verified via the gap tool) moves to the tail
+    "dedup_minhash_lsh",
     # composed IVF+quantized supersedes plain IVF as the X7 window rep
     # (same cell machinery plus the quantized scan; plain IVF stays
     # registered in the tail, pytest-oracle-checked). r7 rotation: the
@@ -703,8 +706,10 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",
-    # sampling second rep: stratified k-fold (r7 surface, first check)
-    "sample_kfold_stratified",
+    # sampling second rep rotated r10: temperature-mixture epoch
+    # assembly (first driver check) replaces stratified k-fold (green
+    # r9; the fold machinery stays pytest-oracle-checked in the tail)
+    "sample_mixture_epochs",
     "corpus_curation_pipeline",
 )
 

@@ -26,7 +26,8 @@ REQUIRED_IN_WINDOW = {
     # semi/left/q13/q3 cover the §2 row inside the window)
     "join_semi_customers_with_orders",
     "q13_customer_order_distribution",
-    "q3_shipping_priority",
+    # r10: q5 (6-table star) replaces q3 (green r5-r9, in the tail)
+    "q5_local_supplier_volume",
     # sorts / topk / windows (frames rep in the tail since r6; global
     # top-k and the analytics-suite umbrella in the tail since r7 —
     # topk_suppliers covers the O/W rows in the window)
@@ -37,7 +38,8 @@ REQUIRED_IN_WINDOW = {
     # scalar families / subqueries / UDFs / skew
     "scalar_string_functions",
     "date_null_predicates",
-    "text_unigram_logprob",
+    # r10: BPE merge trainer's first driver check (unigram/bigram in the tail)
+    "text_bpe_merge_steps",
     "json_functions",
     # modern-SQL rep since r7 (subqueries_combined in the tail)
     "sql_recursive_month_spine",
@@ -55,11 +57,15 @@ REQUIRED_IN_WINDOW = {
     "events_tumbling_counts",
     "interval_join_click_error",
     "pit_join_orders_segments",
-    "stream_session_windows",
-    "stream_stream_left_outer_join",
+    # r10: dynamic-gap sessionizer + sliding counts get first checks
+    # (session_windows / stream-stream left-outer green r9, in the tail;
+    # the left-outer join also gained a streaming_sf1 bench rung)
+    "events_session_dynamic_gap",
+    "stream_sliding_counts",
     "events_dau_mau_stickiness",
     "events_attribution_shapley",
-    "events_alert_flapping",
+    # r10: hourly ACF replaces alert flapping (green r9)
+    "events_hourly_acf",
     "events_mix_shift_decomposition",
     "cdc_apply_changes",
     # stats second rep + sketch family first driver check (r8 rotation)
@@ -76,9 +82,9 @@ REQUIRED_IN_WINDOW = {
     "contamination_ngram_overlap",
     "dedup_containment",
     "sim_cosine_topk",
-    # r9: embedding clusters (r8 components fix) in; minhash_lsh (green
-    # r5-r8) to the tail
-    "sim_embedding_clusters",
+    # r10: minhash_lsh returns for a fresh datapoint; embedding clusters
+    # (green r9) to the tail
+    "dedup_minhash_lsh",
     # ANN reps: composed IVF+quantized plus the persisted-index
     # serve + append lifecycle (append new r8, first driver check r9;
     # per-call-rebuild ivf_pq_topk green r7-r8, in the tail)
@@ -87,7 +93,8 @@ REQUIRED_IN_WINDOW = {
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",
-    "sample_kfold_stratified",
+    # r10: temperature-mixture epochs replace stratified k-fold (green r9)
+    "sample_mixture_epochs",
     "corpus_curation_pipeline",
 }
 
@@ -112,11 +119,18 @@ def test_umbrella_constituents_still_registered():
     for name in (
         # demoted from the window (family already represented there) —
         # must stay registered + pytest-oracle-checked in the tail
+        # r10 rotation outs (driver-green r9, some r5-r9):
+        "q3_shipping_priority",
+        "text_unigram_logprob",
+        "stream_session_windows",
+        "stream_stream_left_outer_join",
+        "events_alert_flapping",
+        "sim_embedding_clusters",
+        "sample_kfold_stratified",
         # r9 rotation outs (all driver-green >=2 rounds):
         "graph_bfs_levels",
         "text_bigram_logprob",
         "sim_ivf_pq_topk",
-        "dedup_minhash_lsh",
         "stream_tumbling_counts",
         "stream_stateful_totals",
         "events_transition_matrix",
