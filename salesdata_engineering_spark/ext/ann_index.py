@@ -11,15 +11,18 @@ against the persisted artifact.  This module is that split.
 Layout on disk (all vanilla parquet, so the index lives wherever the
 corpus lives — local FS here, an object store on a cluster):
 
-* ``<dir>/centroids``  — (cid, _cvec, _cn): the √N IVF centroids with
-  their norms.  Tiny; broadcast at serve time.
+* ``<dir>/centroids``  — (cid, _cvec, _cn): the IVF centroids with
+  their norms (~√N of them, capped at a constant beyond 128² vectors —
+  see registry_ext._IVF_MAX_CELLS — so the build stays linear).  Tiny;
+  broadcast at serve time.
 * ``<dir>/codebooks``  — (s, c, _cchunk, _cc): the PQ codebooks
   (n_sub·n_codes rows).  Tiny; broadcast at serve time.
 * ``<dir>/codes``      — (id, s, code) **partitioned by cid**: the
   inverted file.  Partitioning by cell is the point: a query probing
-  ``nprobe`` of the √N cells pushes ``cid IN (...)`` into the scan as a
+  ``nprobe`` of the cells pushes ``cid IN (...)`` into the scan as a
   PARTITION filter, so serving reads only the probed posting lists —
-  ~nprobe/√N of the index, a fraction that shrinks as the corpus grows.
+  ~nprobe/n_cells of the index (shrinking with the corpus up to the
+  cell cap, constant ~3% beyond it).
 * ``<dir>/meta``       — one-row parquet recording the build parameters
   (dim, n_sub, n_codes, stride, corpus count); serve-time mismatches
   raise instead of silently searching a differently-shaped index.

@@ -955,7 +955,9 @@ def ivf_pq_topk(
     :func:`pq_adc_topk`'s linear scan (VERDICT r6 item 2).
 
     Stage 0 (IVF, shared machinery with :func:`ivf_quantized_topk`):
-    the corpus is assigned to √N inverted cells around deterministic
+    the corpus is assigned to inverted cells (~√N of them, capped at a
+    constant by the caller's stride so assignment stays linear — see
+    registry_ext._IVF_MAX_CELLS) around deterministic
     strided centroids (broadcast, codegen'd dots, keep=1 max_by — no
     shuffle beyond the narrow argmax), and each query picks its
     ``nprobe`` nearest cells. Stage 1 (PQ encode): every corpus vector
@@ -965,10 +967,10 @@ def ivf_pq_topk(
     the query lookup tables join their probed cells' codes on
     ``(cid, s, code)`` — an equi-join whose cid key prunes the scan to
     ~nprobe/n_cells of the corpus codes, where :func:`pq_adc_topk`
-    scans all of them. With √N cells the scanned fraction SHRINKS as
-    the corpus grows (nprobe/√N), the IVF scaling argument measured at
-    sf1 for the quantized twin. Stage 3: exact full-precision re-rank
-    of the |Q|·m_cand survivors.
+    scans all of them. The scanned fraction SHRINKS as the corpus
+    grows up to the cell cap and holds constant beyond it — the IVF
+    scaling argument measured at sf1 for the quantized twin. Stage 3:
+    exact full-precision re-rank of the |Q|·m_cand survivors.
 
     Cross-engine determinism is inherited from both parents: the
     cell/probe boundary uses the same dot/centroid-norm + cid tie rule

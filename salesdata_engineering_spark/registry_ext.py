@@ -652,8 +652,8 @@ def _ivf_stride(corpus: DataFrame, n: int | None = None) -> int:
     FROM rk WHERE rk <= 5
     """,
     doc="X2 IVF-flat ANN (the scale path next to LSH): deterministic "
-    "sampled centroids (every round(sqrt(N))-th id, so n_cells ~ "
-    "sqrt(N) — k-means drop-in), cell "
+    "strided sampled centroids (n_cells ~ sqrt(N), capped at "
+    "_IVF_MAX_CELLS so the build stays linear — k-means drop-in), cell "
     "assignment by nearest centroid, queries probe the 4 nearest cells, "
     "exact cosine re-rank inside. Search cost ~nprobe/n_cells of the "
     "corpus vs brute-force's full scan.",
@@ -2137,9 +2137,10 @@ _SQL_IVF_PQ = f"""
     "production ANN shape (inverted file whose postings are PQ codes) "
     "and the scale-safe successor to sim_pq_adc_topk's deliberately "
     "linear baseline (VERDICT r6 item 2): the ADC join is an equi-join "
-    "on (cid, s, code), so only ~nprobe/sqrt(N) of the corpus codes "
-    "are scanned and the fraction SHRINKS as the corpus grows — same "
-    "sublinearity the quantized twin measured at sf1. Codes, cell "
+    "on (cid, s, code), so only ~nprobe/n_cells of the corpus codes "
+    "are scanned — a fraction that shrinks as the corpus grows up to "
+    "the _IVF_MAX_CELLS cap and holds constant beyond it (same "
+    "sublinearity the quantized twin measured at sf1). Codes, cell "
     "boundaries, and ADC sums are all integer-exact or tie-ruled "
     "identically cross-engine, so the oracle rebuilds the whole "
     "composed index in SQL and hash-matches.",
@@ -2171,7 +2172,7 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ".new swap, and search_ivf_pq_index serves queries against it — "
     "cell probes collect a bounded |Q|*nprobe cid set and push it "
     "into the codes scan as a PARTITION filter, so serving reads "
-    "~nprobe/sqrt(N) of the index and never scans the corpus for "
+    "~nprobe/n_cells of the index and never scans the corpus for "
     "candidates. Doubles round-trip parquet exactly and the build "
     "reuses the in-query encode machinery, so results are "
     "bit-identical to sim_ivf_pq_topk and the SAME oracle covers "
