@@ -211,6 +211,61 @@ def classify_coload(
     }
 
 
+#: The driver retains only ~2 KB of stdout and parses the record out of
+#: the tail; round 6 lost its entire official headline when the line
+#: outgrew it. Keep a safety margin under the observed 2000 bytes.
+STDOUT_BUDGET = 1950
+
+
+def render_stdout_line(headline: dict, budget: int = STDOUT_BUDGET) -> str:
+    """One compact JSON line, self-trimmed to the driver's tail budget.
+
+    The r10 line measures ~1.88 KB with every section green — ~120
+    bytes of headroom before the r6 parsed-null failure mode recurs
+    (the driver keeps only the last ~2 KB of stdout; a longer line
+    loses its HEAD, which carries "value"). Rather than trust every
+    future field to stay small, trim the least-load-bearing optional
+    blocks in order until the line fits, recording what was dropped in
+    a ``trimmed`` marker; the FULL record always survives in
+    BENCH_LOCAL.json + stderr. Trim order: the coload tick list (the
+    suspect count stays), extras (layout controls, not the headline
+    total), then the mid-run env markers (start/after_headline stay —
+    they are the round-over-round comparables).
+
+    Operates on a deep copy: the caller builds the BENCH_LOCAL full
+    record from the same nested dicts, and trimming must never reach
+    into it."""
+    import copy
+
+    headline = copy.deepcopy(headline)
+
+    def _line() -> str:
+        return json.dumps(headline, separators=(",", ":"))
+
+    trims = (
+        ("coload_ticks", lambda: headline.get("coload", {}).pop("ticks", None)),
+        ("extras", lambda: headline.pop("extras", None)),
+        (
+            "env_mid",
+            lambda: [
+                headline.get("env", {}).pop(k, None)
+                for k in list(headline.get("env", {}))
+                if k not in ("start", "after_headline")
+            ],
+        ),
+    )
+    line = _line()
+    applied: list[str] = []
+    for name, fn in trims:
+        if len(line) <= budget:
+            break
+        fn()
+        applied.append(name)
+        headline["trimmed"] = applied
+        line = _line()
+    return line
+
+
 def run_ab(spark, sf_dir: str, names: list[str], rounds: int) -> None:
     """Interleaved A/B regression probe (VERDICT r7 item 6).
 
@@ -801,7 +856,7 @@ def main() -> None:
     except OSError as exc:  # never let the side-channel kill the record
         print(f"BENCH_LOCAL write failed: {exc}", file=sys.stderr)
     sys.stderr.flush()
-    print(json.dumps(headline, separators=(",", ":")))
+    print(render_stdout_line(headline))
     sys.stdout.flush()
     spark.stop()
 

@@ -94,6 +94,73 @@ def test_classifier_edge_spikes_cover_first_and_last_windows():
     assert d1["coload"]["suspect"] == [f"q{i:02d}" for i in range(15, 20)]
 
 
+def _fake_headline(n_queries=30):
+    qs = {f"query_name_number_{i:02d}": 1.234 for i in range(n_queries)}
+    return {
+        "metric": "headline_queries_total",
+        "value": 27.818,
+        "unit": "sec",
+        "queries": qs,
+        "extras": {f"extra_pipeline_{i}": 9.999 for i in range(5)},
+        "sf1": {"value": 51.667, "timed_runs": 2, "max_ratio": 3.33,
+                "max_ratio_query": "q21_waiting_suppliers",
+                "detail": "BENCH_LOCAL.json"},
+        "sf3": {"value": 58.9, "n_queries": 10, "max_ratio_vs_sf1": 2.52,
+                "max_ratio_query": "sales_team_mart",
+                "detail": "BENCH_LOCAL.json"},
+        "streaming_sf1": {"stream_tumbling_counts": 726216,
+                          "stream_cdc_latest": 212857,
+                          "paced_tumbling_mfpt2": 157604,
+                          "stream_stream_left_outer": 78703},
+        "env": {k: {"calib_sec": 0.123, "load1": 12.34}
+                for k in ("start", "after_headline", "after_extras",
+                          "after_sf1", "after_sf3", "after_streaming_sf1")},
+        "coload": {"ticks": [0.123] * 7, "suspect": 10},
+        "sf": 0.1,
+        "warmup_runs": 1,
+        "timed_runs": 3,
+        "stat": "median",
+    }
+
+
+def test_stdout_line_self_trims_to_tail_budget():
+    """The driver retains ~2 KB of stdout; r6 lost its whole record when
+    the line outgrew the tail (head cut off -> parsed null). The emitter
+    must (a) leave a fitting record untouched, (b) trim optional blocks
+    in documented order until an oversized record fits, recording what
+    was dropped, (c) never mutate the caller's dict (BENCH_LOCAL shares
+    its nested blocks), (d) always preserve the load-bearing fields."""
+    import json
+
+    bench = _bench()
+    h = _fake_headline()
+    line = bench.render_stdout_line(h)
+    assert len(line) <= bench.STDOUT_BUDGET
+    assert json.loads(line) == h  # fits -> byte-identical content
+
+    # inflate past the budget: ten more headline queries plus a
+    # degraded sf1 error marker — the marginal-growth shape the
+    # trimmer exists for (unbounded growth of the REQUIRED fields is
+    # out of scope: the queries dict is bounded by the curated
+    # HEADLINE list)
+    big = _fake_headline(n_queries=40)
+    big["sf1"] = {"error": "x" * 120}
+    raw = len(json.dumps(big, separators=(",", ":")))
+    assert raw > bench.STDOUT_BUDGET  # genuinely oversized before trims
+    before = json.loads(json.dumps(big))
+    line2 = bench.render_stdout_line(big)
+    assert len(line2) <= bench.STDOUT_BUDGET
+    out = json.loads(line2)
+    assert big == before  # caller's dict untouched, nested blocks too
+    assert out["trimmed"]  # what was dropped is recorded
+    # load-bearing fields always survive a trim
+    for k in ("value", "queries", "sf1", "sf3", "streaming_sf1"):
+        assert k in out
+    assert out["env"]["start"] and out["env"]["after_headline"]
+    assert out["coload"]["suspect"] == 10  # count survives; ticks go first
+    assert "ticks" not in out["coload"]
+
+
 def test_classifier_merges_adjacent_spike_windows():
     bench = _bench()
     names = [f"q{i:02d}" for i in range(20)]
