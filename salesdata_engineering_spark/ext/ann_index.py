@@ -439,8 +439,16 @@ def compact_index_postings(
             after += n_after
             compacted += len(group)
     finally:
-        if aqe_prev is not None:
-            spark.conf.set(aqe_key, aqe_prev)
+        # conf.get(key, None) returns None — NOT the effective default
+        # "true" — when the session never set the key explicitly (the
+        # driver's bare session); a plain "restore if not None" would
+        # leave AQE disabled for every later query in that session.
+        # unset() returns the conf to its default instead.
+        if small_leaves:
+            if aqe_prev is not None:
+                spark.conf.set(aqe_key, aqe_prev)
+            else:
+                spark.conf.unset(aqe_key)
     return {
         "cells_compacted": compacted,
         "files_before": before,

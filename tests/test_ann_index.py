@@ -319,6 +319,56 @@ def test_compaction_batches_small_leaf_rewrites(spark, tmp_path):
     assert got == want
 
 
+def _tiny_codes_dir(root, n_cells=3):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    codes = root / "codes"
+    for cid in range(n_cells):
+        d = codes / f"cid={cid}"
+        d.mkdir(parents=True)
+        for j in range(2):
+            pq_.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array([cid, cid + 10], pa.int64()),
+                        "s": pa.array([j, j], pa.int32()),
+                        "code": pa.array([0, 1], pa.int32()),
+                    }
+                ),
+                d / f"p{j}.parquet",
+            )
+    return str(root)
+
+
+def test_compaction_restores_aqe_conf_both_shapes(spark, tmp_path):
+    """The batch loop disables AQE around its fixed-repartition writes
+    and must restore the session exactly. Subtlety: conf.get(key, None)
+    returns None — not the effective default 'true' — when the key was
+    never set explicitly (the driver's bare session), so the restore
+    must unset rather than skip, or every query after a compaction
+    would silently run without AQE."""
+    from salesdata_engineering_spark.ext.ann_index import compact_index_postings
+
+    key = "spark.sql.adaptive.enabled"
+    had = spark.conf.get(key, None)
+    try:
+        # shape 1: key explicitly set -> value restored verbatim
+        spark.conf.set(key, "true")
+        compact_index_postings(spark, _tiny_codes_dir(tmp_path / "a"))
+        assert spark.conf.get(key) == "true"
+        # shape 2: key unset (bare-session shape) -> stays unset, so the
+        # session keeps tracking the engine default
+        spark.conf.unset(key)
+        compact_index_postings(spark, _tiny_codes_dir(tmp_path / "b"))
+        assert spark.conf.get(key, None) is None
+    finally:
+        if had is not None:
+            spark.conf.set(key, had)
+        else:
+            spark.conf.unset(key)
+
+
 def test_compaction_heals_crash_window_debris(spark, sf_dir, corpus, tmp_path):
     """A kill inside compact_parquet_dir's swap can leave cid=N.old /
     cid=N.new (with cid=N possibly gone). Unhealed, Spark's partition
