@@ -369,6 +369,57 @@ def test_compaction_restores_aqe_conf_both_shapes(spark, tmp_path):
             spark.conf.unset(key)
 
 
+def test_compaction_heals_batched_path_crash_debris(spark, tmp_path):
+    """The batched rewrite introduces two new crash windows: a kill
+    during the scratch write leaves codes/_compact_scratch (must be
+    invisible to readers and deleted at the next call's entry), and a
+    kill after a cell's scratch output was renamed to cid=N.new but
+    before its swap leaves a stale .new NEXT TO the live leaf (must be
+    discarded — live is the truth — and the leaf recompacted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from salesdata_engineering_spark.ext.ann_index import compact_index_postings
+
+    root = _tiny_codes_dir(tmp_path / "idx")
+    codes = os.path.join(root, "codes")
+    want = sorted(tuple(r) for r in spark.read.parquet(codes).collect())
+
+    # crash window 1: half-written scratch from a killed batch write
+    scratch = os.path.join(codes, "_compact_scratch", "cid=0")
+    os.makedirs(scratch)
+    pq_.write_table(
+        pa.table({"vec_id": pa.array([999], pa.int64()),
+                  "s": pa.array([9], pa.int32()),
+                  "code": pa.array([9], pa.int32())}),
+        os.path.join(scratch, "junk.parquet"),
+    )
+    # _-prefixed -> Spark readers must not see the junk row
+    assert sorted(tuple(r) for r in spark.read.parquet(codes).collect()) == want
+
+    # crash window 2: staged .new next to a still-live leaf
+    new_leaf = os.path.join(codes, "cid=1.new")
+    os.makedirs(new_leaf)
+    pq_.write_table(
+        pa.table({"vec_id": pa.array([1, 11], pa.int64()),
+                  "s": pa.array([0, 0], pa.int32()),
+                  "code": pa.array([0, 1], pa.int32())}),
+        os.path.join(new_leaf, "staged.parquet"),
+    )
+
+    stats = compact_index_postings(spark, root)
+    names = os.listdir(codes)
+    assert "_compact_scratch" not in names
+    assert not any(n.endswith((".old", ".new")) for n in names), names
+    for cid in range(3):
+        pqs = [f for f in os.listdir(os.path.join(codes, f"cid={cid}"))
+               if f.endswith(".parquet")]
+        assert len(pqs) == 1
+    got = sorted(tuple(r) for r in spark.read.parquet(codes).collect())
+    assert got == want
+    assert stats["cells_compacted"] >= 3
+
+
 def test_compaction_heals_crash_window_debris(spark, sf_dir, corpus, tmp_path):
     """A kill inside compact_parquet_dir's swap can leave cid=N.old /
     cid=N.new (with cid=N possibly gone). Unhealed, Spark's partition
