@@ -161,6 +161,19 @@ def test_stdout_line_self_trims_to_tail_budget():
     assert "ticks" not in out["coload"]
 
 
+def test_headline_names_all_registered():
+    """bench.py filters HEADLINE through `n in QUERIES` before timing —
+    a rename or deregistration would silently DROP the query from the
+    headline set, shrinking the round's total and faking an
+    improvement. Pin that every curated headline name (and every
+    bench=True registry entry) resolves."""
+    from salesdata_engineering_spark.registry import QUERIES
+
+    bench = _bench()
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"HEADLINE names not registered: {missing}"
+
+
 def test_classifier_merges_adjacent_spike_windows():
     bench = _bench()
     names = [f"q{i:02d}" for i in range(20)]
