@@ -615,8 +615,16 @@ def main() -> None:
     elapsed = time.perf_counter() - t_run0
     sf3_budget = int(os.environ.get("SPARK_GRAFT_SF3_BUDGET_S", "1500"))
     sf3_block = None
+    # like the streaming rung below, require the sf1 section to have
+    # truly SUCCEEDED (block carries a value): a mid-loop sf1 failure
+    # leaves partial timings, and a "top-10 by sf1 median" selected
+    # from a partial set would silently compare different query sets
+    # across rounds
     sf3_enabled = bool(
-        os.environ.get("SPARK_GRAFT_SF3", "1") != "0" and sf1_timings and sf1_dir
+        os.environ.get("SPARK_GRAFT_SF3", "1") != "0"
+        and sf1_dir
+        and isinstance(sf1_block, dict)
+        and "value" in sf1_block
     )
     if sf3_enabled and elapsed > sf3_budget:
         sf3_block = {
