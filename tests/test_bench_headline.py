@@ -161,6 +161,58 @@ def test_stdout_line_self_trims_to_tail_budget():
     assert "ticks" not in out["coload"]
 
 
+def test_classifier_property_flags_union_of_spike_neighborhoods():
+    """Property: for ANY tick layout (first tick at 0, last at N,
+    arbitrary strictly-increasing positions between) and ANY spike
+    subset small enough not to move the median (< half the ticks),
+    the suspect set is EXACTLY the union over spiked ticks of
+    [previous_position, next_position) — nothing leaks outside a spike
+    neighborhood, nothing inside one escapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bench = _bench()
+
+    @st.composite
+    def cases(draw):
+        n = draw(st.integers(min_value=1, max_value=40))
+        mids = draw(
+            st.lists(st.integers(min_value=1, max_value=max(1, n - 1)),
+                     unique=True, max_size=8)
+        )
+        positions = sorted({0, *(m for m in mids if m < n), n})
+        max_spikes = (len(positions) - 1) // 2
+        spike_at = draw(
+            st.lists(st.sampled_from(positions), unique=True,
+                     max_size=max_spikes)
+        )
+        return n, positions, set(spike_at)
+
+    @given(cases())
+    @settings(max_examples=200, deadline=None)
+    def run(case):
+        n, positions, spike_at = case
+        names = [f"q{i:02d}" for i in range(n)]
+        ticks = [
+            {"at": p, "t": float(p),
+             "calib_sec": 0.5 if p in spike_at else 0.1, "load1": 1.0}
+            for p in positions
+        ]
+        got = bench.classify_coload(names, ticks)
+        expected: set[int] = set()
+        for j, p in enumerate(positions):
+            if p in spike_at:
+                lo = positions[j - 1] if j > 0 else p
+                hi = positions[j + 1] if j + 1 < len(positions) else p
+                expected.update(range(lo, hi))
+        assert set(got["suspect"]) == {
+            names[i] for i in expected if i < n
+        }
+        assert sorted(got["spike_ticks"]) == sorted(spike_at)
+
+    run()
+
+
 def test_headline_names_all_registered():
     """bench.py filters HEADLINE through `n in QUERIES` before timing —
     a rename or deregistration would silently DROP the query from the
