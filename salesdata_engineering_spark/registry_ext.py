@@ -597,6 +597,19 @@ _IVF_NPROBE = 4
 #: .5, so Python's banker-round and DuckDB's half-up round agree; K is
 #: a power of two, so N/K is computed exactly in doubles and
 #: ceil(N/K.0) == -(-N//K) for every integer N.
+#:
+#: Choosing K: what matters structurally is that K is a CONSTANT (that
+#: is what makes assignment linear and the serve-time probed fraction
+#: nprobe/K stable); the value is a recall/latency policy knob. At
+#: production corpus sizes you would set it in the 2^12..2^16 range
+#: (with centroids k-means-trained via ivf_train_centroids and still
+#: comfortably broadcastable: 2^16 x 64 doubles = 32 MB). The
+#: committed 128 = 2^7 is sized to the test ladder — it engages
+#: INSIDE the measured sf1/sf3 range (sf1's 20k-vector corpus is past
+#: 128^2) so the linear-beyond-cap regime is actually exercised and
+#: measured rather than asserted; the builders themselves take
+#: ``stride`` as an argument, so any deployment can apply its own
+#: sizing without touching the engine.
 _IVF_MAX_CELLS = 128
 
 _SQL_STRIDE = (
