@@ -86,6 +86,8 @@ def write_zordered(
 
     def bucket(c: str) -> Column:
         lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        if lo is None:  # empty input: no rows will be written, any
+            lo = hi = 0  # constant key satisfies the range partitioner
         span = max(int(hi) - int(lo) + 1, 1)
         return F.least(
             ((F.col(c) - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("long"),

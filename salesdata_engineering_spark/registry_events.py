@@ -1916,18 +1916,23 @@ def q_events_funnel_time_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("step_no")
+    # mirror the oracle's lag(users, 1, users): step 1 divides by its
+    # OWN count (users/users = 1.0 when non-empty, 0/0 = NULL on empty
+    # input), and try_divide matches DuckDB's x/0 -> NULL where plain
+    # '/' is an ANSI DIVIDE_BY_ZERO crash
     return s.select(
         "step_no",
         "step",
         "users",
         F.round(
-            F.col("users").cast("double")
-            / F.lag("users", 1, None).over(w).cast("double"),
+            F.try_divide(
+                F.col("users").cast("double"),
+                F.coalesce(F.lag("users", 1).over(w), F.col("users")).cast(
+                    "double"
+                ),
+            ),
             6,
         ).alias("step_conversion"),
-    ).withColumn(
-        "step_conversion",
-        F.when(F.col("step_no") == 1, F.lit(1.0)).otherwise(F.col("step_conversion")),
     )
 
 
@@ -2402,6 +2407,12 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     import pyarrow.parquet as pq
 
     max_ts = _events(spark, sf_dir).agg(F.max("ts").alias("m")).collect()[0]["m"]
+    if max_ts is None:
+        # empty events (a filtered-to-empty source at scale): any
+        # constant anchors the watermark-flush sentinels — they never
+        # match each other (-1 vs -2) and are filtered from the output,
+        # so the result is correctly empty
+        max_ts = datetime.datetime(1970, 1, 1)
     src = os.path.join(sf_dir, "events.parquet")
     stage = tempfile.mkdtemp(prefix="outer_join_stage_")
     try:

@@ -3811,13 +3811,19 @@ def q_text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pair"),
         )
-        best = (
+        best_rows = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not best_rows:
+            # no mergeable pair left (empty corpus, or every sequence is
+            # a single token): the trained rule list simply ends here —
+            # same contract as BPE training running out of pairs
+            break
+        best = best_rows[0]
         merged = best["pair"].replace(" ", "")
         rules.append((step, best["pair"], merged, best["cnt"]))
         seqs = seqs.withColumn(
@@ -5758,17 +5764,22 @@ def q_text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dsum = dedup.agg(
         F.count("*").alias("distinct_chunks"),
-        F.sum(F.when(F.col("docs") >= 2, 1).otherwise(0))
+        # coalesce: the oracle counts (0 on empty input) while SUM over
+        # an empty frame is NULL — keep the engines agreeing
+        F.coalesce(F.sum(F.when(F.col("docs") >= 2, 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("cross_doc_chunks"),
     )
+    # try_divide on both readouts: an empty corpus gives count(*) = 0,
+    # which is ANSI DIVIDE_BY_ZERO under plain '/' while DuckDB's x/0
+    # is NULL — try_divide keeps the engines agreeing on empty input
     return (
         ch.agg(
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.count("*").alias("n_chunks"),
-            F.round(F.sum("clen").cast("double") / F.count("*"), 6).alias(
-                "avg_chunk_chars"
-            ),
+            F.round(
+                F.try_divide(F.sum("clen").cast("double"), F.count("*")), 6
+            ).alias("avg_chunk_chars"),
         )
         .crossJoin(F.broadcast(dsum))
         .select(
@@ -5778,7 +5789,10 @@ def q_text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("distinct_chunks").cast("bigint").alias("distinct_chunks"),
             "cross_doc_chunks",
             F.round(
-                1 - F.col("distinct_chunks") / F.col("n_chunks").cast("double"),
+                1
+                - F.try_divide(
+                    F.col("distinct_chunks"), F.col("n_chunks").cast("double")
+                ),
                 6,
             ).alias("chunk_dedup_share"),
         )

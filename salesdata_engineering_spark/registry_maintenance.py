@@ -216,7 +216,10 @@ def q_layout_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="zorder_write_")
     write_zordered(o, out_dir, by=["o_custkey", "o_orderkey"], n_files=n_files)
 
-    back = spark.read.parquet(out_dir)
+    # explicit schema: an all-empty input writes no data files (only
+    # _SUCCESS), and schema inference over that directory would fail —
+    # with the schema pinned the read returns an empty frame instead
+    back = spark.read.schema(o.schema).parquet(out_dir)
     spans = o.agg(
         (F.max("o_custkey") - F.min("o_custkey") + 1).alias("cust_span"),
         (F.max("o_orderkey") - F.min("o_orderkey") + 1).alias("ord_span"),

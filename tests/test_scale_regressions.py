@@ -251,6 +251,50 @@ def test_lm_readout_floor_quantize_boundary(spark):
     assert legacy["g2"] != got["g2"]
 
 
+# --- class 7: queries must survive (and oracle-match on) EMPTY inputs ---
+
+
+@pytest.fixture(scope="module")
+def empty_sf(sf_dir, tmp_path_factory) -> str:
+    """Every table with its exact schema and ZERO rows — what a
+    filtered-to-empty source, an empty partition, or a dry upstream
+    produces at 100 TB. The r10 all-empty registry sweep found five
+    crashes (ANSI 0/0 readouts, .collect()[0] scalars, None min/max
+    stats) and two empty-aggregate oracle divergences; this fixture +
+    test pin the fixed representatives."""
+    dst = tmp_path_factory.mktemp("sf_empty")
+    for t in TESTDATA_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            tbl = pq.read_table(src)
+            pq.write_table(tbl.slice(0, 0), str(dst / f"{t}.parquet"),
+                           version="2.6")
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_cdc_chunking",          # ANSI 0/0 in both readouts
+        "events_funnel_time_capped",  # ANSI 0/0 in step conversion
+        "text_bpe_merge_steps",       # .collect()[0] on empty pair agg
+        "stream_stream_left_outer_join",  # None max_ts + timedelta
+    ],
+)
+def test_queries_oracle_match_on_empty_input(spark, empty_sf, name):
+    q = QUERIES[name]
+    assert_oracle_match(
+        q.fn(spark, empty_sf), duckdb_con(empty_sf), q.oracle, f"{name}_empty"
+    )
+
+
+def test_zorder_write_survives_empty_input(spark, empty_sf):
+    # rows-only query (write + readback audit): must produce an empty
+    # frame, not crash on None min/max stats or failed schema inference
+    out = QUERIES["layout_zorder_write"].fn(spark, empty_sf)
+    assert out.count() == 0
+
+
 # --- class 6: IVF cell count must be bounded (assignment stays linear) ---
 
 
