@@ -1545,13 +1545,23 @@ def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n")
     )
     arms = s.select("seg", "n", mean.alias("m"), sev.alias("se"))
-    b = arms.filter(F.col("seg") == "BUILDING").select(
-        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("se").alias("se1")
-    )
-    o = arms.filter(F.col("seg") == "OTHER").select(
-        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("se").alias("se2")
-    )
-    return b.crossJoin(F.broadcast(o)).select(
+
+    # one conditional GLOBAL aggregate instead of filter + crossJoin:
+    # semantically the oracle's scalar subqueries — ALWAYS one row,
+    # with NULL arms when a side (or the whole input) is empty, where
+    # the join shape returned zero rows on empty input and silently
+    # diverged from the oracle (r10 all-empty sweep)
+    def arm(seg: str, col: str):
+        return F.max(F.when(F.col("seg") == seg, F.col(col)))
+
+    return arms.agg(
+        arm("BUILDING", "n").alias("n1"),
+        arm("BUILDING", "m").alias("m1"),
+        arm("BUILDING", "se").alias("se1"),
+        arm("OTHER", "n").alias("n2"),
+        arm("OTHER", "m").alias("m2"),
+        arm("OTHER", "se").alias("se2"),
+    ).select(
         "n1",
         "n2",
         F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
@@ -2936,13 +2946,18 @@ def q_stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = v.groupBy("variant").agg(
         F.count("*").alias("n"), F.sum("converted").cast("long").alias("k")
     )
-    a0 = s.filter(F.col("variant") == 0).select(
-        F.col("n").alias("n0"), F.col("k").alias("k0")
+    # conditional global aggregate (scalar-subquery semantics): always
+    # one row, NULL arms on empty input — the filter + crossJoin shape
+    # returned zero rows and diverged from the oracle (r10 empty sweep)
+    def arm(variant: int, col: str):
+        return F.max(F.when(F.col("variant") == variant, F.col(col)))
+
+    m = s.agg(
+        arm(0, "n").alias("n0"),
+        arm(0, "k").alias("k0"),
+        arm(1, "n").alias("n1"),
+        arm(1, "k").alias("k1"),
     )
-    a1 = s.filter(F.col("variant") == 1).select(
-        F.col("n").alias("n1"), F.col("k").alias("k1")
-    )
-    m = a0.crossJoin(F.broadcast(a1))
     p0 = F.col("k0").cast("double") / F.col("n0")
     p1 = F.col("k1").cast("double") / F.col("n1")
     pp = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))

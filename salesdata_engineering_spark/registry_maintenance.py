@@ -695,8 +695,12 @@ def q_dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
     aggs = [F.count("*").alias("_n")]
     for name, pred in DQ_RULES:
+        # coalesce: SUM over an empty relation is NULL while the
+        # oracle's violation count is 0 (r10 empty sweep)
         aggs.append(
-            F.sum(F.when(F.expr(pred), 0).otherwise(1)).alias(f"_v_{name}")
+            F.coalesce(
+                F.sum(F.when(F.expr(pred), 0).otherwise(1)), F.lit(0)
+            ).alias(f"_v_{name}")
         )
     one = o.agg(*aggs)
     stack_args = ", ".join(
@@ -708,8 +712,15 @@ def q_dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule",
         F.col("_n").alias("n_rows"),
         F.col("n_violations").cast("bigint").alias("n_violations"),
+        # try_divide: with violations coalesced to 0 the numerator is
+        # no longer NULL on empty input, so plain '/' by _n = 0 would
+        # now be an ANSI crash; DuckDB's x/0 is NULL
         F.round(
-            (F.col("_n") - F.col("n_violations")).cast("double") / F.col("_n"), 6
+            F.try_divide(
+                (F.col("_n") - F.col("n_violations")).cast("double"),
+                F.col("_n"),
+            ),
+            6,
         ).alias("pass_rate"),
     )
 

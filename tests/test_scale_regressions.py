@@ -279,6 +279,9 @@ def empty_sf(sf_dir, tmp_path_factory) -> str:
         "events_funnel_time_capped",  # ANSI 0/0 in step conversion
         "text_bpe_merge_steps",       # .collect()[0] on empty pair agg
         "stream_stream_left_outer_join",  # None max_ts + timedelta
+        "stats_welch_ttest",          # filter+crossJoin -> 0 rows vs 1
+        "stats_two_proportion_z",     # filter+crossJoin -> 0 rows vs 1
+        "dq_rule_engine",             # SUM-over-empty NULL vs count 0
     ],
 )
 def test_queries_oracle_match_on_empty_input(spark, empty_sf, name):
@@ -286,6 +289,29 @@ def test_queries_oracle_match_on_empty_input(spark, empty_sf, name):
     assert_oracle_match(
         q.fn(spark, empty_sf), duckdb_con(empty_sf), q.oracle, f"{name}_empty"
     )
+
+
+def test_known_empty_input_divergences_documented(spark, empty_sf):
+    """The r10 empty sweep's REMAINING non-passes are deliberate, two
+    kinds — pinned here so a Spark upgrade or refactor that changes
+    them is noticed:
+
+    * grouping-sets family: Spark expands grouping sets BEFORE
+      aggregation, so ROLLUP/CUBE/GROUPING SETS over an empty relation
+      emit ZERO rows — the SQL standard (and DuckDB) emit the
+      grand-total row. Mirroring the standard would mean abandoning the
+      one-pass Expand plan for a union-of-aggregates; not worth it for
+      a 0-row edge, so the divergence is documented, not hidden.
+    * dense-id preconditions: the PQ/negative-pair samplers raise their
+      documented ValueError on an empty corpus (the dense 0-based id
+      precondition cannot hold) — a clear contract error, never a
+      silent wrong answer.
+    """
+    assert QUERIES["rollup_qty"].fn(spark, empty_sf).count() == 0
+    assert QUERIES["cube_qty"].fn(spark, empty_sf).count() == 0
+    assert QUERIES["grouping_sets_qty"].fn(spark, empty_sf).count() == 0
+    with pytest.raises(ValueError, match="dense 0-based integer id space"):
+        QUERIES["sim_pq_adc_topk"].fn(spark, empty_sf).count()
 
 
 def test_zorder_write_survives_empty_input(spark, empty_sf):
