@@ -310,6 +310,12 @@ def test_known_empty_input_divergences_documented(spark, empty_sf):
     assert QUERIES["rollup_qty"].fn(spark, empty_sf).count() == 0
     assert QUERIES["cube_qty"].fn(spark, empty_sf).count() == 0
     assert QUERIES["grouping_sets_qty"].fn(spark, empty_sf).count() == 0
+    # agg_grouping_variants folds the same rollup/cube shapes; the PCA
+    # power iteration has no principal component over an empty corpus
+    # (its oracle emits a 64-row zero vector — Spark's empty frame is
+    # the more honest answer; divergence documented, not hidden)
+    assert QUERIES["agg_grouping_variants"].fn(spark, empty_sf).count() == 0
+    assert QUERIES["embedding_pca_top_component"].fn(spark, empty_sf).count() == 0
     with pytest.raises(ValueError, match="dense 0-based integer id space"):
         QUERIES["sim_pq_adc_topk"].fn(spark, empty_sf).count()
 
