@@ -1182,8 +1182,13 @@ def pca_top_component(
         )
         v = a.select(
             F.expr(
-                f"transform(_a, x -> floor(x / {norm} * 1000000.0D + 0.5D)"
-                " / 1000000.0D) AS _v"
+                # try_divide + coalesce-to-zero: a degenerate corpus
+                # (single vector, zero projections) gives a zero
+                # accumulator norm; both engines then renormalize to the
+                # ZERO vector (NULL loadings would crash the oracle's
+                # next list_dot_product iteration) — r10 sweep
+                f"transform(_a, x -> coalesce(floor(try_divide(x, {norm})"
+                " * 1000000.0D + 0.5D), 0.0D) / 1000000.0D) AS _v"
             )
         ).localCheckpoint()
     return v.select(F.posexplode("_v").alias("pos0", "loading")).select(

@@ -141,7 +141,11 @@ def q_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 10000,
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    # try_divide: n = 1 makes the sample-variance denominator 0 — ANSI
+    # '/' crashes where the oracle's DuckDB '/' yields NULL (r10 sweep)
+    var = F.try_divide(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.col("n") - 1
+    )
     return agg.select(
         "o_orderpriority",
         "n",
@@ -1809,8 +1813,10 @@ def q_stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("saa").cast("double"),
         F.col("sbb").cast("double"),
     )
-    r = (nd * sab - sa * sb) / F.sqrt(
-        (nd * saa - sa * sa) * (nd * sbb - sb * sb)
+    # try_divide: a single-row input zeroes both variance terms (r10)
+    r = F.try_divide(
+        nd * sab - sa * sb,
+        F.sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb)),
     )
     return s.select(
         F.col("n").cast("long").alias("n_rows"),
@@ -1895,9 +1901,12 @@ def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n1",
             "n2",
+            # try_divide: an absent sample makes n1*n2 = 0 (r10 sweep)
             F.round(
-                F.col("md").cast("double")
-                / (F.col("n1").cast("double") * F.col("n2")),
+                F.try_divide(
+                    F.col("md").cast("double"),
+                    F.col("n1").cast("double") * F.col("n2"),
+                ),
                 6,
             ).alias("ks_d"),
             F.col("ymin").cast("double").alias("ks_at"),
@@ -1968,13 +1977,18 @@ def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = F.col("r12") - F.col("n1") * (F.col("n1") + 1)
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     nd = n1d + n2d
-    var = n1d * n2d / 12 * ((nd + 1) - F.col("ties").cast("double") / (nd * (nd - 1)))
+    # try_divide: nd = 1 zeroes the tie-correction denominator (r10)
+    var = n1d * n2d / 12 * (
+        (nd + 1) - F.try_divide(F.col("ties").cast("double"), nd * (nd - 1))
+    )
     u1 = u2.cast("double") / 2
     return s.select(
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         F.round(u1, 1).alias("u1"),
-        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6).alias("z_stat"),
+        F.round(F.try_divide(u1 - n1d * n2d / 2, F.sqrt(var)), 6).alias(
+            "z_stat"
+        ),
     )
 
 
@@ -2792,8 +2806,14 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("k").alias("n_groups"),
         F.col("nn").alias("n_rows"),
+        # try_divide at every level: k = 1 or nn = k zeroes a
+        # denominator; NULL then propagates exactly as in DuckDB (r10)
         F.round(
-            (between / (F.col("k") - 1)) / (within / (F.col("nn") - F.col("k"))), 6
+            F.try_divide(
+                F.try_divide(between, F.col("k") - 1),
+                F.try_divide(within, F.col("nn") - F.col("k")),
+            ),
+            6,
         ).alias("bf_stat"),
     )
 
@@ -3454,7 +3474,10 @@ def q_stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "k1",
         "k2",
-        F.round(F.col("k1").cast("double") / F.col("k2"), 6).alias("rate_ratio"),
+        # try_divide: all events in one window makes k2 = 0 (r10 sweep)
+        F.round(F.try_divide(F.col("k1").cast("double"), F.col("k2")), 6).alias(
+            "rate_ratio"
+        ),
         F.round(z, 6).alias("z"),
         F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("significant_5pct"),
     ).orderBy("event_type")
@@ -4381,9 +4404,13 @@ def q_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
     outs = []
     for (a, b), label in names.items():
-        r = (F.col("n") * dd(f"s{a}{b}") - dd(f"s{a}") * dd(f"s{b}")) / F.sqrt(
-            (F.col("n") * dd(f"s{a}{a}") - dd(f"s{a}") * dd(f"s{a}"))
-            * (F.col("n") * dd(f"s{b}{b}") - dd(f"s{b}") * dd(f"s{b}"))
+        # try_divide: n = 1 zeroes both variance terms (r10 sweep)
+        r = F.try_divide(
+            F.col("n") * dd(f"s{a}{b}") - dd(f"s{a}") * dd(f"s{b}"),
+            F.sqrt(
+                (F.col("n") * dd(f"s{a}{a}") - dd(f"s{a}") * dd(f"s{a}"))
+                * (F.col("n") * dd(f"s{b}{b}") - dd(f"s{b}") * dd(f"s{b}"))
+            ),
         )
         outs.append(
             m.select(F.lit(label).alias("pair"), F.round(r, 6).alias("pearson_r"))

@@ -2672,7 +2672,12 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = vals.crossJoin(F.broadcast(rng)).select(
         F.least(
             F.lit(9),
-            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10)
+            # try_divide: a single distinct value makes hi = lo; both
+            # engines then bin NULL and least() skips it (r10 sweep)
+            F.floor(
+                F.try_divide(F.col("v") - F.col("lo"), F.col("hi") - F.col("lo"))
+                * 10
+            )
             .cast("bigint"),
         ).alias("bin"),
         "is_base",
@@ -3397,8 +3402,10 @@ def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
     )
     s1d = F.col("s1").cast("double")
-    var = (F.col("s2").cast("double") - s1d * F.col("s1") / F.col("n_hours")) / (
-        F.col("n_hours") - 1
+    # try_divide: a single active hour zeroes the (n-1) denominator (r10)
+    var = F.try_divide(
+        F.col("s2").cast("double") - s1d * F.col("s1") / F.col("n_hours"),
+        F.col("n_hours") - 1,
     )
     mean = s1d / F.col("n_hours")
     return m.select(
@@ -3614,11 +3621,14 @@ def q_events_crosscorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lag",
         F.col("n").alias("n_hours"),
+        # try_divide: one overlapping hour zeroes both variances (r10)
         F.round(
-            (F.col("n") * d("sxy") - d("sx") * F.col("sy"))
-            / F.sqrt(
-                (F.col("n") * d("sxx") - d("sx") * F.col("sx"))
-                * (F.col("n") * d("syy") - d("sy") * F.col("sy"))
+            F.try_divide(
+                F.col("n") * d("sxy") - d("sx") * F.col("sy"),
+                F.sqrt(
+                    (F.col("n") * d("sxx") - d("sx") * F.col("sx"))
+                    * (F.col("n") * d("syy") - d("sy") * F.col("sy"))
+                ),
             ),
             6,
         ).alias("xcorr"),
@@ -4214,15 +4224,17 @@ def q_events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h_wd"),
     )
-    rwe = F.col("n_we").cast("double") / F.col("h_we")
-    rwd = F.col("n_wd").cast("double") / F.col("h_wd")
+    # try_divide throughout: activity confined to one side of the
+    # weekend split zeroes the other side's hour count (r10 sweep)
+    rwe = F.try_divide(F.col("n_we").cast("double"), F.col("h_we"))
+    rwd = F.try_divide(F.col("n_wd").cast("double"), F.col("h_wd"))
     return piv.select(
         "event_type",
         F.col("n_we").alias("weekend_events"),
         F.col("n_wd").alias("weekday_events"),
         F.round(rwe, 6).alias("weekend_rate_per_hour"),
         F.round(rwd, 6).alias("weekday_rate_per_hour"),
-        F.round(rwe / rwd, 6).alias("weekend_lift"),
+        F.round(F.try_divide(rwe, rwd), 6).alias("weekend_lift"),
     ).orderBy("event_type")
 
 

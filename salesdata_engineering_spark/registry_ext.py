@@ -2415,7 +2415,8 @@ def _sql_power_iter(prev_v: str, out_v: str, i: int) -> str:
               FROM s{i}, generate_series(1, 64) AS t(i) GROUP BY i),
     al{i} AS (SELECT list(CAST(acc AS DOUBLE) ORDER BY pos) AS a FROM ap{i}),
     {out_v} AS (SELECT list_transform(a,
-                    x -> floor(x / sqrt(list_dot_product(a, a)) * 1000000 + 0.5)
+                    x -> coalesce(floor(x / sqrt(list_dot_product(a, a))
+                                        * 1000000 + 0.5), 0)
                          / 1000000) AS v
                 FROM al{i})"""
 
@@ -4186,11 +4187,14 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return m.select(
         F.col("n").cast("bigint").alias("n_edges"),
+        # try_divide: a 1-edge graph zeroes both variance terms (r10)
         F.round(
-            (F.col("n") * d("sxy") - d("sx") * d("sy"))
-            / F.sqrt(
-                (F.col("n") * d("sxx") - d("sx") * d("sx"))
-                * (F.col("n") * d("syy") - d("sy") * d("sy"))
+            F.try_divide(
+                F.col("n") * d("sxy") - d("sx") * d("sy"),
+                F.sqrt(
+                    (F.col("n") * d("sxx") - d("sx") * d("sx"))
+                    * (F.col("n") * d("syy") - d("sy") * d("sy"))
+                ),
             ),
             6,
         ).alias("assortativity"),
@@ -4850,11 +4854,17 @@ def q_text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         F.col("np").alias("n_pos"),
         F.col("nn").alias("n_neg"),
+        # try_divide: a single-class corpus makes np*nn = 0 (r10 sweep)
         F.round(
-            F.col("u2").cast("double") / (2.0 * F.col("np") * F.col("nn")), 6
+            F.try_divide(
+                F.col("u2").cast("double"), 2.0 * F.col("np") * F.col("nn")
+            ),
+            6,
         ).alias("auc"),
         F.round(
-            F.col("u2").cast("double") / (F.col("np") * F.col("nn")) - 1, 6
+            F.try_divide(F.col("u2").cast("double"), F.col("np") * F.col("nn"))
+            - 1,
+            6,
         ).alias("gini"),
     )
 
@@ -5161,14 +5171,15 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("xm").cast("double") / F.count("*") / 1000000, 6
             ).alias("mean"),
+            # try_divide: a 1-vector corpus gives per-dim n = 1 (r10)
             F.round(
-                (
+                F.try_divide(
                     F.sum(F.col("xm").cast("decimal(38,0)") * F.col("xm")).cast(
                         "double"
                     )
-                    - F.sum("xm").cast("double") * F.sum("xm") / F.count("*")
+                    - F.sum("xm").cast("double") * F.sum("xm") / F.count("*"),
+                    F.count("*") - 1,
                 )
-                / (F.count("*") - 1)
                 / 1000000000000.0,
                 6,
             ).alias("variance"),
@@ -5494,8 +5505,10 @@ def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
-    slope = (F.col("n") * dd("sxy") - dd("sx") * F.col("sy")) / (
-        F.col("n") * dd("sxx") - dd("sx") * F.col("sx")
+    # try_divide: one fit point zeroes the regression denominator (r10)
+    slope = F.try_divide(
+        F.col("n") * dd("sxy") - dd("sx") * F.col("sy"),
+        F.col("n") * dd("sxx") - dd("sx") * F.col("sx"),
     )
     return m.select(
         F.col("n").cast("bigint").alias("n_points"),

@@ -969,7 +969,11 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 10000,
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    # try_divide: n = 1 zeroes the sample-variance denominator — ANSI
+    # '/' crashes where the oracle's DuckDB '/' yields NULL (r10 sweep)
+    var = F.try_divide(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.col("n") - 1
+    )
     # NO round(): the inputs are exact decimal sums and /,*,sqrt are
     # correctly-rounded IEEE ops, so the raw doubles are bit-identical
     # across engines — round() itself is NOT (HALF_UP-on-BigDecimal vs

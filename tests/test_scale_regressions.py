@@ -327,6 +327,56 @@ def test_zorder_write_survives_empty_input(spark, empty_sf):
     assert out.count() == 0
 
 
+# --- class 8: queries must survive (and oracle-match on) 1-ROW inputs ---
+
+
+@pytest.fixture(scope="module")
+def one_row_sf(sf_dir, tmp_path_factory) -> str:
+    """Every table with exactly ONE row — n-1 = 0 sample-variance
+    denominators, single-group statistics, single-distinct histogram
+    ranges, zero-norm power iterations, broken referential joins. The
+    r10 single-row sweep found 17 ANSI DIVIDE_BY_ZERO (or NULL-list)
+    crashes in exactly these shapes; each is now a try_divide (or
+    zero-vector renormalize) mirroring the oracle's NULL semantics."""
+    dst = tmp_path_factory.mktemp("sf_one")
+    for t in TESTDATA_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            tbl = pq.read_table(src)
+            pq.write_table(tbl.slice(0, 1), str(dst / f"{t}.parquet"),
+                           version="2.6")
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stats_ks_two_sample",         # absent sample -> n1*n2 = 0
+        "graph_degree_assortativity",  # 1-edge graph -> zero variances
+        "text_quality_auc",            # single-class corpus -> np*nn = 0
+        "embedding_dim_stats",         # per-dim n = 1 -> (n-1) = 0
+        "text_heaps_law_fit",          # one fit point -> zero regression den
+        "events_psi_drift",            # single distinct value -> hi = lo
+        "events_burstiness_fano",      # one active hour -> (n-1) = 0
+        "events_crosscorr_lag",        # one overlapping hour
+        "events_weekend_lift",         # activity on one side of the split
+        "stats_moments",               # n = 1 sample variance
+        "stats_advanced",              # n = 1 sample variance
+        "stats_spearman_qty_price",    # single pair -> zero variances
+        "stats_mannwhitney_u",         # nd = 1 tie correction
+        "stats_brown_forsythe",        # k = 1 / nn = k denominators
+        "stats_poisson_rate_test",     # all events in one window -> k2 = 0
+        "numeric_corr_matrix",         # n = 1 -> zero variances
+        "embedding_pca_top_component",  # zero-norm renormalize
+    ],
+)
+def test_queries_oracle_match_on_single_row_input(spark, one_row_sf, name):
+    q = QUERIES[name]
+    assert_oracle_match(
+        q.fn(spark, one_row_sf), duckdb_con(one_row_sf), q.oracle, f"{name}_1row"
+    )
+
+
 # --- class 6: IVF cell count must be bounded (assignment stays linear) ---
 
 
