@@ -65,23 +65,34 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Tokenize ONCE with posexplode(split), then build each n-gram with
-    window ``lead``s over (id, pos) — the array-expression formulation
+    window ``lead``s over (row, pos) — the array-expression formulation
     (transform(sequence, i -> slice(split(text),...))) re-ran the regex
     split per array element (Catalyst inlines collapsed projections
     into lambdas without CSE) and dominated runtime. The window shuffle
     is narrow (id, pos, token) rows and doubles as the parallelism
     spreader for few-file corpora.
 
+    The window partitions by a per-ROW uid, not by id: position
+    sequences come from posexplode per physical row, so a duplicated
+    id would interleave two copies' positions in one (id, pos)
+    partition and the leads would stitch cross-copy garbage shingles
+    ("t0 t0 t1" — the bug-class-9 dup sweep caught this). Per-row
+    partitioning shingles each copy independently; the closing
+    distinct on (id, shingle) then unions the per-copy sets, so dup
+    ids yield the same shingle sets as valid input. Identical plan
+    shape and shuffle volume on valid data (uid <-> id is 1:1 there).
+
     Edge semantics (must match the oracle's t[i:i+n-1] slicing): docs
     shorter than n tokens yield one partial shingle — concat_ws skips
     the NULL leads at pos 0."""
-    toks = df.select(
+    toks = df.withColumn("_rid", F.monotonically_increasing_id()).select(
         F.col(id_col).alias("id"),
+        "_rid",
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
     if n < 2:  # unigrams: every token IS a full shingle, no leads exist
         return toks.select("id", F.col("tok").alias("shingle")).distinct()
-    w = Window.partitionBy("id").orderBy("pos")
+    w = Window.partitionBy("_rid").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
     sh = toks.select(
         "id",
@@ -121,16 +132,23 @@ def gram_hashes(
     at 100 TB that removes a full shuffle of the largest intermediate.
     ``carry`` names extra per-document columns to thread through
     (constant within a doc, e.g. a held-out membership flag).
+
+    Like :func:`word_shingles`, the lead window partitions by a
+    per-ROW uid so duplicated ids cannot interleave two copies'
+    position sequences into cross-copy garbage grams (bug class 9);
+    the ``distinct`` (or the consumer's countDistinct) then absorbs
+    the per-copy repeats.
     """
-    toks = df.select(
+    toks = df.withColumn("_rid", F.monotonically_increasing_id()).select(
         F.col(id_col).alias("id"),
+        "_rid",
         *[F.col(c) for c in carry],
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
     if n < 2:  # unigrams: every token IS a full gram, no leads exist
         out = toks.select("id", *carry, md5_long(F.col("tok")).alias("g"))
         return out.distinct() if distinct else out
-    w = Window.partitionBy("id").orderBy("pos")
+    w = Window.partitionBy("_rid").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
     sh = toks.select(
         "id",

@@ -50,7 +50,15 @@ def pack_sequences(
         md5_long(F.col(id_col).cast("string")).alias("_h"),
         F.size(tokens(text_col)).alias("n_tok"),
     ).withColumn("bucket", F.pmod("_h", F.lit(n_buckets)))
-    w = Window.partitionBy("bucket").orderBy("_h", "id")
+    # explicit ROWS frame: the default RANGE frame sums ORDER-BY *peers*
+    # together, so duplicated (h, id) rows — legitimate multiset input,
+    # each copy packed on its own — would each see BOTH copies' tokens
+    # in their running sum where the oracle's ROWS frame sees one
+    # (bug class 9). Identical on unique keys; deterministic on
+    # duplicates because tied rows are value-identical.
+    w = Window.partitionBy("bucket").orderBy("_h", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     assigned = base.withColumn(
         "_cum_before", F.sum("n_tok").over(w) - F.col("n_tok")
     ).withColumn("seq_id", F.floor(F.col("_cum_before") / F.lit(float(budget))))

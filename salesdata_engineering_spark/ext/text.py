@@ -261,21 +261,28 @@ def winnow_fingerprint(
     window position: O(len²) md5s. Catalyst does not CSE across lambda
     boundaries; don't go back to it.)
     """
-    grams = df.select(
+    # windows partition by a per-ROW uid, not id: a duplicated id would
+    # interleave two copies' position sequences and the w-row frame
+    # would span cross-copy rows (bug class 9); per-row framing keeps
+    # each copy's minima correct and the collect_set unions the
+    # (identical) per-copy fingerprint sets. 1:1 with id on valid data.
+    grams = df.withColumn("_rid", F.monotonically_increasing_id()).select(
         F.col(id_col).alias("id"),
+        "_rid",
         F.posexplode(F.expr(f"sequence(1, greatest(length({text_col}) - {k - 1}, 1))")).alias(
             "ord", "i"
         ),
         F.col(text_col).alias("_t"),
     ).select(
         "id",
+        "_rid",
         "i",
         F.conv(F.substring(F.md5(F.expr(f"substring(_t, i, {k})")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("g"),
     )
-    win = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
-    n_win = Window.partitionBy("id")
+    win = Window.partitionBy("_rid").orderBy("i").rowsBetween(0, w - 1)
+    n_win = Window.partitionBy("_rid")
     mins = grams.select(
         "id",
         "i",

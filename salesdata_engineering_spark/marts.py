@@ -37,6 +37,13 @@ def customer_monthly_spend(sales: DataFrame, customers: DataFrame | None = None)
     ``customers`` (optional) supplies display attributes — joined
     broadcast onto the aggregated (small) frame, mirroring the
     reference's carried columns (full_name/address/phone_number).
+
+    The dim is deduplicated by key first (max() per attribute — a
+    total order, not dropDuplicates' arbitrary pick): a duplicated
+    customer_id would otherwise multiply mart rows through the join
+    (bug class 9). Real 100-TB dims violate PK contracts routinely;
+    a lookup must stay a lookup. Free on valid dims (groupBy over an
+    already-unique broadcast-size key).
     """
     # round-then-cast: DuckDB's decimal CAST truncates while Spark's
     # rounds HALF_UP, but both engines' round() agree (half away from
@@ -48,7 +55,11 @@ def customer_monthly_spend(sales: DataFrame, customers: DataFrame | None = None)
         alias="total_sales",
     ).withColumn("total_sales", F.round("total_sales", 2).cast(MONEY))
     if customers is not None:
-        agg = agg.join(F.broadcast(customers), "customer_id", "left")
+        attrs = [c for c in customers.columns if c != "customer_id"]
+        dim = customers.groupBy("customer_id").agg(
+            *[F.max(c).alias(c) for c in attrs]
+        )
+        agg = agg.join(F.broadcast(dim), "customer_id", "left")
     return agg
 
 

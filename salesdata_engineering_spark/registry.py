@@ -129,8 +129,10 @@ def q_sales_team_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT s.customer_id, substring(s.sales_date, 1, 7) AS sales_month,
            CAST(round(SUM(s.total_cost), 2) AS DOUBLE) AS total_sales,
-           max(c.c_name) AS full_name
-    FROM sales s JOIN customer c ON s.customer_id = c.c_custkey
+           max(c.full_name) AS full_name
+    FROM sales s JOIN (SELECT c_custkey, max(c_name) AS full_name
+                       FROM customer GROUP BY 1) c
+      ON s.customer_id = c.c_custkey
     GROUP BY 1, 2
     """,
     doc="Reference customers_data_mart (customer_mart_sql_tranform_write.py:9-23).",

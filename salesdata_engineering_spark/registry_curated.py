@@ -656,11 +656,11 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_sentence_split",
     """
     SELECT doc_id,
-           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.i) - 1 AS INTEGER)
-               AS chunk_id,
+           CAST(len(list_filter(parts[1:u.i-1], p -> trim(p) <> ''))
+                AS INTEGER) AS chunk_id,
            u.s AS sentence
     FROM (
-        SELECT doc_id,
+        SELECT doc_id, parts,
                unnest(list_transform(generate_series(1, len(parts)),
                                      i -> struct_pack(i := i, s := trim(parts[i])))) AS u
         FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents)

@@ -3069,7 +3069,8 @@ def q_events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         QUALIFY row_number() OVER (PARTITION BY user_id, ts
                                    ORDER BY event_id DESC) = 1),
-    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    c AS (SELECT DISTINCT event_id, user_id, ts
+          FROM events WHERE event_type = 'click'),
     b AS (
         SELECT c.event_id, p.ts AS b_ts, p.value AS b_value
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
@@ -3106,8 +3107,14 @@ def q_asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     from .ops.asof import asof_nearest_join
 
     e = _events(spark, sf_dir)
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    # the match is per click EVENT: distinct on the narrow click
+    # projection so a duplicated event_id emits one matched row, not
+    # join-multiplied copies (bug class 9); the purchase side already
+    # dedups inside asof_nearest_join's (keys, ts) tie-break window
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .distinct()
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"

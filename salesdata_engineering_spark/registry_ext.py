@@ -188,7 +188,7 @@ _WINNOW_GRAMS = (
                list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
                               j -> list_min(grams[j:j+3])))) AS fp
     FROM g)
-    SELECT doc_id, len(fp) AS n_fingerprints,
+    SELECT DISTINCT doc_id, len(fp) AS n_fingerprints,
            md5(array_to_string(list_transform(fp, x -> x::VARCHAR), ',')) AS fingerprint
     FROM m
     """,
@@ -235,9 +235,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_shingles(n: int) -> str:
+    # DISTINCT over (id, shingle): shingle sets are per doc ID, so a
+    # duplicated doc row must not double-count its shingles in sizes
+    # or intersection counts (bug class 9) — mirrors the engine's
+    # distinct-per-id in word_shingles. No-op on unique ids (the
+    # inner list_distinct already dedups within one row).
     return f"""
     sp AS (SELECT doc_id AS id, {SQL_TOKENS} AS t FROM documents),
-    sh AS (SELECT id, unnest(list_distinct(
+    sh AS (SELECT DISTINCT id, unnest(list_distinct(
                list_transform(generate_series(1, greatest(len(t) - {n - 1}, 1)),
                               i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
            FROM sp),
@@ -463,7 +468,7 @@ _BUCKETS_SQL = (
     "sim_lsh_ann_topk",
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
-    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+    c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
            FROM embeddings, p),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
@@ -725,17 +730,21 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_curation_pipeline",
     f"""
     WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-    {_SQL_QUALITY_Q}
-    SELECT d.source,
+    {_SQL_QUALITY_Q},
+    curated AS (
+        SELECT DISTINCT d.doc_id, d.source, d.n_chars, q.quality
+        FROM documents d
+        JOIN keep USING (doc_id)
+        JOIN q USING (doc_id)
+        WHERE d.lang = 'en' AND q.quality >= 0.5
+    )
+    SELECT source,
            count(*) AS n_docs,
-           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
-           round(sum(q.quality), 6) AS sum_quality,
-           round(min(q.quality), 6) AS min_quality
-    FROM documents d
-    JOIN keep USING (doc_id)
-    JOIN q USING (doc_id)
-    WHERE d.lang = 'en' AND q.quality >= 0.5
-    GROUP BY d.source
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(quality), 6) AS sum_quality,
+           round(min(quality), 6) AS min_quality
+    FROM curated
+    GROUP BY source
     """,
     doc="The end-to-end training-data curation pipeline in one plan: "
     "exact dedup (keep min-id per content hash) -> language filter -> "
@@ -750,11 +759,18 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
     # quality inline in the main projection: one scan of documents plus
-    # the column-pruned dedup branch — not three scans and two joins
+    # the column-pruned dedup branch — not three scans and two joins.
+    # The closing distinct keys the curated set by doc_id: a duplicated
+    # keeper row would otherwise be counted twice through the keep join
+    # (bug class 9) — it runs on the NARROW post-filter projection
+    # (doc_id, source, n_chars, quality), never on text, and copies of
+    # one doc_id are value-identical so the collapse is deterministic.
     curated = (
         d.withColumn("quality", quality_expr())
         .join(keep, "doc_id")
         .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+        .select("doc_id", "source", "n_chars", "quality")
+        .distinct()
     )
     return curated.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -953,7 +969,7 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
            FROM sp),
     hsh AS (SELECT id AS held_id, {SQL_HASH60.format(x='shingle')} AS g
             FROM sh WHERE id % 20 = 0),
-    keep AS (SELECT g FROM hsh GROUP BY g HAVING count(*) <= 3),
+    keep AS (SELECT g FROM hsh GROUP BY g HAVING count(DISTINCT held_id) <= 3),
     tsh AS (SELECT id, {SQL_HASH60.format(x='shingle')} AS g
             FROM sh WHERE id % 20 <> 0)
     SELECT tsh.id AS doc_id,
@@ -1650,7 +1666,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_recall_eval",
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
-    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+    c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
            FROM embeddings, p),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
@@ -1698,7 +1714,13 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
-    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    # the eval is keyed by vec_id: dedup input rows so a duplicated id
+    # contributes one candidate, not rank-tied copies that would eat
+    # top-5 slots (bug class 9); the evals run on samples, so the
+    # distinct shuffle is bounded by the eval corpus, not production
+    corpus = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).distinct()
     qs = _queries_subset(corpus)
     exact = cosine_topk(corpus, qs, k=5).select("query_id", "neighbor_id")
     approx = lsh_ann_topk(
@@ -1904,7 +1926,7 @@ def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_substring_spans",
     f"""
     WITH sp AS (SELECT doc_id AS id, {SQL_TOKENS} AS t FROM documents),
-    sh AS (SELECT id, unnest(list_distinct(
+    sh AS (SELECT DISTINCT id, unnest(list_distinct(
                list_transform(generate_series(1, greatest(len(t) - 7, 1)),
                               i -> array_to_string(t[i:i+7], ' ')))) AS shingle
            FROM sp),
@@ -3277,7 +3299,7 @@ def q_dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     r AS (SELECT doc_id, lang,
            {{_LANG_RATIOS}}
     FROM sp),
-    p AS (SELECT doc_id, lang AS lang_true, {{_LANG_CASE}} AS lang_pred FROM r),
+    p AS (SELECT DISTINCT doc_id, lang AS lang_true, {{_LANG_CASE}} AS lang_pred FROM r),
     c AS (SELECT lang_true, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
     t AS (SELECT lang_true, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
     SELECT c.lang_true, c.lang_pred, c.n,
@@ -3300,7 +3322,14 @@ def q_text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     pred = lang_id(d).select("doc_id", "lang_pred")
-    p = d.select("doc_id", F.col("lang").alias("lang_true")).join(pred, "doc_id")
+    # confusion cells count DISTINCT docs: a duplicated doc_id would
+    # otherwise be counted 4x through the self-join (bug class 9); the
+    # distinct runs on three narrow columns, never on text
+    p = (
+        d.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .distinct()
+    )
     c = p.groupBy("lang_true", "lang_pred").agg(F.count("*").alias("n"))
     t = c.groupBy("lang_true").agg(F.sum("n").cast("long").alias("tot"))
     return c.join(F.broadcast(t), "lang_true").select(
@@ -4205,7 +4234,7 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ndcg_eval",
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
-    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+    c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
            FROM embeddings, p),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
@@ -4275,7 +4304,10 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
-    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    # dedup by row for the same bug-class-9 reason as sim_ann_recall_eval
+    corpus = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).distinct()
     qs = _queries_subset(corpus)
     exact = cosine_topk(corpus, qs, k=5).select(
         "query_id", "neighbor_id", F.col("rk").alias("erk")
@@ -5194,7 +5226,7 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_rrf_fusion_eval",
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
-    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
+    c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
            FROM embeddings, p),
     cb AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
            FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
@@ -5283,7 +5315,10 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
-    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    # dedup by row for the same bug-class-9 reason as sim_ann_recall_eval
+    corpus = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).distinct()
     qs = _queries_subset(corpus)
     lsh = lsh_ann_topk(
         corpus, qs, k=5, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
@@ -5412,10 +5447,10 @@ def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     newterms AS (
         SELECT fd AS doc_id, count(*) AS nv FROM firsts GROUP BY fd),
     dt AS (
-        SELECT d.doc_id,
-               len(list_filter({SQL_TOKENS}, x -> x <> '')) AS nt,
-               COALESCE(nv, 0) AS nv
-        FROM documents d LEFT JOIN newterms USING (doc_id)),
+        SELECT doc_id, nt, COALESCE(nv, 0) AS nv
+        FROM (SELECT DISTINCT doc_id,
+                     len(list_filter({SQL_TOKENS}, x -> x <> '')) AS nt
+              FROM documents) d LEFT JOIN newterms USING (doc_id)),
     cum AS (
         SELECT doc_id,
                SUM(nt) OVER (ORDER BY doc_id) AS cumtok,
@@ -5474,8 +5509,13 @@ def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = F.size(
         F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     )
+    # per-doc points are keyed by doc_id: distinct on the narrow
+    # (doc_id, nt) projection so a duplicated doc row contributes one
+    # curve point, not two (bug class 9); first-occurrence counts are
+    # min/count aggregates and dup-insensitive already
     dt = (
         d.select("doc_id", nt.alias("nt"))
+        .distinct()
         .join(newterms, "doc_id", "left")
         .select("doc_id", "nt", F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
     )

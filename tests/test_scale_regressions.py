@@ -419,3 +419,73 @@ def test_ivf_stride_cap_cross_engine_and_bounded():
         pairs = n * -(-n // _ivf_stride(None, n))
         pairs_100x = 100 * n * -(-(100 * n) // _ivf_stride(None, 100 * n))
         assert pairs_100x == 100 * pairs
+
+
+# --- class 9: duplicated-key input (valid multiset, violated PK contract) ---
+
+
+@pytest.fixture(scope="module")
+def dup_sf(sf_dir, tmp_path_factory) -> str:
+    """Every table stacked on itself (x2) — valid multiset input that
+    violates the tables' primary-key contracts, which real 100-TB data
+    does routinely. The r10 probe found 22 queries whose tie-breaks
+    assumed key uniqueness (interleaved shingle windows, RANGE-frame
+    peer sums, dim-join row multiplication, rank-tied top-k copies);
+    r11 gave each family explicit duplicate semantics — an id
+    identifies its entity, exact-duplicate rows collapse at the
+    operator's input or reduction boundary — aligned in BOTH engines.
+    Reproducible via ``python tools/make_variant.py dup2``."""
+    dst = tmp_path_factory.mktemp("sf_dup")
+    for t in TESTDATA_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            tbl = pq.read_table(src)
+            pq.write_table(pa.concat_tables([tbl, tbl]),
+                           str(dst / f"{t}.parquet"), version="2.6")
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # word_shingles/gram_hashes: per-row lead windows (interleaving fix)
+        "dedup_ngram_jaccard",
+        "dedup_minhash_sigs",
+        "dedup_minhash_lsh",
+        "contamination_ngram_overlap_capped",  # + held-df count(DISTINCT)
+        "dedup_substring_spans",
+        # winnow: per-row minima windows + oracle DISTINCT
+        "text_winnow_fingerprint",
+        # packing: explicit ROWS frame (RANGE summed order-peers)
+        "pack_training_sequences",
+        # dim lookup dedup (max per attribute) on both sides
+        "customer_mart",
+        # narrow per-id distinct at the reduction boundary, both sides
+        "corpus_curation_pipeline",
+        "text_lang_id_eval",
+        "text_heaps_law_fit",
+        # vec_id-keyed ANN/eval inputs deduped by row, oracle c0 DISTINCT
+        "sim_lsh_ann_topk",
+        "sim_ann_recall_eval",
+        "sim_rrf_fusion_eval",
+        # per-event match: distinct click projection, oracle DISTINCT c
+        "asof_nearest_click_purchase",
+        # chunk ids number segments within the physical row, not the id
+        "udtf_sentence_split",
+    ],
+)
+def test_queries_oracle_match_on_duplicated_input(spark, dup_sf, name):
+    q = QUERIES[name]
+    assert_oracle_match(
+        q.fn(spark, dup_sf), duckdb_con(dup_sf), q.oracle, f"{name}_dup"
+    )
+
+
+def test_dense_id_preconditions_raise_on_duplicated_input(spark, dup_sf):
+    """The PQ / negative-pair samplers' documented dense-0-based-id
+    precondition cannot hold with duplicated ids — they must keep
+    raising their contract error (never a silent wrong answer)."""
+    with pytest.raises(ValueError, match="dense 0-based integer id space"):
+        QUERIES["sim_pq_adc_topk"].fn(spark, dup_sf).count()
+    with pytest.raises(ValueError, match="dense 0-based integer id space"):
+        QUERIES["sample_negative_pairs"].fn(spark, dup_sf).count()
