@@ -605,7 +605,11 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     "distinct_pairs",
     "agg_grouping_variants",
-    "events_funnel_conversion",
+    # r11 rotation (VERDICT r10 item 6 — the window turns toward the
+    # r10-changed surfaces): the time-capped funnel (try_divide step
+    # conversion changed in the empty sweep) replaces the plain funnel
+    # (driver-green r1-r10)
+    "events_funnel_time_capped",
     # graph rep rotated r9: triangle cliques (driver-suggested) replaces
     # BFS levels (driver-green r7+r8, now in the tail; pagerank rotated r7)
     "graph_triangle_cliques",
@@ -627,19 +631,21 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # month spine represents the modern-SQL family in the window)
     "scalar_string_functions",
     "date_null_predicates",
-    # LM rep rotated r10 (VERDICT r9 item 4): the BPE merge trainer
-    # (iterative, heavy, pytest-only until now) gets its first driver
-    # check; the unigram twin (green r9) and bigram (green r7+r8) both
-    # sit in the tail with the same floor-quantized readout
-    "text_bpe_merge_steps",
+    # LM rep rotated r11: CDC content-defined chunking (both readouts
+    # moved to try_divide in the r10 empty sweep, never driver-checked)
+    # replaces the BPE merge trainer (driver-green r10, to the tail)
+    "text_cdc_chunking",
     "json_functions",
     "sql_recursive_month_spine",
     "udf_surface",
     # skew reps rotated r7: the salted JOIN (r6 surface, salt-keyed
     # shuffle plan test) replaces the salted-sum aggregate
     "join_skew_salted",
-    # stats family's first driver check (Welch two-sample t-test)
-    "stats_welch_ttest",
+    # stats rep rotated r11: the two-proportion z-test (rewritten from
+    # filter+crossJoin to one conditional aggregate in the r10 empty
+    # sweep, never driver-checked) replaces Welch (driver-green r10
+    # including its identical rewrite; KS keeps the second stats slot)
+    "stats_two_proportion_z",
     # events: batch windows, as-of / interval joins, streaming
     # (session_windows + stream_stream_join rotated to the tail r6;
     # sessionization is now represented by events_session_funnel)
@@ -660,12 +666,13 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # CDC stay (Markov + maintenance rows keep their window rep).
     "events_dau_mau_stickiness",
     "events_attribution_shapley",
-    # events analytics rotated r10: the hourly autocorrelation (lag-
-    # windowed moment sums, pytest-only until now) replaces alert
-    # flapping (driver-green r9 incl. its empty-runs pin); mix-shift
-    # (green r9 only) keeps its slot one more round
-    "events_hourly_acf",
-    "events_mix_shift_decomposition",
+    # events analytics rotated r11: the robust-z hourly anomaly readout
+    # (try_divide'd in the r10 single-row sweep, never driver-checked)
+    # replaces the hourly ACF (driver-green r10); the DQ rule engine
+    # (SUM-over-empty coalesce + try_divide pass_rate, changed r10)
+    # replaces mix-shift decomposition (driver-green r9+r10)
+    "events_hourly_robust_z",
+    "dq_rule_engine",
     "cdc_apply_changes",
     # temporal-join family: the r7 point-in-time join joins asof/interval
     "pit_join_orders_segments",
@@ -693,14 +700,14 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # fresh datapoint); sim_embedding_clusters (driver-green r9, sf1-
     # verified via the gap tool) moves to the tail
     "dedup_minhash_lsh",
-    # composed IVF+quantized supersedes plain IVF as the X7 window rep
-    # (same cell machinery plus the quantized scan; plain IVF stays
-    # registered in the tail, pytest-oracle-checked). r7 rotation: the
-    # new IVF-PQ (cell-gated ADC scan) replaced the LSH rep. r8: the
-    # persisted-index SERVE path (ext/ann_index.py — the canonical ANN
-    # timing per VERDICT r7 #2) replaces sim_embedding_near_dup
-    # (driver-green r6+r7; sign-bit bucketing stays pytest-checked).
-    "sim_ivf_quantized_topk",
+    # X7 rep rotated r11: the PCA top-component power iteration (its
+    # zero-norm renormalize changed in the r10 single-row sweep, never
+    # driver-checked) replaces the composed IVF+quantized rep (driver-
+    # green r9+r10 and hash-verified at sf1/sf3; it and plain IVF stay
+    # registered in the tail, pytest-oracle-checked). Earlier ANN
+    # window history: r7 IVF-PQ replaced the LSH rep; r8 the persisted
+    # SERVE path replaced sim_embedding_near_dup.
+    "embedding_pca_top_component",
     # r9 rotation: the persisted-index APPEND (new r8 surface, append==
     # rebuild oracle) replaces the per-call-rebuild ivf_pq_topk (driver-
     # green r7+r8; it stays registered as the build-cost datapoint)

@@ -19,7 +19,9 @@ REQUIRED_IN_WINDOW = {
     "distinct_pairs",
     # grouping variants + stats + pivot
     "agg_grouping_variants",
-    "events_funnel_conversion",
+    # r11: time-capped funnel (try_divide changed r10) replaces the
+    # plain funnel (driver-green r1-r10, in the tail)
+    "events_funnel_time_capped",
     # graph rep since r9: triangle cliques (BFS green r7-r8, in the tail)
     "graph_triangle_cliques",
     # join family (full-outer + anti reps live in the tail since r6;
@@ -38,15 +40,18 @@ REQUIRED_IN_WINDOW = {
     # scalar families / subqueries / UDFs / skew
     "scalar_string_functions",
     "date_null_predicates",
-    # r10: BPE merge trainer's first driver check (unigram/bigram in the tail)
-    "text_bpe_merge_steps",
+    # r11: CDC chunking (try_divide readouts changed r10) replaces the
+    # BPE merge trainer (driver-green r10, in the tail)
+    "text_cdc_chunking",
     "json_functions",
     # modern-SQL rep since r7 (subqueries_combined in the tail)
     "sql_recursive_month_spine",
     "udf_surface",
     # skew rep since r7: salted JOIN (salted-sum agg in the tail)
     "join_skew_salted",
-    "stats_welch_ttest",
+    # r11: two-proportion z (conditional-aggregate rewrite r10) replaces
+    # Welch (driver-green r10 incl. the identical rewrite, in the tail)
+    "stats_two_proportion_z",
     # events + streaming + temporal joins. r9 rotation: the streaming
     # reps are the two surfaces the r8 bug fixes changed (session
     # windows — directory-layout source; stream-stream LEFT OUTER join —
@@ -64,9 +69,10 @@ REQUIRED_IN_WINDOW = {
     "stream_sliding_counts",
     "events_dau_mau_stickiness",
     "events_attribution_shapley",
-    # r10: hourly ACF replaces alert flapping (green r9)
-    "events_hourly_acf",
-    "events_mix_shift_decomposition",
+    # r11: robust-z anomalies + DQ rule engine (both try_divide-changed
+    # r10) replace hourly ACF (green r10) and mix-shift (green r9+r10)
+    "events_hourly_robust_z",
+    "dq_rule_engine",
     "cdc_apply_changes",
     # stats second rep + sketch family first driver check (r8 rotation)
     "stats_ks_two_sample",
@@ -85,10 +91,10 @@ REQUIRED_IN_WINDOW = {
     # r10: minhash_lsh returns for a fresh datapoint; embedding clusters
     # (green r9) to the tail
     "dedup_minhash_lsh",
-    # ANN reps: composed IVF+quantized plus the persisted-index
-    # serve + append lifecycle (append new r8, first driver check r9;
-    # per-call-rebuild ivf_pq_topk green r7-r8, in the tail)
-    "sim_ivf_quantized_topk",
+    # r11: the PCA power iteration (zero-norm renormalize changed r10)
+    # replaces IVF+quantized (green r9+r10, sf1/sf3 hash-verified, in
+    # the tail); the persisted-index serve + append lifecycle stays
+    "embedding_pca_top_component",
     "sim_ivf_pq_index_append",
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
@@ -119,6 +125,13 @@ def test_umbrella_constituents_still_registered():
     for name in (
         # demoted from the window (family already represented there) —
         # must stay registered + pytest-oracle-checked in the tail
+        # r11 rotation outs (all driver-green in r10):
+        "events_funnel_conversion",
+        "text_bpe_merge_steps",
+        "stats_welch_ttest",
+        "events_hourly_acf",
+        "events_mix_shift_decomposition",
+        "sim_ivf_quantized_topk",
         # r10 rotation outs (driver-green r9, some r5-r9):
         "q3_shipping_priority",
         "text_unigram_logprob",
