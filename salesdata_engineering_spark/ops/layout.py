@@ -86,12 +86,24 @@ def write_zordered(
 
     def bucket(c: str) -> Column:
         lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
-        if lo is None:  # empty input: no rows will be written, any
-            lo = hi = 0  # constant key satisfies the range partitioner
+        if lo is None:
+            # min/max are NULL both for EMPTY input (no rows written;
+            # the constant satisfies the range partitioner) and for a
+            # non-empty input whose column is ALL NULL (ADVICE r10) —
+            # rows ARE written then, with this column degraded to a
+            # constant-0 contribution so clustering by the OTHER
+            # column still works instead of every z-key going NULL
+            lo = hi = 0
         span = max(int(hi) - int(lo) + 1, 1)
-        return F.least(
-            ((F.col(c) - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("long"),
-            F.lit(n_buckets - 1),
+        # NULL values (all-NULL column, or NULL rows of a partly-NULL
+        # one) bucket to 0: a NULL bucket would NULL the whole
+        # interleaved key and collapse range-splitting for those rows
+        return F.coalesce(
+            F.least(
+                ((F.col(c) - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("long"),
+                F.lit(n_buckets - 1),
+            ),
+            F.lit(0),
         )
 
     key = zorder_key(bucket(by[0]), bucket(by[1]), bits)

@@ -217,13 +217,21 @@ def test_headline_names_all_registered():
     """bench.py filters HEADLINE through `n in QUERIES` before timing —
     a rename or deregistration would silently DROP the query from the
     headline set, shrinking the round's total and faking an
-    improvement. Pin that every curated headline name (and every
-    bench=True registry entry) resolves."""
+    improvement. Pin both directions: every curated headline name
+    resolves, and every bench=True registry entry lands in the timed
+    set (bench.py appends them to HEADLINE at runtime — the second
+    half was claimed but untested until ADVICE r10)."""
     from salesdata_engineering_spark.registry import QUERIES
 
     bench = _bench()
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"HEADLINE names not registered: {missing}"
+    # reverse: replicate main()'s timed-set construction and check every
+    # bench-flagged registry entry is in it
+    names = [n for n in bench.HEADLINE if n in QUERIES]
+    names += [n for n in QUERIES if n not in names and QUERIES[n].bench]
+    untimed = [n for n in QUERIES if QUERIES[n].bench and n not in names]
+    assert not untimed, f"bench=True entries missing from timed set: {untimed}"
 
 
 def test_classifier_merges_adjacent_spike_windows():
