@@ -106,14 +106,29 @@ def featurize(df: DataFrame, dim: int = 8, batch_size: int | None = None) -> Dat
     are real media (session-scoped — see ``_cap_arrow_batch``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL payloads (absent/corrupt media — routine at 100 TB) take
+        # SQL NULL-propagation semantics: NULL n_bytes/digest/features,
+        # matching octet_length(NULL)/md5(NULL). The nullable Int32
+        # dtype keeps Arrow happy where plain int32 would reject NA.
         for pdf in batches:
+            pay = pdf["payload"]
+            ok = pay.notna()
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "digest": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
-                    "features": pdf["payload"].map(lambda b: fake_decode_features(b, dim)),
+                    "n_bytes": pd.array(
+                        [len(b) if o else None for b, o in zip(pay, ok)],
+                        dtype="Int32",
+                    ),
+                    "digest": [
+                        hashlib.md5(b).hexdigest() if o else None
+                        for b, o in zip(pay, ok)
+                    ],
+                    "features": [
+                        fake_decode_features(b, dim) if o else None
+                        for b, o in zip(pay, ok)
+                    ],
                 }
             )
 

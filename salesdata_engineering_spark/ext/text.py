@@ -290,10 +290,18 @@ def winnow_fingerprint(
         F.count("*").over(n_win).alias("_n"),
     ).filter(F.col("i") <= F.greatest(F.col("_n") - (w - 1), F.lit(1)))
     fp = mins.groupBy("id").agg(F.sort_array(F.collect_set("m")).alias("fp"))
+    # an empty minima set only arises from NULL text (every non-NULL
+    # string, even '', hashes at least one k-gram): no content means NO
+    # digest — NULL, not md5('') masquerading as a real fingerprint
+    # (all-NULL-column probe axis, matches the oracle's NULL semantics)
     return fp.select(
         F.col("id").alias(id_col),
         F.size("fp").alias("n_fingerprints"),
-        F.md5(F.concat_ws(",", F.transform("fp", lambda x: x.cast("string")))).alias("fingerprint"),
+        F.when(F.size("fp") == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.md5(F.concat_ws(",", F.transform("fp", lambda x: x.cast("string"))))
+        )
+        .alias("fingerprint"),
     )
 
 

@@ -515,7 +515,7 @@ def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(c_name) AS name_upper,
            length(c_name) AS name_len,
            substring(c_mktsegment, 1, 3) AS seg3,
-           concat(c_name, ' ', c_mktsegment) AS name_seg,
+           c_name || ' ' || c_mktsegment AS name_seg,
            CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
            coalesce(NULL, c_mktsegment) AS seg_coalesce
     FROM customer

@@ -332,7 +332,7 @@ def q_setop_multiset_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(c_name) AS name_upper,
            length(c_name) AS name_len,
            substring(c_mktsegment, 1, 3) AS seg3,
-           concat(c_name, ' ', c_mktsegment) AS name_seg,
+           c_name || ' ' || c_mktsegment AS name_seg,
            CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
            coalesce(NULL, c_mktsegment) AS seg_coalesce,
            lower(c_name) AS lname,
@@ -341,7 +341,8 @@ def q_setop_multiset_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            trim('  ' || c_mktsegment || ' ') AS trimmed,
            regexp_extract(c_name, '[0-9]+', 0) AS digits,
            CASE WHEN contains(c_name, '1') THEN 1 ELSE 0 END AS has_one,
-           split_part(c_name, '#', 1) AS name_prefix,
+           CASE WHEN c_name IS NULL THEN NULL
+                ELSE split_part(c_name, '#', 1) END AS name_prefix,
            reverse(c_mktsegment) AS seg_rev,
            repeat(substring(c_mktsegment, 1, 1), 3) AS head3
     FROM customer
@@ -559,7 +560,10 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         band("o_totalprice").alias("band"),
         in_thousands("o_totalprice").alias("price_k"),
         dec.alias("decrypted"),
-        F.when(dec == F.col("o_orderpriority"), 1).otherwise(0).alias("roundtrip_ok"),
+        # null-safe: decrypt(encrypt(NULL)) IS NULL — a successful roundtrip
+        F.when(dec.eqNullSafe(F.col("o_orderpriority")), 1)
+        .otherwise(0)
+        .alias("roundtrip_ok"),
     )
 
 
@@ -728,8 +732,10 @@ def q_json_variant_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrow_map_batches",
     """
     SELECT vec_id,
-           round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[])), 6) AS norm
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])), 6)
+           END AS norm
     FROM embeddings
     """,
     doc="Spark 4 mapInArrow surface: a zero-copy Arrow RecordBatch "
@@ -1430,7 +1436,8 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev AS (
         SELECT o.o_orderpriority, m.med,
                abs(o.o_totalprice - m.med) AS d
-        FROM orders o JOIN med m USING (o_orderpriority))
+        FROM orders o JOIN med m
+          ON o.o_orderpriority IS NOT DISTINCT FROM m.o_orderpriority)
     SELECT o_orderpriority, count(*) AS n,
            round(CAST(any_value(med) AS DOUBLE), 4) AS med_price,
            round(CAST(median(d) AS DOUBLE), 4) AS mad

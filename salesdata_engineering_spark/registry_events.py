@@ -45,7 +45,7 @@ def _dec_val() -> F.Column:
            event_type,
            count(*) AS n,
            CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
     doc="Tumbling 10-minute event-time windows per event_type "
     "(engine extension; SURVEY §2.9 — reference has no streaming/window surface).",
@@ -71,6 +71,7 @@ _SLIDING_ORACLE = f"""
            count(*) AS n,
            CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
     FROM events, (SELECT unnest([0, 1]) AS k) k
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """
 
@@ -102,7 +103,7 @@ _SESSION_ORACLE = f"""
     WITH lagd AS (
         SELECT user_id, ts, value,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     flag AS (
         SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= {_GAP_S}
@@ -198,7 +199,7 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            make_timestamp(((floor(epoch(ts)/600)::BIGINT + 1) * 600) * 1000000) AS window_end,
            event_type,
            count(*) AS n
-    FROM events GROUP BY 1, 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
     doc="REAL Structured Streaming run: file source (readStream) → "
     "1-hour watermark → tumbling window count → Trigger.AvailableNow "
@@ -407,6 +408,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(CAST(SUM({_VAL}) AS DOUBLE), 2) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Stream-static join: the streaming events source enriched by the "
@@ -3430,7 +3432,7 @@ _DYN_SESSION_ORACLE = """
         SELECT user_id, epoch_us(ts) AS tus,
                epoch_us(ts) + CASE WHEN event_type = 'purchase'
                                    THEN 1800000000 ELSE 600000000 END AS eus
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
     f AS (
         SELECT user_id, tus, eus,
                CASE WHEN max(eus) OVER (

@@ -61,6 +61,20 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["embeddings"]
 
 
+def _embs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with NULL vectors dropped — the vector-hygiene intake.
+
+    A NULL embedding is not a corpus member: distance to it is
+    undefined, and DuckDB's list_inner_product refuses NULL lists
+    outright (the all-NULL-column probe axis crashed 11 oracles this
+    way). Queries whose ORACLE consumes every corpus vector use this
+    loader and mirror it with WHERE embedding IS NOT NULL, so both
+    engines agree that corrupt/absent vectors are excluded rather than
+    ranked. On contract-valid data (no NULL vectors) this is a free
+    pushed-to-scan IsNotNull and results are bit-identical."""
+    return _embs(spark, sf_dir).filter(F.col("embedding").isNotNull())
+
+
 # ---------------------------------------------------------------------------
 # X3 — text analysis
 # ---------------------------------------------------------------------------
@@ -425,8 +439,10 @@ def _queries_subset(emb: DataFrame, n: int = 10) -> DataFrame:
 @register(
     "sim_cosine_topk",
     f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id < 10 AND embedding IS NOT NULL),
     sims AS (
         SELECT query_id, vec_id,
                {_SQL_COSINE.format(a="v", b="qv")} AS s
@@ -443,7 +459,7 @@ def _queries_subset(emb: DataFrame, n: int = 10) -> DataFrame:
     bench=True,
 )
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return cosine_topk(corpus, _queries_subset(corpus), k=5)
 
@@ -507,7 +523,7 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p),
+           FROM embeddings, p WHERE embedding IS NOT NULL),
     k AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     cand AS (
@@ -531,7 +547,7 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import embedding_near_dup_lsh
 
-    emb = _embs(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    emb = _embs_nn(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
     return embedding_near_dup_lsh(
         emb, threshold=0.4, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
     )
@@ -621,6 +637,13 @@ _SQL_STRIDE = (
     "(SELECT greatest(1, CAST(round(sqrt(count(*)), 0) AS BIGINT),"
     f" CAST(ceil(count(*) / {_IVF_MAX_CELLS}.0) AS BIGINT))"
     " FROM embeddings)"
+)
+
+#: Stride over the NULL-vector-filtered corpus — used ONLY by queries
+#: whose c0 CTE carries WHERE embedding IS NOT NULL (the _embs_nn
+#: intake), so engine and oracle size the index from the same N.
+_SQL_STRIDE_NN = _SQL_STRIDE.replace(
+    "FROM embeddings", "FROM embeddings WHERE embedding IS NOT NULL"
 )
 
 
@@ -816,7 +839,10 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("contact user"), F.col("doc_id").cast("string"),
             F.lit("@example.com from 10.2."),
             (F.col("doc_id") % 256).cast("string"),
-            F.lit(".7 re: "), F.substring("text", 1, 40),
+            F.lit(".7 re: "),
+            # NULL text contributes nothing to the salted input (the
+            # oracle's concat skips NULLs; Spark's would NULL the row)
+            F.coalesce(F.substring("text", 1, 40), F.lit("")),
         ).alias("raw_text"),
     )
     return raw.select(
@@ -1076,7 +1102,8 @@ _SQL_QUANT = (
 @register(
     "sim_quantized_topk",
     f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE embedding IS NOT NULL),
     qz AS (SELECT vec_id, v, {_SQL_QUANT.format(v="v")} AS qv FROM base),
     qn AS (SELECT vec_id, v, qv, sqrt(list_dot_product(qv, qv)) AS qnorm FROM qz),
     q AS (SELECT vec_id AS query_id, v AS qv_full, qv AS qqv, qnorm AS qqn
@@ -1115,7 +1142,7 @@ _SQL_QUANT = (
     bench=True,
 )
 def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return quantized_topk(corpus, _queries_subset(corpus), k=5, m=20)
 
@@ -1216,8 +1243,9 @@ def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
 @register(
     "sim_ivf_trained_topk",
     f"""
-    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL),
+    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_NN} = 0),
     {_sql_lloyd_iter("cents0", "cents1", 1)},
     {_sql_lloyd_iter("cents1", "cents2", 2)},
     cells AS (
@@ -1261,7 +1289,7 @@ def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
 def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import ivf_train_centroids
 
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     stride = _ivf_stride(corpus)
     cents = ivf_train_centroids(corpus, stride=stride, iters=2)
@@ -2003,6 +2031,12 @@ def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_STEP = "(SELECT greatest(1, count(*) // 64) FROM embeddings)"
 
+#: PQ codebook step over the NULL-vector-filtered corpus (see
+#: _SQL_STRIDE_NN) — paired with _embs_nn intakes only.
+_PQ_STEP_NN = _PQ_STEP.replace(
+    "FROM embeddings", "FROM embeddings WHERE embedding IS NOT NULL"
+)
+
 
 @register(
     "sim_pq_adc_topk",
@@ -2324,8 +2358,9 @@ def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_pq_trained_topk",
     f"""
-    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL),
+    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_NN} = 0),
     {_sql_lloyd_iter("cents0", "cents1", 1)},
     {_sql_lloyd_iter("cents1", "cents2", 2)},
     cells AS (
@@ -2345,12 +2380,12 @@ def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
     pqc AS (
-        SELECT CAST(vec_id // {_PQ_STEP} AS INT) AS c, s,
+        SELECT CAST(vec_id // {_PQ_STEP_NN} AS INT) AS c, s,
                v[s*8 + 1 : s*8 + 8] AS cchunk,
                list_dot_product(v[s*8 + 1 : s*8 + 8],
                                 v[s*8 + 1 : s*8 + 8]) AS cc
         FROM c0, subs
-        WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < 64 * {_PQ_STEP}
+        WHERE vec_id % {_PQ_STEP_NN} = 0 AND vec_id < 64 * {_PQ_STEP_NN}
     ),
     enc AS (
         SELECT vec_id, s, c AS code
@@ -2413,7 +2448,7 @@ def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ivf_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import ivf_pq_topk, ivf_train_centroids
 
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     n = corpus.count()
     stride = _ivf_stride(corpus, n)
@@ -2448,7 +2483,7 @@ def _sql_power_iter(prev_v: str, out_v: str, i: int) -> str:
     f"""
     WITH c0 AS (SELECT list_transform(embedding::DOUBLE[],
                     x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qx
-                FROM embeddings),
+                FROM embeddings WHERE embedding IS NOT NULL),
     mp AS (SELECT i AS pos,
                   CAST(floor(SUM(qx[i]) / count(*) + 0.5) AS BIGINT) AS mq
            FROM c0, generate_series(1, 64) AS t(i) GROUP BY i),
@@ -2479,7 +2514,7 @@ def _sql_power_iter(prev_v: str, out_v: str, i: int) -> str:
 def q_embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import pca_top_component
 
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return pca_top_component(corpus, iters=2, dim=64)
 
@@ -2705,7 +2740,8 @@ def q_text_pii_detect_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_rerank_crossencoder",
     f"""
-    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL),
     pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_SQL_COSINE.format(a="c.v", b="q.v")} AS s
@@ -2745,7 +2781,7 @@ def q_text_pii_detect_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import cosine_topk, crossencoder_rerank_stub
 
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     cand = cosine_topk(corpus, _queries_subset(corpus), k=20)
     return crossencoder_rerank_stub(cand, k=5)
@@ -2922,7 +2958,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p),
+           FROM embeddings, p WHERE embedding IS NOT NULL),
     k AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     cand AS (
@@ -2964,7 +3000,7 @@ def q_sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.dedup import connected_components
     from .ext.similarity import embedding_near_dup_lsh
 
-    emb = _embs(spark, sf_dir).withColumn(
+    emb = _embs_nn(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     pairs = embedding_near_dup_lsh(
@@ -3420,7 +3456,7 @@ def q_text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                        (embedding::DOUBLE[])[1:16] AS v16
-                FROM embeddings),
+                FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS query_id, v, v16 FROM c0 WHERE vec_id < 10),
     fsims AS (
         SELECT q.query_id, c.vec_id,
@@ -3460,7 +3496,7 @@ def q_text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import cosine_topk
 
-    emb = _embs(spark, sf_dir).withColumn(
+    emb = _embs_nn(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     pref = emb.withColumn("embedding", F.slice("embedding", 1, 16))
@@ -3929,17 +3965,20 @@ def q_text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum((F.col("micro") >= 60000000).cast("int"))
+            # when/otherwise, not pred.cast(int): a NULL micro (NULL
+            # text) must count as 0 like the oracle's FILTER clause,
+            # not poison the sum to NULL
+            F.sum(F.when(F.col("micro") >= 60000000, 1).otherwise(0))
             .cast("bigint")
             .alias("n_easy"),
             F.sum(
-                (
-                    (F.col("micro") >= 30000000) & (F.col("micro") < 60000000)
-                ).cast("int")
+                F.when(
+                    (F.col("micro") >= 30000000) & (F.col("micro") < 60000000), 1
+                ).otherwise(0)
             )
             .cast("bigint")
             .alias("n_standard"),
-            F.sum((F.col("micro") < 30000000).cast("int"))
+            F.sum(F.when(F.col("micro") < 30000000, 1).otherwise(0))
             .cast("bigint")
             .alias("n_hard"),
             F.round(
@@ -4706,7 +4745,7 @@ _JL_PLANES_SQL = ", ".join(
                     list_transform((SELECT planes FROM p),
                                    pl -> list_dot_product(embedding::DOUBLE[], pl))
                         AS y
-             FROM embeddings),
+             FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS qid, v AS qv, y AS qy FROM base WHERE vec_id < 10),
     c AS (SELECT vec_id, v, y FROM base WHERE vec_id % 37 = 0),
     pairs AS (
@@ -4755,7 +4794,7 @@ _JL_PLANES_SQL = ", ".join(
     "is k, and the audit is the evidence).",
 )
 def q_sim_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     base = emb.withColumn("v", F.col("embedding").cast("array<double>")).select(
         "vec_id",
         "v",
@@ -4949,8 +4988,15 @@ def q_sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = global_row_number(
         d, ["lang", "hv", "doc_id"], alias="grn", persist_key="kfold_rn"
     )
-    base = rn.groupBy("lang").agg(F.min("grn").alias("g0"))
-    fold = rn.join(F.broadcast(base), "lang").select(
+    # eqNullSafe, not an equi-join on lang: groupBy keeps a NULL
+    # stratum but a plain join would silently drop it — NULL-keyed
+    # strata are data (the unknown-language bucket), not absent rows
+    base = rn.groupBy("lang").agg(F.min("grn").alias("g0")).withColumnRenamed(
+        "lang", "_lang"
+    )
+    fold = rn.join(
+        F.broadcast(base), F.col("lang").eqNullSafe(F.col("_lang"))
+    ).select(
         "lang",
         ((F.col("grn") - F.col("g0")) % 5).cast("int").alias("fold"),
     )

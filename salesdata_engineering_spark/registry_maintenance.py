@@ -151,8 +151,14 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(dec).alias("sum_price"), F.count("*").alias("n")
         )
 
+    # the history/delta split must be EXHAUSTIVE: a NULL o_orderdate
+    # satisfies neither < nor >= (three-valued logic) and would silently
+    # vanish from the maintained aggregate — at 100 TB, rows with a
+    # missing partition date are routine and belong in the delta batch
     existing = partial(o.filter(F.col("o_orderdate") < cutoff))
-    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    delta = partial(
+        o.filter((F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull())
+    )
     merged = merge_partial_sums(
         existing.unionByName(delta),
         keys=["o_orderpriority"],
@@ -625,7 +631,11 @@ def q_agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     base = partial(o.filter(F.col("o_orderdate") < cutoff))
-    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    # NULL dates route to the delta side — the split stays exhaustive
+    # (see incremental_agg_maintenance)
+    delta = partial(
+        o.filter((F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull())
+    )
     merged = (
         base.unionByName(delta)
         .groupBy("o_orderpriority")

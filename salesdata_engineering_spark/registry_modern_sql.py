@@ -375,7 +375,7 @@ def q_scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            o_orderkey AS xml_k,
            o_orderpriority AS xml_p,
-           substr(o_orderpriority, 1, 1) AS xpath_digit
+           coalesce(substr(o_orderpriority, 1, 1), '') AS xpath_digit
     FROM orders
     """,
     doc="XML surface (Spark 4 from_xml + the xpath_* family): each row "
@@ -391,12 +391,19 @@ def q_scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_xml_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
+    # a NULL field renders as an OMITTED tag (real XML writers drop
+    # absent elements; a bare concat would NULL the whole fragment) —
+    # from_xml parses the missing <p> back to NULL, and xpath_string
+    # yields '' (hence the oracle's coalesce on xpath_digit)
     xml = F.concat(
         F.lit("<o><k>"),
         F.col("o_orderkey").cast("string"),
-        F.lit("</k><p>"),
-        F.col("o_orderpriority"),
-        F.lit("</p></o>"),
+        F.lit("</k>"),
+        F.coalesce(
+            F.concat(F.lit("<p>"), F.col("o_orderpriority"), F.lit("</p>")),
+            F.lit(""),
+        ),
+        F.lit("</o>"),
     )
     parsed = F.from_xml(xml, "k BIGINT, p STRING")
     # the fragment column is materialized once so the template has a
@@ -444,6 +451,7 @@ def q_agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, o_orderstatus AS key, count(*) AS value
     FROM orders
+    WHERE o_orderstatus IS NOT NULL
     GROUP BY 1, 2
     HAVING count(*) >= 100
     """,
@@ -460,8 +468,13 @@ def q_agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
-    a = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("n")
+    # a map cannot carry a NULL key (Spark raises NULL_MAP_KEY), so a
+    # NULL status is excluded from the feature bag on both sides — a
+    # pushed-to-scan IsNotNull, free on contract-valid data
+    a = (
+        o.filter(F.col("o_orderstatus").isNotNull())
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
     )
     m = a.groupBy("o_orderpriority").agg(
         F.map_from_entries(

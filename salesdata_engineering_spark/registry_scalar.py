@@ -78,7 +78,8 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            trim('  ' || c_mktsegment || ' ') AS trimmed,
            regexp_extract(c_name, '[0-9]+', 0) AS digits,
            CASE WHEN contains(c_name, '1') THEN 1 ELSE 0 END AS has_one,
-           split_part(c_name, '#', 1) AS name_prefix,
+           CASE WHEN c_name IS NULL THEN NULL
+                ELSE split_part(c_name, '#', 1) END AS name_prefix,
            reverse(c_mktsegment) AS seg_rev,
            repeat(substring(c_mktsegment, 1, 1), 3) AS head3
     FROM customer
@@ -534,7 +535,9 @@ def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         dec.alias("decrypted"),
-        F.when(dec == F.col("c_name"), 1).otherwise(0).alias("roundtrip_ok"),
+        # null-safe: decrypt(encrypt(NULL)) IS NULL — a successful
+        # roundtrip, which plain == would score 0 via NULL==NULL
+        F.when(dec.eqNullSafe(F.col("c_name")), 1).otherwise(0).alias("roundtrip_ok"),
     )
 
 
@@ -1011,7 +1014,12 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.round(exact, 4).cast("double").alias("p50_exact"),
         F.count("*").alias("n"),
-        F.when(F.abs(approx - exact) <= 0.02 * exact, 1).otherwise(0).alias("approx_ok"),
+        # a group with no non-NULL values yields NULL from BOTH the
+        # sketch and the exact percentile — agreement, not failure
+        F.when(approx.isNull() & exact.isNull(), 1)
+        .when(F.abs(approx - exact) <= 0.02 * exact, 1)
+        .otherwise(0)
+        .alias("approx_ok"),
     )
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
-STATE_SCHEMA = "n bigint, total double"
+STATE_SCHEMA = "n bigint, nvals bigint, total double"
 
 
 def _update_totals(
@@ -40,13 +40,21 @@ def _update_totals(
     Never materializes the group — pdfs is an iterator of Arrow batches;
     only two scalars live in state.
     """
-    n, total = state.get if state.exists else (0, 0.0)
+    n, nvals, total = state.get if state.exists else (0, 0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
+        # SQL SUM semantics: NULL values contribute nothing, and a sum
+        # that never saw a non-NULL value is NULL (not 0.0) — nvals
+        # carries "seen any" across micro-batches (all-NULL probe axis)
+        nvals += int(pdf["value"].notna().sum())
         total += float(pdf["value"].sum())
-    state.update((n, total))
+    state.update((n, nvals, total))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total if nvals else None],
+        }
     )
 
 
@@ -91,13 +99,20 @@ class _RunningTotalsProcessor:
         self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        n, nvals, total = (
+            self._totals.get() if self._totals.exists() else (0, 0, 0.0)
+        )
         for pdf in rows:
             n += len(pdf)
+            nvals += int(pdf["value"].notna().sum())
             total += float(pdf["value"].sum())
-        self._totals.update((n, total))
+        self._totals.update((n, nvals, total))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total if nvals else None],
+            }
         )
 
     def close(self) -> None:
@@ -142,11 +157,18 @@ def _update_latest(
             .sort_values(["a", "b"])
             .index[-1]
         )
+        # preserve SQL NULLs: str(None) would mint the STRING 'None'
+        # and float(None) NaN, both of which defeat three-valued logic
+        # downstream (the tombstone filter must drop NULL ops the same
+        # way the batch twin and the oracle do). NaT folds to int64
+        # min, which sorts NULLS-LAST under the DESC pick — matching
+        # both engines' default null ordering.
+        op_i, val_i = pdf["event_type"].iloc[i], pdf["value"].iloc[i]
         cand = (
             int(ts_ns.iloc[i]),
             int(seq.iloc[i]),
-            str(pdf["event_type"].iloc[i]),
-            float(pdf["value"].iloc[i]),
+            None if pd.isna(op_i) else str(op_i),
+            None if pd.isna(val_i) else float(val_i),
         )
         if best is None or (cand[0], cand[1]) > (best[0], best[1]):
             best = cand
@@ -156,7 +178,7 @@ def _update_latest(
             "user_id": [key[0]],
             "last_op": [best[2]],
             "last_value": [best[3]],
-            "last_ts": [pd.Timestamp(best[0])],
+            "last_ts": [pd.NaT if best[0] == pd.NaT.value else pd.Timestamp(best[0])],
             "last_seq": [best[1]],
         }
     )

@@ -34,8 +34,17 @@ def tumbling_agg(
     keys: Sequence[str] = (),
     **aggs: Column,
 ) -> DataFrame:
-    """Fixed, non-overlapping event-time windows (`F.window(ts, d)`)."""
-    g = df.groupBy(F.window(ts_col, duration).alias("_w"), *keys)
+    """Fixed, non-overlapping event-time windows (`F.window(ts, d)`).
+
+    Rows with a NULL event time are dropped EXPLICITLY (all three
+    shapes): a NULL timestamp has no window, which is also what a
+    watermarked stream does with it — the explicit IsNotNull documents
+    that and pushes to the scan instead of dying inside the window
+    expression (all-NULL-column probe axis, round 11).
+    """
+    g = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.window(ts_col, duration).alias("_w"), *keys
+    )
     out = g.agg(*[c.alias(n) for n, c in aggs.items()])
     return out.select(*_window_cols(F.col("_w")), *keys, *aggs.keys())
 
@@ -48,8 +57,11 @@ def sliding_agg(
     keys: Sequence[str] = (),
     **aggs: Column,
 ) -> DataFrame:
-    """Overlapping windows: each event lands in duration/slide windows."""
-    g = df.groupBy(F.window(ts_col, duration, slide).alias("_w"), *keys)
+    """Overlapping windows: each event lands in duration/slide windows.
+    NULL event times are dropped — see tumbling_agg."""
+    g = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.window(ts_col, duration, slide).alias("_w"), *keys
+    )
     out = g.agg(*[c.alias(n) for n, c in aggs.items()])
     return out.select(*_window_cols(F.col("_w")), *keys, *aggs.keys())
 
@@ -68,7 +80,9 @@ def session_agg(
     oracle proves that equivalence; in streaming mode this is Spark's
     native stateful session operator instead of a window-function scan.
     """
-    g = df.groupBy(F.session_window(ts_col, gap).alias("_w"), *keys)
+    g = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.session_window(ts_col, gap).alias("_w"), *keys
+    )
     out = g.agg(*[c.alias(n) for n, c in aggs.items()])
     return out.select(
         F.col("_w.start").alias("session_start"),

@@ -489,3 +489,157 @@ def test_dense_id_preconditions_raise_on_duplicated_input(spark, dup_sf):
         QUERIES["sim_pq_adc_topk"].fn(spark, dup_sf).count()
     with pytest.raises(ValueError, match="dense 0-based integer id space"):
         QUERIES["sample_negative_pairs"].fn(spark, dup_sf).count()
+
+
+# --- class 10: all-NULL non-key columns (corrupt/schema-evolved source) ---
+
+
+@pytest.fixture(scope="module")
+def allnull_sf(sf_dir, tmp_path_factory) -> str:
+    """Every NON-KEY column replaced by typed NULLs (keys kept so joins
+    still route) — what a corrupt columnar stripe or a schema-evolved
+    source yields at 100 TB. The r11 probe found 38 divergences in four
+    families, each now aligned in BOTH engines: (a) NULL event times
+    have no window — dropped explicitly at the window operators and
+    WHERE'd in the oracles; (b) NULL embeddings are not corpus members —
+    the _embs_nn intake + oracle IS NOT NULL (DuckDB's
+    list_inner_product refuses NULL lists outright); (c) two engine
+    crashes — NULL payloads in the multimodal featurizer, NULL map keys
+    in the map-carrier build; (d) NULL-semantics forks: NULL-skipping
+    concat/split_part oracles vs Spark's ANSI propagation, pred.cast
+    sums poisoned to NULL vs FILTER's 0, non-null-safe equality scoring
+    NULL==NULL roundtrips as failures, equi-joins silently dropping
+    NULL-keyed strata. Reproducible: python tools/make_variant.py
+    allnull; full record ALLNULLSWEEP_r11.json."""
+    dst = tmp_path_factory.mktemp("sf_allnull")
+    key_cols = {
+        "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
+        "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
+        "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
+    }
+    for t in TESTDATA_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        tbl = pq.read_table(src)
+        cols = [
+            col if f.name in key_cols else pa.nulls(len(tbl), type=f.type)
+            for f, col in zip(tbl.schema, tbl.columns)
+        ]
+        pq.write_table(pa.table(cols, schema=tbl.schema),
+                       str(dst / f"{t}.parquet"), version="2.6")
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # (a) NULL event time has no window (engine filter + oracle WHERE)
+        "events_tumbling_counts",
+        "events_session_dynamic_gap",
+        # (a') exhaustive history/delta split: NULL dates route to delta
+        "incremental_agg_maintenance",
+        # (b) NULL vectors excluded from the corpus on both sides
+        "sim_cosine_topk",
+        # (c) engine crashes: NULL payload UDF, NULL map key
+        "multimodal_featurize",
+        "scalar_map_functions",
+        # (d) NULL-semantics forks
+        "scalar_string_functions",   # concat/split_part propagation
+        "aes_roundtrip",             # null-safe roundtrip equality
+        "approx_percentile_bounds",  # both-NULL percentile = agreement
+        "xml_extract_roundtrip",     # NULL field -> omitted tag
+        "text_winnow_fingerprint",   # no content -> NULL digest
+        "text_readability_flesch",   # FILTER counts 0, not NULL
+        "text_pii_scrub",            # NULL text contributes '' to salt
+        "sample_kfold_stratified",   # eqNullSafe keeps the NULL stratum
+        "grouped_pandas_mad",        # oracle null-safe join
+        "stream_stateful_totals",    # sum-with-no-values is NULL
+    ],
+)
+def test_queries_oracle_match_on_allnull_input(spark, allnull_sf, name):
+    q = QUERIES[name]
+    assert_oracle_match(
+        q.fn(spark, allnull_sf), duckdb_con(allnull_sf), q.oracle,
+        f"{name}_allnull"
+    )
+
+
+def test_allnull_vectors_reduce_to_empty_corpus(spark, allnull_sf):
+    """With every embedding NULL, the NULL-vector intake leaves an
+    EMPTY corpus — the documented empty-corpus class applies: the PQ
+    trained family raises its dense-id precondition (0 of 64 codebook
+    vectors), and the PCA power iteration emits Spark's honest empty
+    frame (vs the oracle's 64-row zero vector; divergence documented
+    at the class-7 pins)."""
+    with pytest.raises(ValueError, match="dense 0-based integer id space"):
+        QUERIES["sim_ivf_pq_trained_topk"].fn(spark, allnull_sf).count()
+    assert QUERIES["embedding_pca_top_component"].fn(spark, allnull_sf).count() == 0
+
+
+# --- class 11: offset (non-0-based) id spaces ---
+
+
+@pytest.fixture(scope="module")
+def offsetids_sf(sf_dir, tmp_path_factory) -> str:
+    """Every key column shifted by +10^9 — same joins, same
+    cardinalities, but ids are no longer dense or 0-based, flushing out
+    id-as-index assumptions. The r11 sweep (OFFSETSWEEP_r11.json):
+    316/316 oracle-paired queries PASS unchanged — modular bucket
+    arithmetic is offset-covariant in BOTH engines — and the only
+    non-passes are the 6 documented dense-0-based-id precondition
+    guards, which must RAISE (the strided codebook sample silently
+    finds zero vectors on offset ids; a clear contract error beats a
+    degraded candidate set). Reproducible: make_variant.py offsetids."""
+    dst = tmp_path_factory.mktemp("sf_offset")
+    key_cols = {
+        "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
+        "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
+        "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
+    }
+    import pyarrow.compute as pc
+    for t in TESTDATA_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        tbl = pq.read_table(src)
+        cols, names = [], [f.name for f in tbl.schema]
+        for f, col in zip(tbl.schema, tbl.columns):
+            if f.name in key_cols and pa.types.is_integer(f.type):
+                cols.append(pc.add(col.cast(pa.int64()), 1_000_000_000))
+            else:
+                cols.append(col)
+        pq.write_table(pa.table(cols, names=names),
+                       str(dst / f"{t}.parquet"), version="2.6")
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sales_team_mart",        # star join routing on shifted keys
+        "dedup_minhash_lsh",      # id-salted hashing, offset-covariant
+        "sim_ivf_quantized_topk", # id-strided centroids: same SAMPLE both sides
+        "events_session_windows", # user_id-keyed sessionization
+        "pack_training_sequences",# greedy packing order via shifted ids
+    ],
+)
+def test_queries_oracle_match_on_offset_ids(spark, offsetids_sf, name):
+    q = QUERIES[name]
+    assert_oracle_match(
+        q.fn(spark, offsetids_sf), duckdb_con(offsetids_sf), q.oracle,
+        f"{name}_offset"
+    )
+
+
+def test_dense_id_preconditions_raise_on_offset_ids(spark, offsetids_sf):
+    """Offset ids break the dense-0-based contract: the strided
+    codebook sample finds ZERO vectors (1e9+k is almost never ≡ 0 mod
+    step), so the guards must raise their re-key instruction rather
+    than serve an empty candidate set."""
+    with pytest.raises(ValueError, match="dense 0-based integer id space"):
+        QUERIES["sim_pq_adc_topk"].fn(spark, offsetids_sf).count()
+    with pytest.raises(ValueError, match="dense 0-based integer id space"):
+        QUERIES["sample_negative_pairs"].fn(spark, offsetids_sf).count()
