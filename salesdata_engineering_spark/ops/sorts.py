@@ -62,7 +62,14 @@ def global_row_number(
 
     from ..ext.caching import swap_persist
 
-    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    # engine ordering convention: ascending = NULLS LAST (see
+    # ops/windows.py asc_nulls_last) — Spark's implicit asc is NULLS
+    # FIRST and silently forks from the SQL-default oracle ordering on
+    # mixed-NULL keys; every caller of these total-order helpers means
+    # plain ascending, so the convention is applied here, once
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).asc_nulls_last() for c in order
+    ]
     parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     ranged = swap_persist(
         persist_key,
@@ -123,7 +130,10 @@ def global_cumsum_multi(
 
     from ..ext.caching import swap_persist
 
-    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    # ascending = NULLS LAST, same convention as global_row_number
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).asc_nulls_last() for c in order
+    ]
     parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     ranged = swap_persist(
         persist_key,

@@ -14,6 +14,22 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 
+def asc_nulls_last(*order: Column | str) -> list[Column]:
+    """Engine ordering convention: ascending sorts put NULLs LAST.
+
+    Spark's implicit asc is NULLS FIRST while the broader SQL ecosystem
+    (DuckDB, Postgres) defaults NULLS LAST — descending agrees in both,
+    so ONLY ascending orderings over nullable keys fork, and only when
+    NULL and non-NULL values actually coexist (the nullmix probe axis;
+    all-NULL and no-NULL inputs can't see it). Every ascending ordering
+    over a possibly-NULL key must spell its null placement explicitly;
+    this helper is that spelling. Free on non-NULL keys — same sort,
+    same plan."""
+    return [
+        (F.col(c) if isinstance(c, str) else c).asc_nulls_last() for c in order
+    ]
+
+
 def group_window(*keys: str) -> WindowSpec:
     """W1/W2 — unbounded whole-partition frame (no orderBy)."""
     return Window.partitionBy(*keys)

@@ -44,7 +44,7 @@ from .ops.joins import anti_join, semi_join
 from .ops.projections import where, where_between
 from .ops.setops import except_, intersect, union_distinct
 from .ops.sorts import top_k_global
-from .ops.windows import lag_lead, ranked, running_total, top_k_per_group
+from .ops.windows import asc_nulls_last, lag_lead, ranked, running_total, top_k_per_group
 
 PRICE = T.DecimalType(12, 2)  # fits any testdata price/quantity exactly
 RATE = T.DecimalType(4, 2)  # fits discount/tax in [0,1) exactly
@@ -417,7 +417,7 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = running_total(
         li,
         keys=["l_suppkey"],
-        order=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity")],
+        order=asc_nulls_last("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
         value="qty_dec",
         alias="running_qty",
     )
@@ -439,7 +439,7 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
-    out = lag_lead(o, keys=["o_custkey"], order=[F.col("o_orderdate"), F.col("o_orderkey")], value="o_totalprice")
+    out = lag_lead(o, keys=["o_custkey"], order=asc_nulls_last("o_orderdate", "o_orderkey"), value="o_totalprice")
     return out.select("o_custkey", "o_orderkey", "o_totalprice", "o_totalprice_lag", "o_totalprice_lead")
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .datasets import load_tables, register_views
 from .ops.aggregations import cube_agg, rollup_agg
+from .ops.windows import asc_nulls_last
 from .ops.setops import except_, intersect, union_distinct
 from .registry import register
 from .registry_ext import _EN, _GATE_SQL, _LANG_CASE, _LANG_RATIOS, SQL_TOKENS
@@ -197,12 +198,14 @@ def q_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_frames_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir)
-    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = Window.partitionBy("o_custkey").orderBy(
+        *asc_nulls_last("o_orderdate", "o_orderkey")
+    )
     w3 = wc.rowsBetween(-2, Window.currentRow)
     wrun = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wrange = (
         Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice")
+        .orderBy(*asc_nulls_last("o_totalprice"))
         .rangeBetween(-10000, Window.currentRow)
     )
     dec = F.col("o_totalprice").cast("decimal(14,2)")
@@ -1366,14 +1369,15 @@ def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "customer_cohort_ltv",
     """
-    WITH first AS (
+    WITH dated AS (SELECT * FROM orders WHERE o_orderdate IS NOT NULL),
+    first AS (
         SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
-        FROM orders GROUP BY 1
+        FROM dated GROUP BY 1
     ),
     rev AS (
         SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
                SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS r
-        FROM orders GROUP BY 1, 2
+        FROM dated GROUP BY 1, 2
     ),
     cell AS (
         SELECT cohort,
@@ -1400,7 +1404,11 @@ def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_diff dialect drift.",
 )
 def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir)["orders"]
+    # an undated order has no cohort month and no age cell — excluded,
+    # like every other event-time operator (nullmix probe axis)
+    o = load_tables(spark, sf_dir)["orders"].filter(
+        F.col("o_orderdate").isNotNull()
+    )
     first = o.groupBy("o_custkey").agg(
         F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
     )
@@ -2134,7 +2142,7 @@ def q_concentration_entropy_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cust AS (SELECT o_custkey,
                          min(CAST(o_orderdate AS DATE)) AS f,
                          max(CAST(o_orderdate AS DATE)) AS l
-                  FROM orders GROUP BY 1),
+                  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
     mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
     obs AS (SELECT date_diff('day', f, l) AS d,
                    CASE WHEN date_diff('day', l, m) > 365 THEN 1 ELSE 0 END
@@ -2183,7 +2191,11 @@ def q_concentration_entropy_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_tables(spark, sf_dir)["orders"]
+    # a customer with no dated orders has no observable duration —
+    # not a study subject (nullmix probe axis)
+    o = load_tables(spark, sf_dir)["orders"].filter(
+        F.col("o_orderdate").isNotNull()
+    )
     od = F.col("o_orderdate").cast("date")
     cust = o.groupBy("o_custkey").agg(F.min(od).alias("f"), F.max(od).alias("l"))
     mx = o.agg(F.max(od).alias("m"))
@@ -2294,7 +2306,7 @@ def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT o_orderpriority AS grp,
                       CAST(o_totalprice AS DECIMAL(18,2)) AS y
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
     h AS (SELECT grp, y, count(*) AS c FROM v GROUP BY 1, 2),
     t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
     cum AS (SELECT h.grp, h.y, h.c, t.n,
@@ -2326,7 +2338,9 @@ def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_tables(spark, sf_dir)["orders"]
-    v = o.select(
+    # a NULL measurement is not a sample: it must not occupy ranks or
+    # inflate n (matches how avg/median/quantile skip NULLs)
+    v = o.filter(F.col("o_totalprice").isNotNull()).select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
     )
@@ -2501,7 +2515,7 @@ def q_stats_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT o_orderpriority AS grp,
                       CAST(o_totalprice AS DECIMAL(18,2)) AS y
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
     h AS (SELECT grp, y, count(*) AS c FROM v GROUP BY 1, 2),
     t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
     cum AS (SELECT h.grp, h.y, h.c, t.n,
@@ -2538,7 +2552,9 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_tables(spark, sf_dir)["orders"]
-    v = o.select(
+    # a NULL measurement is not a sample: it must not occupy ranks or
+    # inflate n (matches how avg/median/quantile skip NULLs)
+    v = o.filter(F.col("o_totalprice").isNotNull()).select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
     )
@@ -2708,7 +2724,7 @@ def q_supplier_lead_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT o_orderpriority AS grp,
                       CAST(o_totalprice AS DECIMAL(18,2)) AS y
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
     h AS (SELECT grp, y, count(*) AS c FROM v GROUP BY 1, 2),
     t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
     cum AS (SELECT h.grp, h.y, h.c, t.n,
@@ -2760,7 +2776,9 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_tables(spark, sf_dir)["orders"]
-    v = o.select(
+    # a NULL measurement is not a sample: it must not occupy ranks or
+    # inflate n (matches how avg/median/quantile skip NULLs)
+    v = o.filter(F.col("o_totalprice").isNotNull()).select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
     )
@@ -2830,7 +2848,8 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
                       CAST(o_totalprice AS DECIMAL(18,2)) AS y
-               FROM orders),
+               FROM orders
+               WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
     h AS (SELECT month, y, count(*) AS c FROM v GROUP BY 1, 2),
     t AS (SELECT month, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
     cum AS (SELECT h.month, h.y, h.c, t.n,
@@ -2852,7 +2871,10 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_monthly_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_tables(spark, sf_dir)["orders"]
+    # undated orders have no month; NULL prices are not samples
+    o = load_tables(spark, sf_dir)["orders"].filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     v = o.select(
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
@@ -3572,7 +3594,7 @@ def q_er_fuzzy_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT o_orderpriority AS grp,
                       CAST(o_totalprice AS DECIMAL(18,2)) AS y
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
     h AS (SELECT grp, y, count(*) AS c FROM v GROUP BY 1, 2),
     t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
     cum AS (SELECT h.grp, h.y, h.c, t.n,
@@ -3612,7 +3634,9 @@ def q_er_fuzzy_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
-    v = o.select(
+    # a NULL measurement is not a sample: it must not occupy ranks or
+    # inflate n (matches how avg/median/quantile skip NULLs)
+    v = o.filter(F.col("o_totalprice").isNotNull()).select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
     )
@@ -3967,7 +3991,8 @@ def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey),
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_shipdate IS NOT NULL),
     g AS (
         SELECT nation, m,
                count(*) AS n_lines,
@@ -3997,8 +4022,9 @@ def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_returns_rate_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # an undated line has no month cell (nullmix probe axis)
     j = (
-        t["lineitem"]
+        t["lineitem"].filter(F.col("l_shipdate").isNotNull())
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(

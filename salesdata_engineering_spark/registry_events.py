@@ -33,6 +33,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["events"]
 
 
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with NULL timestamps dropped — the sequence/time-series
+    intake. An event with no timestamp has no position in an ordered
+    stream and no hour bucket; including it at either end (Spark's
+    implicit asc puts NULLs FIRST, DuckDB's LAST) fabricates
+    transitions that differ per engine. Queries using this loader
+    mirror it with WHERE ts IS NOT NULL in their oracles. Free pushed
+    IsNotNull on contract-valid data (nullmix probe axis, round 11)."""
+    return _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+
+
 def _dec_val() -> F.Column:
     return F.col("value").cast("decimal(12,2)")
 
@@ -244,10 +255,12 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_click_purchase",
     """
     WITH p AS (
-        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
         QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
     ),
-    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL)
     SELECT c.event_id, c.user_id, c.ts,
            p.ts AS ts_matched, p.value AS value_matched
     FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -261,7 +274,12 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.asof import asof_join
 
-    e = _events(spark, sf_dir)
+    # a temporal join needs a timestamp on BOTH sides: NULL-ts rows
+    # match differently per engine (DuckDB's ASOF sorts them LAST and
+    # hands them the user's final purchase; Spark's union+window puts
+    # them FIRST and matches nothing) — excluded, like every other
+    # event-time operator (nullmix probe axis)
+    e = _events_ts(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
@@ -904,7 +922,7 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, ts, event_id,
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS next_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type AS from_type, next_type AS to_type,
            count(*) AS n,
@@ -923,7 +941,7 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p is a single deterministic division.",
 )
 def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -999,7 +1017,7 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                       OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_sess
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -1035,7 +1053,7 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the heaviest events-analytics shape (VERDICT r5 ask #6)
 )
 def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
     seq = e.select(
@@ -1096,7 +1114,7 @@ def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE c AS (
         SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     idx AS (
         SELECT event_type, hour, n,
                row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i
@@ -1108,7 +1126,7 @@ def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT idx.event_type, idx.hour, idx.i,
                CAST(0.25 AS DOUBLE) * CAST(idx.n AS DOUBLE)
                + CAST(0.75 AS DOUBLE) * r.ewma
-        FROM r JOIN idx ON idx.event_type = r.event_type
+        FROM r JOIN idx ON idx.event_type IS NOT DISTINCT FROM r.event_type
                        AND idx.i = r.i + 1)
     SELECT event_type, hour, round(ewma, 6) AS ewma FROM r
     """,
@@ -1127,7 +1145,7 @@ def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket to bound series length if hours grow unbounded).",
 )
 def q_events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     c = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count("*").alias("n"))
@@ -1159,7 +1177,7 @@ def q_events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type AS s1,
                lead(event_type, 1) OVER w AS s2,
                lead(event_type, 2) OVER w AS s3
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT s1, s2, s3, count(*) AS n
@@ -1178,7 +1196,7 @@ def q_events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB the window is the only event-volume-sized operation.",
 )
 def q_events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         F.col("event_type").alias("s1"),
@@ -1310,7 +1328,7 @@ def q_events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     WITH RECURSIVE c AS (
         SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     idx AS (
         SELECT event_type, hour, n,
                row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i
@@ -1328,7 +1346,7 @@ def q_events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame
                      + CAST(0.75 AS DOUBLE) * (r.l + r.b)) - r.l)
                  + CAST(0.5 AS DOUBLE) * r.b,
                r.l + r.b
-        FROM r JOIN idx ON idx.event_type = r.event_type
+        FROM r JOIN idx ON idx.event_type IS NOT DISTINCT FROM r.event_type
                        AND idx.i = r.i + 1)
     SELECT event_type, hour,
            floor(l * 1000000 + 0.5) / 1000000 AS level,
@@ -1351,7 +1369,7 @@ def q_events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame
     "exactly like the EWMA twin.",
 )
 def q_events_hourly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     c = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count("*").alias("n"))
@@ -1391,7 +1409,7 @@ def q_events_hourly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_cusum_changepoint",
     """
     WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
-               FROM events GROUP BY 1),
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
     r AS (SELECT hour,
                  CAST(row_number() OVER (ORDER BY hour) AS HUGEINT) AS i,
                  CAST(SUM(n) OVER (ORDER BY hour) AS HUGEINT) AS s
@@ -1428,7 +1446,7 @@ def q_events_hourly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count("*").alias("n")
     )
@@ -1485,7 +1503,7 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, ts, event_id,
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS next_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     cells AS (SELECT event_type AS a, next_type AS b, count(*) AS n
               FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
@@ -1516,7 +1534,7 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grows with data.",
 )
 def q_events_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -1555,11 +1573,13 @@ def q_events_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_conversion_latency_pct",
     """
     WITH c AS (
-        SELECT user_id, ts FROM events WHERE event_type = 'click'
+        SELECT user_id, ts FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
         QUALIFY row_number() OVER (PARTITION BY user_id, ts
                                    ORDER BY event_id DESC) = 1
     ),
-    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    p AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL),
     m AS (SELECT epoch_us(p.ts) - epoch_us(c.ts) AS lat
           FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
     h AS (SELECT lat, count(*) AS cnt FROM m GROUP BY 1),
@@ -1586,7 +1606,7 @@ def q_events_conversion_latency_pct(spark: SparkSession, sf_dir: str) -> DataFra
     from .ops.asof import asof_join
     from .ops.sorts import global_cumsum
 
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -1622,7 +1642,7 @@ def q_events_conversion_latency_pct(spark: SparkSession, sf_dir: str) -> DataFra
     "events_theil_sen_trend",
     """
     WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
-               FROM events GROUP BY 1),
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
     r AS (SELECT n, row_number() OVER (ORDER BY hour) AS i FROM c),
     pairs AS (SELECT a.i AS i, b.i AS j,
                      (b.n - a.n) / CAST(b.i - a.i AS DOUBLE) AS slope
@@ -1653,7 +1673,7 @@ def q_events_conversion_latency_pct(spark: SparkSession, sf_dir: str) -> DataFra
     "the one data-sized operation is the initial hash aggregate.",
 )
 def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count("*").alias("n")
     )
@@ -1697,7 +1717,7 @@ def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_acf",
     """
     WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
-               FROM events GROUP BY 1),
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
     r AS (SELECT n, row_number() OVER (ORDER BY hour) AS i FROM c),
     g AS (SELECT CAST(count(*) AS BIGINT) AS m,
                  CAST(SUM(n) AS BIGINT) AS s,
@@ -1731,7 +1751,7 @@ def q_events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one data-sized pass is the initial hash aggregate.",
 )
 def q_events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count("*").alias("n")
     )
@@ -1944,7 +1964,7 @@ def q_events_funnel_time_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lagd AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     flag AS (
         SELECT *, CASE WHEN prev IS NULL
@@ -1985,7 +2005,7 @@ def q_events_funnel_time_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.sorts import global_cumsum
 
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
     # microsecond-exact gap compare: unix_timestamp floors to whole
     # seconds, so a 21599.2s gap would round UP across the 21600
@@ -2175,7 +2195,7 @@ def q_events_hourly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lagd AS (
         SELECT user_id, ts, event_type,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     flag AS (
         SELECT *, CASE WHEN prev IS NULL
@@ -2219,7 +2239,7 @@ def q_events_hourly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events squared; |types|^2 output.",
 )
 def q_events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
     flag = e.select(
         "user_id",
@@ -2296,7 +2316,7 @@ def q_events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
                     ELSE 'E' END AS s,
                ts, event_id
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
     strs AS (
         SELECT user_id, count(*) AS n_events,
                string_agg(s, '' ORDER BY ts, event_id) AS seq
@@ -2328,7 +2348,7 @@ def q_events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session, not a lifetime.",
 )
 def q_events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     sym = e.select(
         "user_id",
         "ts",
@@ -2365,8 +2385,10 @@ def q_events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stream_left_outer_join",
     """
-    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click' AND ts IS NOT NULL),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL)
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
            c.ts AS click_ts, p.ts AS purchase_ts
     FROM c LEFT JOIN p
@@ -2502,9 +2524,17 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
             os.utime(sp, (now - 60 + 30 * k, now - 60 + 30 * k))
 
         def side(event_type: str, alias: str) -> DataFrame:
-            s = read_events_stream(
-                spark, stage, max_files_per_trigger=1, recursive=True
-            ).withWatermark("ts", "1 hour")
+            # NULL-ts rows are dropped EXPLICITLY (the watermark node
+            # would silently discard them anyway); the oracle mirrors
+            # with ts IS NOT NULL so the LEFT side's unmatched set
+            # agrees (nullmix probe axis)
+            s = (
+                read_events_stream(
+                    spark, stage, max_files_per_trigger=1, recursive=True
+                )
+                .filter(F.col("ts").isNotNull())
+                .withWatermark("ts", "1 hour")
+            )
             return s.filter(F.col("event_type") == event_type).select(
                 F.col("event_id").alias(f"{alias}_id"),
                 F.col("user_id").alias(f"_{alias}_user"),
@@ -2539,7 +2569,7 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     """
     WITH hourly AS (
         SELECT date_trunc('hour', ts) AS h_ts, count(*) AS y
-        FROM events GROUP BY 1),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
     w AS (
         SELECT h_ts, y,
                SUM(y)   OVER (ORDER BY h_ts ROWS BETWEEN 12 PRECEDING
@@ -2580,7 +2610,7 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     "series itself ever stops fitting).",
 )
 def q_events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h_ts")).agg(
         F.count("*").alias("y")
     )
@@ -2831,7 +2861,7 @@ def _seg_sql() -> str:
     tot = {"n": "tn", "sx": "tsx", "sy": "tsy", "sxx": "tsxx", "sxy": "tsxy", "syy": "tsyy"}
     return f"""
     WITH c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS y
-               FROM events GROUP BY 1),
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
     r AS (SELECT hour, y, row_number() OVER (ORDER BY hour) AS i FROM c),
     p AS (SELECT hour, i,
                  CAST(SUM(i)     OVER w AS BIGINT) AS psx,
@@ -2885,7 +2915,7 @@ def _seg_sql() -> str:
     "one-row-per-hour series.",
 )
 def q_events_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     c = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count("*").alias("y")
     )
@@ -3068,11 +3098,12 @@ def q_events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_nearest_click_purchase",
     """
     WITH p AS (
-        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
         QUALIFY row_number() OVER (PARTITION BY user_id, ts
                                    ORDER BY event_id DESC) = 1),
     c AS (SELECT DISTINCT event_id, user_id, ts
-          FROM events WHERE event_type = 'click'),
+          FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
     b AS (
         SELECT c.event_id, p.ts AS b_ts, p.value AS b_value
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
@@ -3108,7 +3139,7 @@ def q_events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.asof import asof_nearest_join
 
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     # the match is per click EVENT: distinct on the narrow click
     # projection so a duplicated event_id emits one matched row, not
     # join-multiplied copies (bug class 9); the purchase side already
@@ -3877,7 +3908,7 @@ def q_events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(date_diff('second', t0, ts) / 604800.0) AS BIGINT)
                    AS wk,
                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-        FROM events CROSS JOIN t0),
+        FROM events CROSS JOIN t0 WHERE ts IS NOT NULL),
     cohort AS (
         SELECT user_id, min(wk) AS cw FROM base GROUP BY user_id),
     cell AS (
@@ -3906,7 +3937,7 @@ def q_events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event volume).",
 )
 def q_events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_ts(spark, sf_dir)
     t0 = e.agg(F.min("ts").alias("t0"))
     base = e.crossJoin(F.broadcast(t0)).select(
         "user_id",

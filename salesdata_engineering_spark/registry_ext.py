@@ -2041,15 +2041,16 @@ _PQ_STEP_NN = _PQ_STEP.replace(
 @register(
     "sim_pq_adc_topk",
     f"""
-    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL),
     subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
     cents AS (
-        SELECT CAST(vec_id // {_PQ_STEP} AS INT) AS c, s,
+        SELECT CAST(vec_id // {_PQ_STEP_NN} AS INT) AS c, s,
                v[s*8 + 1 : s*8 + 8] AS cchunk,
                list_dot_product(v[s*8 + 1 : s*8 + 8],
                                 v[s*8 + 1 : s*8 + 8]) AS cc
         FROM c0, subs
-        WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < 64 * {_PQ_STEP}
+        WHERE vec_id % {_PQ_STEP_NN} = 0 AND vec_id < 64 * {_PQ_STEP_NN}
     ),
     enc AS (
         SELECT vec_id, s, c AS code
@@ -2111,7 +2112,7 @@ _PQ_STEP_NN = _PQ_STEP.replace(
 def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import pq_adc_topk
 
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return pq_adc_topk(
         corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64
@@ -2122,8 +2123,9 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (persisted index): both materialize the SAME deterministic composed
 #:  index, so one oracle covers both execution paths.
 _SQL_IVF_PQ = f"""
-    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
+    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_NN} = 0),
     cells AS (
         SELECT vec_id, cid
         FROM (SELECT c0.vec_id, cents.cid,
@@ -2141,12 +2143,12 @@ _SQL_IVF_PQ = f"""
     ),
     subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
     pqc AS (
-        SELECT CAST(vec_id // {_PQ_STEP} AS INT) AS c, s,
+        SELECT CAST(vec_id // {_PQ_STEP_NN} AS INT) AS c, s,
                v[s*8 + 1 : s*8 + 8] AS cchunk,
                list_dot_product(v[s*8 + 1 : s*8 + 8],
                                 v[s*8 + 1 : s*8 + 8]) AS cc
         FROM c0, subs
-        WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < 64 * {_PQ_STEP}
+        WHERE vec_id % {_PQ_STEP_NN} = 0 AND vec_id < 64 * {_PQ_STEP_NN}
     ),
     enc AS (
         SELECT vec_id, s, c AS code
@@ -2218,7 +2220,7 @@ _SQL_IVF_PQ = f"""
 def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import ivf_pq_topk
 
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     # ONE count job serves both the IVF stride and the PQ codebook
     # step (each count is a driver-blocking job on a benched query)
@@ -2255,7 +2257,7 @@ def q_sim_ivf_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .ext.ann_index import ensure_ivf_pq_index, search_ivf_pq_index
 
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     n = corpus.count()
     cache_root = os.path.join(
@@ -2308,7 +2310,7 @@ def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .fsops import _fs_and_path
 
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     n = corpus.count()
     stride = _ivf_stride(corpus, n)
@@ -5015,7 +5017,8 @@ def q_sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quantile_normalize_deciles",
     """
-    WITH v AS (SELECT source, n_chars FROM documents),
+    WITH v AS (SELECT source, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
     hs AS (SELECT source, n_chars, count(*) AS c FROM v GROUP BY 1, 2),
     ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hs GROUP BY 1),
     cums AS (SELECT hs.source, hs.n_chars, ts.n,
@@ -5059,7 +5062,12 @@ def q_sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "9-row decile expansion — no per-row ranking, no interval join.",
 )
 def q_text_quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("source", "n_chars")
+    # NULL lengths are not samples — they must not occupy decile ranks
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars").isNotNull())
+        .select("source", "n_chars")
+    )
     hs = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
     ts = hs.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
@@ -5493,7 +5501,7 @@ def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     newterms AS (
         SELECT fd AS doc_id, count(*) AS nv FROM firsts GROUP BY fd),
     dt AS (
-        SELECT doc_id, nt, COALESCE(nv, 0) AS nv
+        SELECT doc_id, COALESCE(nt, 0) AS nt, COALESCE(nv, 0) AS nv
         FROM (SELECT DISTINCT doc_id,
                      len(list_filter({SQL_TOKENS}, x -> x <> '')) AS nt
               FROM documents) d LEFT JOIN newterms USING (doc_id)),
@@ -5559,11 +5567,17 @@ def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, nt) projection so a duplicated doc row contributes one
     # curve point, not two (bug class 9); first-occurrence counts are
     # min/count aggregates and dup-insensitive already
+    # a NULL-text doc contributes 0 tokens to the curve (coalesced on
+    # both sides), keeping every doc a point on the shared doc axis
     dt = (
         d.select("doc_id", nt.alias("nt"))
         .distinct()
         .join(newterms, "doc_id", "left")
-        .select("doc_id", "nt", F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+            F.coalesce(F.col("nv"), F.lit(0)).alias("nv"),
+        )
     )
     cum = global_cumsum_multi(
         dt,
@@ -5619,7 +5633,8 @@ def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_terms_hit) AS BIGINT) AS total_term_hits,
            CAST(min(doc_id) AS BIGINT) AS first_flagged_doc,
            round(count(*) / CAST((SELECT count(*) FROM documents WHERE
-                                  documents.lang = flagged.lang) AS DOUBLE), 6)
+                                  documents.lang IS NOT DISTINCT FROM
+                                  flagged.lang) AS DOUBLE), 6)
                AS flag_rate
     FROM flagged GROUP BY lang ORDER BY lang
     """,
@@ -5653,7 +5668,12 @@ def q_text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_terms_hit").cast("bigint").alias("total_term_hits"),
             F.min("doc_id").cast("bigint").alias("first_flagged_doc"),
         )
-        .join(F.broadcast(totals), "lang")
+        .join(
+            # eqNullSafe: the NULL-lang (unknown-language) stratum is a
+            # group in the flagged aggregate and must find its total
+            F.broadcast(totals.withColumnRenamed("lang", "_lang")),
+            F.col("lang").eqNullSafe(F.col("_lang")),
+        )
         .select(
             "lang",
             "n_flagged",
@@ -5673,7 +5693,7 @@ def q_text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT DISTINCT substring(CAST(l_shipdate AS VARCHAR), 1, 7) AS m,
                l_suppkey AS s, l_partkey AS p
-        FROM lineitem),
+        FROM lineitem WHERE l_shipdate IS NOT NULL),
     sz AS (SELECT m, count(*) AS n_edges FROM e GROUP BY m),
     months AS (
         SELECT m, row_number() OVER (ORDER BY m) AS mi FROM sz),
@@ -5712,7 +5732,10 @@ def q_text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(edge, month) and every spine/size frame is months-sized.",
 )
 def q_graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir)["lineitem"]
+    # an undated line has no month snapshot (nullmix probe axis)
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_shipdate").isNotNull()
+    )
     e = (
         li.select(
             F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("m"),

@@ -54,18 +54,21 @@ _SCD2_HISTORY_SQL = f"""
     SELECT o.c_custkey, o.segment, o.acctbal_band, o.valid_from, o.valid_to, o.is_current
     FROM open_rows o LEFT JOIN upd u ON o.c_custkey = u.c_custkey
     WHERE u.c_custkey IS NULL
-       OR (o.segment = u.segment AND o.acctbal_band = u.acctbal_band)
+       OR (o.segment IS NOT DISTINCT FROM u.segment
+           AND o.acctbal_band IS NOT DISTINCT FROM u.acctbal_band)
     UNION ALL
     SELECT o.c_custkey, o.segment, o.acctbal_band, o.valid_from,
            u.effective_date, 0
     FROM open_rows o JOIN upd u ON o.c_custkey = u.c_custkey
-    WHERE o.segment <> u.segment OR o.acctbal_band <> u.acctbal_band
+    WHERE o.segment IS DISTINCT FROM u.segment
+       OR o.acctbal_band IS DISTINCT FROM u.acctbal_band
     UNION ALL
     SELECT u.c_custkey, u.segment, u.acctbal_band, u.effective_date,
            '{OPEN_END}', 1
     FROM upd u LEFT JOIN open_rows o ON o.c_custkey = u.c_custkey
     WHERE o.c_custkey IS NULL
-       OR o.segment <> u.segment OR o.acctbal_band <> u.acctbal_band
+       OR o.segment IS DISTINCT FROM u.segment
+       OR o.acctbal_band IS DISTINCT FROM u.acctbal_band
     """
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datasets import load_tables, register_views
+from .ops.windows import asc_nulls_last
 from .registry import register
 
 _REC_MONTH_SPINE = """
@@ -282,7 +283,7 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey"))
         .rowsBetween(-10, 0)
     )
     return o.select(
@@ -521,7 +522,7 @@ def q_window_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     settled = F.expr("nullif(o_orderstatus, 'P')")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datasets import load_tables
+from .ops.windows import asc_nulls_last
 from .registry import register
 
 
@@ -293,7 +294,9 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_tables(spark, sf_dir)["orders"]
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        *asc_nulls_last("o_totalprice", "o_orderkey")
+    )
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_custkey",
@@ -881,7 +884,7 @@ def q_window_moving_sum_3rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey"))
         .rowsBetween(-2, Window.currentRow)
     )
     dec = F.col("o_totalprice").cast("decimal(14,2)")

@@ -643,3 +643,100 @@ def test_dense_id_preconditions_raise_on_offset_ids(spark, offsetids_sf):
         QUERIES["sim_pq_adc_topk"].fn(spark, offsetids_sf).count()
     with pytest.raises(ValueError, match="dense 0-based integer id space"):
         QUERIES["sample_negative_pairs"].fn(spark, offsetids_sf).count()
+
+
+# --- class 12: MIXED NULLs (per-column phase-shifted third of rows) ---
+
+
+@pytest.fixture(scope="module")
+def nullmix_sf(sf_dir, tmp_path_factory) -> str:
+    """Every non-key column NULLed on a deterministic third of rows,
+    phase-shifted per column — the axis the all-or-nothing sweeps are
+    BLIND to: divergences that need NULL and non-NULL values to
+    compete. The r11 sweep found 50 of them, in classes: (a) ascending
+    sort/window order over a nullable key (Spark's implicit asc is
+    NULLS FIRST, DuckDB's LAST — descending agrees, so only mixed-NULL
+    ascending forks; fixed by the engine-wide NULLS LAST convention,
+    ops/windows.py asc_nulls_last + the total-order helpers); (b) NULL
+    measurements occupying rank/trim/decile positions (filtered — a
+    NULL is not a sample, matching aggregate semantics); (c) NULL
+    event times fabricating engine-specific transitions in sequence
+    analytics, as-of joins, hourly spines, cohort cells (excluded via
+    the _events_ts intake + oracle WHERE, extending bug class 10's
+    rule); (d) non-null-safe SCD2 change detection (oracle now IS
+    [NOT] DISTINCT FROM, matching the engine's <=>); (e) NULL-lang
+    strata dropped by equi-joins (eqNullSafe). PQ sampling on the
+    NULL-filtered (now gapped) id space raises its dense-id
+    precondition. Reproducible: python tools/make_variant.py nullmix;
+    full record NULLMIXSWEEP_r11.json."""
+    import numpy as np
+    dst = tmp_path_factory.mktemp("sf_nullmix")
+    key_cols = {
+        "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
+        "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
+        "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
+    }
+    for t in TESTDATA_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        tbl = pq.read_table(src)
+        idx = __import__("numpy").arange(len(tbl))
+        cols = []
+        for ci, (f, col) in enumerate(zip(tbl.schema, tbl.columns)):
+            if f.name in key_cols or len(tbl) == 0:
+                cols.append(col)
+                continue
+            import pyarrow.compute as pc
+            mask = pa.array((idx + ci) % 3 == 0)
+            cols.append(pc.if_else(mask, pa.nulls(len(tbl), type=f.type), col))
+        pq.write_table(pa.table(cols, schema=tbl.schema),
+                       str(dst / f"{t}.parquet"), version="2.6")
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # (a) ascending NULLS LAST ordering convention
+        "window_running_total",
+        "window_frames_bounded",
+        "window_ignore_nulls_family",
+        "global_row_number_orders",
+        "stats_mannwhitney_u",       # rank stats ride the cumsum helpers
+        # (b) NULL measurements are not samples
+        "stats_trimmed_mean",
+        "dq_iqr_outliers",
+        "orders_monthly_price_quantiles",
+        # (c) NULL event times excluded from sequences/spines/asof
+        "events_transition_matrix",
+        "events_session_funnel",
+        "events_hourly_ewma",
+        "events_cohort_ltv_curve",
+        "asof_click_purchase",
+        "asof_nearest_click_purchase",
+        # (d) null-safe SCD2 change detection
+        "scd2_customer_segments",
+        "pit_join_orders_segments",
+        # (e) NULL-keyed strata survive the lookup joins
+        "text_blocklist_screen",
+    ],
+)
+def test_queries_oracle_match_on_nullmix_input(spark, nullmix_sf, name):
+    q = QUERIES[name]
+    assert_oracle_match(
+        q.fn(spark, nullmix_sf), duckdb_con(nullmix_sf), q.oracle,
+        f"{name}_nullmix"
+    )
+
+
+def test_pq_raises_on_gapped_id_space(spark, nullmix_sf):
+    """NULL-vector hygiene leaves a GAPPED id space on mixed-NULL
+    embeddings; the PQ strided sample cannot hold its dense-id
+    contract and must raise the re-key instruction — never serve a
+    degraded candidate set."""
+    with pytest.raises(ValueError, match="dense 0-based integer id space"):
+        QUERIES["sim_pq_adc_topk"].fn(spark, nullmix_sf).count()
+    with pytest.raises(ValueError, match="dense 0-based integer id space"):
+        QUERIES["sim_ivf_pq_index_serve"].fn(spark, nullmix_sf).count()

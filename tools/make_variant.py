@@ -11,6 +11,7 @@ command instead of an ad-hoc /tmp script, so sweeps can be re-run
     python tools/make_variant.py onerow  --src ... --dst ...
     python tools/make_variant.py allnull --src ... --dst ...   # nullable cols -> all NULL
     python tools/make_variant.py offsetids --src ... --dst ... # id cols shifted by +10^9
+    python tools/make_variant.py nullmix --src ... --dst ...   # 1/3 of each non-key col NULL
 
 Then sweep with tools/check_all.py --sf-dir <dst>.
 
@@ -26,6 +27,13 @@ Variant semantics:
   — same joins, same cardinalities, but ids are no longer dense or
   0-based, flushing out hidden dense-id assumptions (modular bucket
   arithmetic stays valid, id-as-index does not).
+- nullmix: every non-key column gets NULLs on a deterministic third of
+  rows, with the mask phase-shifted per column so multi-column
+  expressions see every NULL/non-NULL combination. Unlike allnull
+  (all-or-nothing), mixed NULLs flush ASYMMETRIC divergences: window
+  ORDER BY over a nullable key (Spark defaults NULLS FIRST for asc,
+  DuckDB NULLS LAST), rank/argmax tie-breaks that only fork when NULL
+  and non-NULL values compete, partial-group aggregates.
 """
 
 from __future__ import annotations
@@ -78,13 +86,30 @@ def _variant(name: str, tbl: pa.Table) -> pa.Table:
                 cols.append(col)
         names = [f.name for f in tbl.schema]
         return pa.table(cols, names=names)
+    if name == "nullmix":
+        import numpy as np
+
+        n = len(tbl)
+        idx = np.arange(n)
+        cols = []
+        for ci, (field, col) in enumerate(zip(tbl.schema, tbl.columns)):
+            if field.name in KEY_COLS or n == 0:
+                cols.append(col)
+                continue
+            # deterministic, column-phase-shifted mask: row i of column
+            # ci is NULLed when (i + ci) % 3 == 0 — every pair of
+            # columns realizes all four NULL/non-NULL combinations
+            mask = pa.array((idx + ci) % 3 == 0)
+            cols.append(pc.if_else(mask, pa.nulls(n, type=field.type), col))
+        return pa.table(cols, schema=tbl.schema)
     raise SystemExit(f"unknown variant {name!r}")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("variant",
-                    choices=["dup2", "empty", "onerow", "allnull", "offsetids"])
+                    choices=["dup2", "empty", "onerow", "allnull",
+                             "offsetids", "nullmix"])
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", required=True)
     args = ap.parse_args()
