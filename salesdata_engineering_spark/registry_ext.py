@@ -3700,7 +3700,10 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = t["lineitem"].select("l_suppkey")
     for s in range(_BLOOM_K):
         fact = fact.withColumn(f"b{s}", bloom_bit(F.col("l_suppkey"), s))
-    exact = dim.withColumn("exact_flag", F.lit(1))
+    # distinct: exact_hit is SET membership (the oracle's IN-subquery).
+    # A duplicated dim key would row-multiply matching fact rows
+    # through this left join and inflate every count (bug class 9).
+    exact = dim.distinct().withColumn("exact_flag", F.lit(1))
     tested = fact.join(
         F.broadcast(exact), fact["l_suppkey"] == exact["k"], "left"
     ).drop("k")

@@ -472,6 +472,8 @@ def dup_sf(sf_dir, tmp_path_factory) -> str:
         "asof_nearest_click_purchase",
         # chunk ids number segments within the physical row, not the id
         "udtf_sentence_split",
+        # set-membership (IN) must not row-multiply through a dup'd dim
+        "join_bloom_prefilter",
     ],
 )
 def test_queries_oracle_match_on_duplicated_input(spark, dup_sf, name):
