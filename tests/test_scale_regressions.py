@@ -742,3 +742,86 @@ def test_pq_raises_on_gapped_id_space(spark, nullmix_sf):
         QUERIES["sim_pq_adc_topk"].fn(spark, nullmix_sf).count()
     with pytest.raises(ValueError, match="dense 0-based integer id space"):
         QUERIES["sim_ivf_pq_index_serve"].fn(spark, nullmix_sf).count()
+
+
+# --- class 13: multi-byte text (unicode probe axis) ---
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(sf_dir, tmp_path_factory) -> str:
+    """Free-text columns (documents.text, c_name, p_name) carry
+    deterministic multi-byte tails — 2/3/4-byte UTF-8, the ß case
+    trap, combining diacritics (tools/make_variant.py unicode).
+    UNICODESWEEP_r11.json: 319/323 oracle-exact — md5 fingerprints,
+    tokenization, shingles, BPE, PII regexes, chunking, winnowing all
+    survive multi-byte text bit-for-bit. The 3 non-passes are ORACLE-
+    DIALECT divergences, not engine bugs, pinned below."""
+    dst = tmp_path_factory.mktemp("sf_unicode")
+    tails = [" héllo wörld", " 東京データ", " Ωμέγα ß",
+             " \U0001f680\U0001f30d emoji", " Ẑ combining"]
+    free_text = {"text", "c_name", "p_name"}
+    for t in TESTDATA_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        tbl = pq.read_table(src)
+        cols = []
+        for f, col in zip(tbl.schema, tbl.columns):
+            if f.name not in free_text:
+                cols.append(col)
+                continue
+            vals = col.to_pylist()
+            cols.append(pa.array(
+                [None if v is None else v + tails[i % len(tails)]
+                 for i, v in enumerate(vals)], type=f.type))
+        pq.write_table(pa.table(cols, schema=tbl.schema),
+                       str(dst / f"{t}.parquet"), version="2.6")
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_token_stats",        # tokenize over multi-byte words
+        "dedup_exact",             # md5 over UTF-8 bytes, both engines
+        "text_winnow_fingerprint", # char-k-gram hashing on codepoints
+        "text_pii_scrub",          # regex classes on multi-byte input
+        "text_bpe_merge_steps",    # byte-ish merges stay cross-engine
+        "doc_chunking",            # token windows over unicode tokens
+    ],
+)
+def test_text_queries_oracle_match_on_unicode_input(spark, unicode_sf, name):
+    q = QUERIES[name]
+    assert_oracle_match(
+        q.fn(spark, unicode_sf), duckdb_con(unicode_sf), q.oracle,
+        f"{name}_unicode"
+    )
+
+
+def test_unicode_dialect_divergences_are_the_known_two(spark):
+    """The unicode axis's only non-passes are oracle-DIALECT forks the
+    engine deliberately does not mirror:
+
+    * upper('ß'): Spark applies Unicode full case mapping ('SS' — the
+      Unicode standard's answer, also what Java/ICU do), DuckDB maps
+      to the capital sharp s 'ẞ'. Both are defensible orthographies;
+      the engine keeps the standard full mapping.
+    * levenshtein: Spark counts CODEPOINTS (the linguistic edit
+      distance), DuckDB counts BYTES ('héllo'→'hello' = 2 edits there,
+      东京 = 6). The engine keeps codepoint distance; the fuzzy-match
+      oracle is exact on ASCII only.
+
+    This test pins the ENGINE side of both contracts so a Spark
+    upgrade changing either semantics is caught."""
+    row = (
+        spark.range(1)
+        .select(
+            F.upper(F.lit("ß")).alias("up"),
+            F.levenshtein(F.lit("héllo"), F.lit("hello")).alias("lev2b"),
+            F.levenshtein(F.lit("東京"), F.lit("ab")).alias("lev3b"),
+            F.levenshtein(F.lit("\U0001f680"), F.lit("a")).alias("lev4b"),
+        )
+        .collect()[0]
+    )
+    assert row.up == "SS"
+    assert (row.lev2b, row.lev3b, row.lev4b) == (1, 2, 1)

@@ -12,6 +12,7 @@ command instead of an ad-hoc /tmp script, so sweeps can be re-run
     python tools/make_variant.py allnull --src ... --dst ...   # nullable cols -> all NULL
     python tools/make_variant.py offsetids --src ... --dst ... # id cols shifted by +10^9
     python tools/make_variant.py nullmix --src ... --dst ...   # 1/3 of each non-key col NULL
+    python tools/make_variant.py unicode --src ... --dst ...   # multibyte tails on free text
 
 Then sweep with tools/check_all.py --sf-dir <dst>.
 
@@ -34,6 +35,13 @@ Variant semantics:
   ORDER BY over a nullable key (Spark defaults NULLS FIRST for asc,
   DuckDB NULLS LAST), rank/argmax tie-breaks that only fork when NULL
   and non-NULL values compete, partial-group aggregates.
+- unicode: FREE-TEXT columns (documents.text, c_name, p_name) get a
+  deterministic multi-byte tail cycling through 2/3/4-byte UTF-8,
+  case-mapping traps (ß, Greek), and combining diacritics — flushing
+  chars-vs-bytes length forks, non-ASCII case mapping, codepoint-vs-
+  grapheme reversal/substring, and regex class behavior between the
+  JVM and DuckDB. Semantic/enum columns (event_type, statuses, lang,
+  brands) stay ASCII so literal filters keep matching.
 """
 
 from __future__ import annotations
@@ -86,6 +94,27 @@ def _variant(name: str, tbl: pa.Table) -> pa.Table:
                 cols.append(col)
         names = [f.name for f in tbl.schema]
         return pa.table(cols, names=names)
+    if name == "unicode":
+        free_text = {"text", "c_name", "p_name"}
+        tails = [
+            " héllo wörld",            # 2-byte latin accents
+            " 東京データ",    # 3-byte CJK
+            " Ωμέγα ß",  # Greek + sharp-s case trap
+            " 🚀🌍 emoji",        # 4-byte astral plane
+            " Ẑ combining",                 # combining circumflex
+        ]
+        cols = []
+        for field, col in zip(tbl.schema, tbl.columns):
+            if field.name not in free_text:
+                cols.append(col)
+                continue
+            vals = col.to_pylist()
+            out = [
+                None if v is None else v + tails[i % len(tails)]
+                for i, v in enumerate(vals)
+            ]
+            cols.append(pa.array(out, type=field.type))
+        return pa.table(cols, schema=tbl.schema)
     if name == "nullmix":
         import numpy as np
 
@@ -109,7 +138,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("variant",
                     choices=["dup2", "empty", "onerow", "allnull",
-                             "offsetids", "nullmix"])
+                             "offsetids", "nullmix", "unicode"])
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", required=True)
     args = ap.parse_args()
