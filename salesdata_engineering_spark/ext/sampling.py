@@ -276,6 +276,7 @@ def negative_pair_sample(
     k: int = 4,
     salt: str = "neg",
     payload: Sequence[str] = (),
+    auto_rekey: bool = False,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive training: for
     each anchor row, ``k`` pseudo-random OTHER rows drawn uniformly
@@ -298,6 +299,42 @@ def negative_pair_sample(
         # Spark's sequence(0, k-1) would auto-step DOWNWARD for k<=0
         # and emit [0, -1] per anchor instead of nothing
         raise ValueError(f"negative_pair_sample: k must be >= 1, got {k}")
+    if auto_rekey:
+        # opt-in lift of the dense-id precondition (VERDICT r11 item
+        # 1): re-key to dense 0-based ids over ascending original id
+        # (ops/sorts.py rekey_dense — the remedy the error below
+        # prescribes), draw negatives in the dense space (the pair set
+        # is a deterministic function of the rekey order), map both
+        # sides of every pair back to original ids. The two id-equi-
+        # joins are hash-partitioned and 100 TB-parallel; no broadcast
+        # of the corpus-sized mapping anywhere.
+        from ..ops.sorts import rekey_dense
+
+        orig = f"_orig_{id_col}"
+        df2 = rekey_dense(
+            df, id_col, orig_alias=orig,
+            persist_key="rekey_dense:negative_pair_sample",
+        )
+        mapping = df2.select(id_col, orig)
+        res = negative_pair_sample(
+            df2.drop(orig), id_col, k=k, salt=salt, payload=payload
+        )
+        amap = mapping.select(
+            F.col(id_col).alias("anchor_id"), F.col(orig).alias("_a_orig")
+        )
+        nmap = mapping.select(
+            F.col(id_col).alias("neg_id"), F.col(orig).alias("_n_orig")
+        )
+        return (
+            res.join(amap, "anchor_id")
+            .join(nmap, "neg_id")
+            .select(
+                F.col("_a_orig").alias("anchor_id"),
+                "j",
+                F.col("_n_orig").alias("neg_id"),
+                *payload,
+            )
+        )
     # dense-id precondition asserted loudly (same contract — and same
     # silent-corruption failure mode — as the PQ codebook sampler): on
     # sparse/offset ids the modulus draws ids that don't exist, so the

@@ -843,6 +843,97 @@ def _pq_query_tables(
     )
 
 
+def _serve_rekeyed(
+    fn,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    kwargs: dict,
+) -> DataFrame:
+    """Shared ``auto_rekey=True`` path for the dense-id ANN family
+    (VERDICT r11 item 1): re-key the corpus to a dense 0-based id space
+    (ops/sorts.py rekey_dense — the exact remedy the precondition error
+    prescribes), serve with ``fn`` in the dense space, and map every id
+    in the output back to the caller's original id space. Turns the
+    strict dense-id refusal (fired on NULL-gapped, offset, and
+    duplicated corpora in 4 of the 5 r11 sweeps) into a served path —
+    opt-in, so the loud precondition stays the default contract.
+
+    Semantics preserved exactly:
+
+    * self-exclusion — queries that are corpus members (by original id)
+      take their dense corpus id, so ``id <> query_id`` still excludes
+      the query's own vector; on corpora with DUPLICATED original ids
+      the lowest dense copy is the one excluded (the other copies are
+      honest cosine-1.0 neighbors). Non-member queries get distinct
+      NEGATIVE ids, which can never collide with a dense corpus id —
+      exclusion is vacuous for them, as it is on the direct path.
+    * output schema — (query_id, neighbor_id, rk, cosine_sim) with both
+      ids in the ORIGINAL space.
+
+    Scale shape: one range exchange for the rekey (the same price as a
+    global sort), two broadcast-small probe joins to translate query
+    ids, and two broadcast-|result| joins to translate the output —
+    the corpus-sized mapping frame is only ever the streamed side."""
+    from ..ops.sorts import rekey_dense
+
+    orig = f"_orig_{id_col}"
+    corpus2 = rekey_dense(
+        corpus, id_col, orig_alias=orig,
+        persist_key=f"rekey_dense:{getattr(fn, '__name__', 'ann')}",
+    )
+    mapping = corpus2.select(id_col, orig)
+    qids = queries.select(F.col(query_id_col).alias(orig)).distinct()
+    memb = (
+        mapping.join(F.broadcast(qids), orig)
+        .groupBy(orig)
+        .agg(F.min(id_col).alias("_dense_qid"))
+    )
+    wq = Window.orderBy(F.col("_q_orig").asc_nulls_last())
+    q2 = (
+        queries.withColumnRenamed(query_id_col, "_q_orig")
+        .join(
+            F.broadcast(memb.withColumnRenamed(orig, "_q_orig")),
+            "_q_orig",
+            "left",
+        )
+        .withColumn(
+            query_id_col,
+            F.coalesce(
+                F.col("_dense_qid").cast("long"),
+                (-F.row_number().over(wq)).cast("long"),
+            ),
+        )
+        .drop("_dense_qid")
+    )
+    res = fn(
+        corpus2.drop(orig),
+        q2,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        **kwargs,
+    )
+    nmap = mapping.select(
+        F.col(id_col).alias("neighbor_id"), F.col(orig).alias("_n_orig")
+    )
+    qmap = q2.select(
+        F.col(query_id_col).alias("_qid"), "_q_orig"
+    ).distinct()
+    return (
+        nmap.join(F.broadcast(res), "neighbor_id")
+        .join(F.broadcast(qmap), F.col(query_id_col) == F.col("_qid"))
+        .select(
+            F.col("_q_orig").alias(query_id_col),
+            F.col("_n_orig").alias("neighbor_id"),
+            "rk",
+            "cosine_sim",
+        )
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -855,6 +946,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     corpus_count: int | None = None,
+    auto_rekey: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN with an ADC (asymmetric distance
     computation) scan — the third index family next to LSH buckets and
@@ -900,7 +992,17 @@ def pq_adc_topk(
     round-6 bench — the worst in the set, flagged `weak` there). The
     production serving shape is :func:`ivf_pq_topk`, which puts IVF
     cell pruning in front of the same ADC scan so only ~nprobe/n_cells
-    of the codes are ever scanned."""
+    of the codes are ever scanned.
+
+    ``auto_rekey=True`` (opt-in) lifts the dense-id precondition: the
+    corpus is re-keyed to a dense 0-based id space first and the output
+    ids are mapped back — see :func:`_serve_rekeyed`."""
+    if auto_rekey:
+        return _serve_rekeyed(
+            pq_adc_topk, corpus, queries, id_col, vec_col, query_id_col,
+            dict(k=k, m_cand=m_cand, n_sub=n_sub, n_codes=n_codes,
+                 dim=dim, corpus_count=corpus_count),
+        )
     d_sub = dim // n_sub
     chunks = _pq_chunks_expr(n_sub, d_sub)
     cents_b = _pq_codebooks(
@@ -948,6 +1050,7 @@ def ivf_pq_topk(
     small_queries: bool = True,
     corpus_count: int | None = None,
     centroids: DataFrame | None = None,
+    auto_rekey: bool = False,
 ) -> DataFrame:
     """IVF-PQ: IVF cell pruning composed in front of the PQ-ADC scan —
     the standard production ANN shape (an inverted-file index whose
@@ -979,7 +1082,20 @@ def ivf_pq_topk(
     bit-identical in the DuckDB oracle, which rebuilds the entire
     composed index in SQL. Pass ``centroids`` (cid, _cvec — e.g. from
     :func:`ivf_train_centroids`) to search a trained index with the
-    same cell/probe/ADC machinery (the trained IVF-PQ serving shape)."""
+    same cell/probe/ADC machinery (the trained IVF-PQ serving shape).
+
+    ``auto_rekey=True`` (opt-in) lifts the dense-id precondition (which
+    otherwise gates BOTH the strided centroids and the PQ codebooks):
+    the corpus is re-keyed to a dense 0-based id space first and the
+    output ids are mapped back — see :func:`_serve_rekeyed`."""
+    if auto_rekey:
+        return _serve_rekeyed(
+            ivf_pq_topk, corpus, queries, id_col, vec_col, query_id_col,
+            dict(k=k, m_cand=m_cand, stride=stride, nprobe=nprobe,
+                 n_sub=n_sub, n_codes=n_codes, dim=dim,
+                 small_queries=small_queries, corpus_count=corpus_count,
+                 centroids=centroids),
+        )
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) % stride == 0).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("_cvec")

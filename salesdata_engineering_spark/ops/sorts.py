@@ -50,7 +50,14 @@ def global_row_number(
        frame (its window IS single-partition — over n_parts rows),
     3. number rows within each partition and add the broadcast offset.
 
-    Equal to the naive global row_number for any TOTAL order (ties
+    ``order`` entries must be PLAIN columns or names — no ``.desc()``/
+    ``.asc()`` direction: the helper imposes the engine ordering
+    convention (ascending, NULLS LAST — see ops/windows.py
+    asc_nulls_last) on every key, and a direction already attached to a
+    passed Column would be silently overridden. Note this therefore
+    diverges from the naive ``row_number() OVER (ORDER BY ...)`` on
+    NULL keys, whose Spark default is ascending NULLS FIRST; on
+    NULL-free keys the two are equal for any TOTAL order (ties
     would make both forms nondeterministic — pass a tie-breaking key).
     The partitioned frame is swap-persisted (ext/caching.py): both the
     counts pass and the numbering pass read it, and without the cut
@@ -193,4 +200,54 @@ def global_ntile(
         rn.crossJoin(F.broadcast(tot))
         .withColumn(alias, tile.cast("int"))
         .drop("_gn_rn", "_gn_n")
+    )
+
+
+def rekey_dense(
+    df: DataFrame,
+    id_col: str,
+    order: list[Column | str] | None = None,
+    orig_alias: str | None = None,
+    n_parts: int | None = None,
+    persist_key: str = "rekey_dense",
+) -> DataFrame:
+    """Re-key ``id_col`` to a DENSE 0-based contiguous integer id space
+    (ids 0..N-1) over a deterministic total order — the missing half of
+    the PQ/ANN dense-id precondition (ext/similarity.py _pq_codebooks,
+    ext/sampling.py negative_pair_sample raise "Re-key the corpus
+    first"; this is the operator that does it, VERDICT r11 item 1).
+
+    Gapped id spaces are what real intake produces: the NULL-vector
+    hygiene filter (registry_ext._embs_nn) gaps a previously dense
+    corpus, upstream deletes gap it further, and federated/offset
+    sources never were dense. Built on :func:`global_row_number`'s
+    two-pass range-partitioned numbering, so every stage is
+    100 TB-parallel (no single-task global window).
+
+    * ``order`` defaults to ``[id_col]`` — deterministic whenever ids
+      are unique (the gapped/offset case). With DUPLICATED ids pass a
+      tie-breaking key; identical full-row duplicates need none (any
+      assignment among equal rows yields the same frame).
+    * The original id survives in ``orig_alias`` (default
+      ``_orig_<id_col>``) so results computed in the dense space can be
+      mapped back — the frame IS its own old→new mapping.
+    * The new ids keep the original column's integral dtype when it is
+      one, else BIGINT, so downstream schemas stay stable.
+    """
+    from pyspark.sql import types as T
+
+    order = list(order) if order is not None else [id_col]
+    orig = orig_alias or f"_orig_{id_col}"
+    dtype = df.schema[id_col].dataType
+    if not isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        dtype = T.LongType()
+    numbered = global_row_number(
+        df, order, alias="_rk_rn", n_parts=n_parts, persist_key=persist_key
+    )
+    return (
+        numbered.withColumnRenamed(id_col, orig)
+        .withColumn(id_col, (F.col("_rk_rn") - 1).cast(dtype))
+        .drop("_rk_rn")
     )

@@ -2232,6 +2232,134 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The rekeyed-serving fixture: a deterministically GAPPED corpus
+#: (every id ≡ 3 (mod 7) removed — what the NULL-vector hygiene filter
+#: does to a previously dense corpus) on which the whole PQ family's
+#: dense-id precondition fires. The oracle rebuilds the engine's
+#: auto_rekey path in SQL: dense ids = row_number() − 1 over ascending
+#: original id, the SAME composed IVF-PQ index over the dense space,
+#: original ids restored in the output.
+_GAP_WHERE = "embedding IS NOT NULL AND vec_id % 7 <> 3"
+_SQL_STRIDE_GAP = _SQL_STRIDE.replace(
+    "FROM embeddings", f"FROM embeddings WHERE {_GAP_WHERE}"
+)
+_PQ_STEP_GAP = _PQ_STEP.replace(
+    "FROM embeddings", f"FROM embeddings WHERE {_GAP_WHERE}"
+)
+
+
+@register(
+    "sim_ivf_pq_rekeyed_topk",
+    f"""
+    WITH g AS (SELECT vec_id AS orig_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_GAP_WHERE}),
+    c0 AS (SELECT row_number() OVER (ORDER BY orig_id) - 1 AS vec_id, orig_id, v
+           FROM g),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_GAP} = 0),
+    cells AS (
+        SELECT vec_id, cid
+        FROM (SELECT c0.vec_id, cents.cid,
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
+              FROM c0, cents
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid) = 1)
+    ),
+    probes AS (
+        SELECT query_id, cid
+        FROM (SELECT c0.vec_id AS query_id, cents.cid,
+                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
+              FROM c0, cents WHERE c0.orig_id < 10
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
+                      <= {_IVF_NPROBE})
+    ),
+    subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+    pqc AS (
+        SELECT CAST(vec_id // {_PQ_STEP_GAP} AS INT) AS c, s,
+               v[s*8 + 1 : s*8 + 8] AS cchunk,
+               list_dot_product(v[s*8 + 1 : s*8 + 8],
+                                v[s*8 + 1 : s*8 + 8]) AS cc
+        FROM c0, subs
+        WHERE vec_id % {_PQ_STEP_GAP} = 0 AND vec_id < 64 * {_PQ_STEP_GAP}
+    ),
+    enc AS (
+        SELECT vec_id, s, c AS code
+        FROM (SELECT c0.vec_id, pqc.s, pqc.c,
+                     CAST(floor((pqc.cc - 2 * list_dot_product(
+                         c0.v[pqc.s*8 + 1 : pqc.s*8 + 8], pqc.cchunk))
+                         * 1e12 + 0.5) AS BIGINT) AS d
+              FROM c0, pqc
+              QUALIFY row_number() OVER (PARTITION BY c0.vec_id, pqc.s
+                                         ORDER BY d, pqc.c) = 1)
+    ),
+    encc AS (SELECT enc.vec_id, cells.cid, enc.s, enc.code
+             FROM enc JOIN cells ON enc.vec_id = cells.vec_id),
+    dt AS (
+        SELECT c0.vec_id AS query_id, pqc.s, pqc.c,
+               CAST(floor((pqc.cc - 2 * list_dot_product(
+                   c0.v[pqc.s*8 + 1 : pqc.s*8 + 8], pqc.cchunk))
+                   * 1e12 + 0.5) AS BIGINT) AS qd
+        FROM c0, pqc WHERE c0.orig_id < 10
+    ),
+    adc AS (
+        SELECT dt.query_id, encc.vec_id, sum(dt.qd) AS dist
+        FROM encc
+        JOIN probes p ON encc.cid = p.cid
+        JOIN dt ON dt.query_id = p.query_id
+               AND encc.s = dt.s AND encc.code = dt.c
+        WHERE encc.vec_id <> dt.query_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist, vec_id) AS rn
+            FROM adc) WHERE rn <= 40
+    ),
+    rr AS (
+        SELECT cand.query_id, cand.vec_id,
+               q.orig_id AS q_orig, c.orig_id AS n_orig,
+               {_SQL_COSINE.format(a="c.v", b="q.v")} AS sim
+        FROM cand JOIN c0 c ON cand.vec_id = c.vec_id
+                  JOIN c0 q ON cand.query_id = q.vec_id
+    )
+    SELECT q_orig AS query_id, n_orig AS neighbor_id, rk, round(sim, 6) AS cosine_sim
+    FROM (SELECT q_orig, n_orig, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= 5
+    """,
+    doc="X2 auto-rekeyed IVF-PQ serving on a GAPPED id space (VERDICT "
+    "r11 item 1): the corpus drops every id ≡ 3 (mod 7) — the id-space "
+    "shape the NULL-vector intake filter, upstream deletes, or "
+    "federated sources produce — so the dense-id precondition that "
+    "guards the whole PQ family fires. auto_rekey=True serves anyway: "
+    "ops/sorts.py rekey_dense assigns dense 0-based ids by a two-pass "
+    "range-partitioned row_number (no single-task window), the index "
+    "is built and probed in the dense space, and both output id "
+    "columns are mapped back to the ORIGINAL ids via joins that only "
+    "ever broadcast the |Q|·k result — the corpus-sized mapping is "
+    "the streamed side. The oracle rebuilds the rekey (row_number()−1 "
+    "over ascending original id) and the full composed index in SQL, "
+    "so a hash match proves the served answers are exactly the "
+    "dense-corpus answers with ids faithfully translated.",
+)
+def q_sim_ivf_pq_rekeyed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.similarity import ivf_pq_topk
+
+    emb = _embs_nn(spark, sf_dir)
+    corpus = (
+        emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .filter(F.col("vec_id") % 7 != 3)
+    )
+    n = corpus.count()
+    return ivf_pq_topk(
+        corpus, _queries_subset(corpus), k=5, m_cand=40, n_codes=64,
+        stride=_ivf_stride(corpus, n), nprobe=_IVF_NPROBE,
+        corpus_count=n, auto_rekey=True,
+    )
+
+
 @register(
     "sim_ivf_pq_index_serve",
     _SQL_IVF_PQ,
