@@ -24,6 +24,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _match_struct_type(right: DataFrame, ts: str, payload: Sequence[str]):
+    """StructType of the carried match: (_m_ts, _m_<payload>...) —
+    the left side's typed NULL literal for the union."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField("_m_ts", right.schema[ts].dataType)]
+        + [T.StructField(f"_m_{p}", right.schema[p].dataType) for p in payload]
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,20 +60,32 @@ def asof_join(
     )
 
     left_cols = left.columns
+    # The matched row travels as ONE struct per right row — never as
+    # parallel per-column last(ignorenulls) carries: the struct is
+    # non-NULL for every right row (its ts is), so ignorenulls skips
+    # exactly the tagged-left rows, while a NULL payload VALUE rides
+    # inside the struct and is faithfully delivered. Per-column
+    # carries conflate "no right row yet" with "matched right row
+    # whose payload is NULL" and leak an OLDER row's payload into the
+    # match (found by the independent-mask nullmix sweep, r12 — the
+    # phase-shifted mask could never produce a non-NULL-ts purchase
+    # with a NULL value, so r11's sweep was blind to it).
+    m_struct = _match_struct_type(right, ts, payload)
     tagged_r = r.select(
         *keys,
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(ts).alias(f"{ts}{suffix}"),
-        *[F.col(p).alias(f"{p}{suffix}") for p in payload],
+        F.struct(
+            F.col(ts).alias("_m_ts"),
+            *[F.col(p).alias(f"_m_{p}") for p in payload],
+        ).alias("_m"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
     )
     tagged_l = left.select(
         *keys,
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[ts].dataType).alias(f"{ts}{suffix}"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"{p}{suffix}") for p in payload],
+        F.lit(None).cast(m_struct).alias("_m"),
         *[F.col(c) for c in left_cols if c not in keys],
     )
     # rights sort before lefts at equal ts (backward join includes ties)
@@ -71,14 +94,21 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = [f"{ts}{suffix}"] + [f"{p}{suffix}" for p in payload]
     filled = tagged_r.unionByName(tagged_l).select(
         *keys,
         "_side",
         *[c for c in left_cols if c not in keys],
-        *[F.last(m, ignorenulls=True).over(w).alias(m) for m in matched],
+        F.last("_m", ignorenulls=True).over(w).alias("_m"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *keys,
+            *[c for c in left_cols if c not in keys],
+            F.col("_m._m_ts").alias(f"{ts}{suffix}"),
+            *[F.col(f"_m._m_{p}").alias(f"{p}{suffix}") for p in payload],
+        )
+    )
 
 
 def asof_nearest_join(
@@ -110,12 +140,18 @@ def asof_nearest_join(
     )
     left_cols = left.columns
     matched = [f"{ts}{suffix}"] + [f"{p}{suffix}" for p in payload]
+    # same single-struct carry as asof_join (see comment there): the
+    # per-direction candidate is one non-NULL-per-right-row struct, so
+    # NULL payload values are delivered, not skipped over
+    m_struct = _match_struct_type(right, ts, payload)
     tagged_r = r.select(
         *keys,
         F.col(ts).alias("_ts"),
         F.lit(True).alias("_is_right"),
-        F.col(ts).alias(matched[0]),
-        *[F.col(p).alias(f"{p}{suffix}") for p in payload],
+        F.struct(
+            F.col(ts).alias("_m_ts"),
+            *[F.col(p).alias(f"_m_{p}") for p in payload],
+        ).alias("_m"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left_cols
@@ -126,11 +162,7 @@ def asof_nearest_join(
         *keys,
         F.col(ts).alias("_ts"),
         F.lit(False).alias("_is_right"),
-        F.lit(None).cast(right.schema[ts].dataType).alias(matched[0]),
-        *[
-            F.lit(None).cast(right.schema[p].dataType).alias(f"{p}{suffix}")
-            for p in payload
-        ],
+        F.lit(None).cast(m_struct).alias("_m"),
         *[F.col(c) for c in left_cols if c not in keys],
     )
     u = tagged_r.unionByName(tagged_l)
@@ -152,10 +184,10 @@ def asof_nearest_join(
         "_ts",
         "_is_right",
         *[c for c in left_cols if c not in keys],
-        *[F.last(m, ignorenulls=True).over(w_b).alias(f"_b_{m}") for m in matched],
-        *[F.first(m, ignorenulls=True).over(w_f).alias(f"_f_{m}") for m in matched],
+        F.last("_m", ignorenulls=True).over(w_b).alias("_b"),
+        F.first("_m", ignorenulls=True).over(w_f).alias("_f"),
     ).filter(~F.col("_is_right"))
-    b_ts, f_ts = F.col(f"_b_{matched[0]}"), F.col(f"_f_{matched[0]}")
+    b_ts, f_ts = F.col("_b._m_ts"), F.col("_f._m_ts")
     # ntz-safe: casting BOTH operands in the same session tz shifts them
     # equally, so the integer-microsecond differences are tz-invariant
     def _us(c):
@@ -167,9 +199,10 @@ def asof_nearest_join(
     out_cols = [F.col(k) for k in keys] + [
         F.col(c) for c in left_cols if c not in keys
     ]
+    fields = ["_m_ts"] + [f"_m_{p}" for p in payload]
     out_cols += [
-        F.when(pick_b, F.col(f"_b_{m}")).otherwise(F.col(f"_f_{m}")).alias(m)
-        for m in matched
+        F.when(pick_b, F.col(f"_b.{fld}")).otherwise(F.col(f"_f.{fld}")).alias(m)
+        for m, fld in zip(matched, fields)
     ]
     out_cols.append(
         F.when(b_ts.isNull() & f_ts.isNull(), F.lit(None).cast("string"))

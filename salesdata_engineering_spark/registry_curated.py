@@ -2015,6 +2015,7 @@ def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
                    AS x
         FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice IS NOT NULL
         GROUP BY 1, 2),
     r AS (SELECT nation, x,
                  row_number() OVER (PARTITION BY nation ORDER BY x, c_custkey)
@@ -2044,8 +2045,13 @@ def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
+    # a NULL price is not a revenue sample (nullmix convention): a
+    # customer whose every order is NULL-priced would carry a NULL x
+    # into the rank window, where Spark (NULLS FIRST) and the SQL
+    # default (NULLS LAST) assign different ranks to every REAL sample
     rev = (
         t["orders"]
+        .filter(F.col("o_totalprice").isNotNull())
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
         .agg(
@@ -3119,7 +3125,7 @@ def q_supplier_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
                     ELSE -CAST(l_quantity AS BIGINT) END AS delta,
                l_shipdate, l_orderkey, l_linenumber
-        FROM lineitem),
+        FROM lineitem WHERE l_shipdate IS NOT NULL),
     s AS (
         SELECT part, delta, l_shipdate, l_orderkey, l_linenumber,
                CAST(SUM(delta) OVER w AS BIGINT) AS cum
@@ -3158,7 +3164,13 @@ def q_supplier_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort order, so Catalyst plans a single exchange+sort.",
 )
 def q_inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir)["lineitem"]
+    # a NULL ship date has no position in the ledger walk (nullmix
+    # convention: NULL event times are excluded from sequences) — the
+    # cumulative balance would otherwise visit the move at engine-
+    # specific positions (Spark sorts NULL dates first, DuckDB last)
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_shipdate").isNotNull()
+    )
     order_cols = ["l_shipdate", "l_orderkey", "l_linenumber"]
     moves = li.select(
         F.col("l_partkey").alias("part"),

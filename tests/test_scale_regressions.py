@@ -669,31 +669,27 @@ def nullmix_sf(sf_dir, tmp_path_factory) -> str:
     [NOT] DISTINCT FROM, matching the engine's <=>); (e) NULL-lang
     strata dropped by equi-joins (eqNullSafe). PQ sampling on the
     NULL-filtered (now gapped) id space raises its dense-id
-    precondition. Reproducible: python tools/make_variant.py nullmix;
-    full record NULLMIXSWEEP_r11.json."""
-    import numpy as np
+    precondition. The mask is the INDEPENDENT per-column splitmix64
+    mask (every column pair realizes all four NULL/non-NULL combos,
+    including both-NULL — ADVICE r11); the fixture reuses the tool's
+    generator verbatim so the pin and the sweep can never drift.
+    Reproducible: python tools/make_variant.py nullmix; full record
+    NULLMIXSWEEP_r12.json."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from make_variant import _variant
+
     dst = tmp_path_factory.mktemp("sf_nullmix")
-    key_cols = {
-        "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
-        "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
-        "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
-        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
-    }
     for t in TESTDATA_TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(src):
             continue
-        tbl = pq.read_table(src)
-        idx = __import__("numpy").arange(len(tbl))
-        cols = []
-        for ci, (f, col) in enumerate(zip(tbl.schema, tbl.columns)):
-            if f.name in key_cols or len(tbl) == 0:
-                cols.append(col)
-                continue
-            import pyarrow.compute as pc
-            mask = pa.array((idx + ci) % 3 == 0)
-            cols.append(pc.if_else(mask, pa.nulls(len(tbl), type=f.type), col))
-        pq.write_table(pa.table(cols, schema=tbl.schema),
+        pq.write_table(_variant("nullmix", pq.read_table(src)),
                        str(dst / f"{t}.parquet"), version="2.6")
     return str(dst)
 
@@ -718,6 +714,12 @@ def nullmix_sf(sf_dir, tmp_path_factory) -> str:
         "events_cohort_ltv_curve",
         "asof_click_purchase",
         "asof_nearest_click_purchase",
+        # r12 independent-mask finds (cross-column NULL interactions
+        # the phase-shifted mask could not produce): the asof payload
+        # struct-carry, the NULL-revenue gini sample, the NULL-date
+        # ledger move
+        "revenue_gini_by_nation",
+        "inventory_clamped_balance",
         # (d) null-safe SCD2 change detection
         "scd2_customer_segments",
         "pit_join_orders_segments",
