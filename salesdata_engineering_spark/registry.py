@@ -664,8 +664,14 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # to the tail; the round-7 additions DAU/MAU stickiness and Shapley
     # attribution get their first driver check. Transition matrix and
     # CDC stay (Markov + maintenance rows keep their window rep).
-    "events_dau_mau_stickiness",
-    "events_attribution_shapley",
+    # r12 rotation (VERDICT r11 item 5 — toward the ~90 query/oracle
+    # pairs the r11 fix classes changed): CUSUM changepoint (its flaky
+    # NULL-hour oracle was fixed in the nullmix sweep, never driver-
+    # checked) and BFS levels (back per the verdict's shortlist; graph
+    # family second rep) replace DAU/MAU stickiness and Shapley
+    # attribution (both driver-green r8-r11, to the tail)
+    "events_cusum_changepoint",
+    "graph_bfs_levels",
     # events analytics rotated r11: the robust-z hourly anomaly readout
     # (try_divide'd in the r10 single-row sweep, never driver-checked)
     # replaces the hourly ACF (driver-green r10); the DQ rule engine
@@ -674,12 +680,17 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "events_hourly_robust_z",
     "dq_rule_engine",
     "cdc_apply_changes",
-    # temporal-join family: the r7 point-in-time join joins asof/interval
-    "pit_join_orders_segments",
+    # temporal-join family rotated r12: SCD2 segment maintenance (its
+    # change detection went null-safe <=> / IS NOT DISTINCT FROM in the
+    # nullmix sweep) replaces the point-in-time join built on its
+    # output (driver-green r7-r11, to the tail)
+    "scd2_customer_segments",
     # stats second rep: KS two-sample (r7 surface) alongside Welch
     "stats_ks_two_sample",
-    # sketch family's first driver check (KMV distinct estimator)
-    "sketch_kmv_distinct",
+    # r12: the trimmed mean (rank statistic riding the NULL-is-not-a-
+    # sample intake rule from the nullmix sweep, never driver-checked)
+    # replaces the KMV distinct sketch (driver-green r8-r11, to the tail)
+    "stats_trimmed_mean",
     # LLM-pipeline extensions: text, dedup, similarity, multimodal, sampling
     # (winnow fingerprint, doc chunking, substring-span dedup and SCD2 —
     # all driver-green r5/r6+r7 — rotated to the tail r8; their families
@@ -699,7 +710,10 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # pipeline, in the tail since r9 — VERDICT r9 item 4 asked for a
     # fresh datapoint); sim_embedding_clusters (driver-green r9, sf1-
     # verified via the gap tool) moves to the tail
-    "dedup_minhash_lsh",
+    # r12: the blocklist screen (NULL-stratum lookup join went
+    # null-safe in the nullmix sweep) replaces minhash LSH (driver-
+    # green r10+r11, to the tail; it keeps its bench rung)
+    "text_blocklist_screen",
     # X7 rep rotated r11: the PCA top-component power iteration (its
     # zero-norm renormalize changed in the r10 single-row sweep, never
     # driver-checked) replaces the composed IVF+quantized rep (driver-
@@ -711,7 +725,11 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # r9 rotation: the persisted-index APPEND (new r8 surface, append==
     # rebuild oracle) replaces the per-call-rebuild ivf_pq_topk (driver-
     # green r7+r8; it stays registered as the build-cost datapoint)
-    "sim_ivf_pq_index_append",
+    # r12: auto-rekeyed IVF-PQ serving on a gapped id space (the
+    # round's headline surface — rekey_dense + auto_rekey intakes)
+    # replaces the persisted-index append (driver-green r9-r11, to the
+    # tail; its oracle is the same _SQL_IVF_PQ that still covers serve)
+    "sim_ivf_pq_rekeyed_topk",
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",

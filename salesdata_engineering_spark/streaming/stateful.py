@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+# STATE-SCHEMA COMPATIBILITY (ADVICE r11): this grew from (n, total)
+# to (n, nvals, total) in round 11 — a restart from a checkpoint
+# written before that change would misparse the old 2-field state.
+# Spark's applyInPandasWithState does not version state for you: any
+# change here is a BREAKING change for long-lived checkpoints — wipe
+# the checkpoint dir (fresh bench/test runs always do) or ship an
+# explicit migration that reads old-state rows under the old schema.
 STATE_SCHEMA = "n bigint, nvals bigint, total double"
 
 

@@ -61,22 +61,27 @@ REQUIRED_IN_WINDOW = {
     # rounds) are in the tail
     "events_tumbling_counts",
     "interval_join_click_error",
-    "pit_join_orders_segments",
+    # r12: null-safe SCD2 maintenance replaces the PIT join built on it
+    "scd2_customer_segments",
     # r10: dynamic-gap sessionizer + sliding counts get first checks
     # (session_windows / stream-stream left-outer green r9, in the tail;
     # the left-outer join also gained a streaming_sf1 bench rung)
     "events_session_dynamic_gap",
     "stream_sliding_counts",
-    "events_dau_mau_stickiness",
-    "events_attribution_shapley",
+    # r12: CUSUM changepoint (flaky NULL-hour oracle fixed in the
+    # nullmix sweep) + BFS levels return; DAU/MAU + Shapley (green
+    # r8-r11) to the tail
+    "events_cusum_changepoint",
+    "graph_bfs_levels",
     # r11: robust-z anomalies + DQ rule engine (both try_divide-changed
     # r10) replace hourly ACF (green r10) and mix-shift (green r9+r10)
     "events_hourly_robust_z",
     "dq_rule_engine",
     "cdc_apply_changes",
-    # stats second rep + sketch family first driver check (r8 rotation)
+    # stats second rep; r12: trimmed mean (NULL-is-not-a-sample rank
+    # statistic) replaces the KMV sketch (green r8-r11)
     "stats_ks_two_sample",
-    "sketch_kmv_distinct",
+    "stats_trimmed_mean",
     # LLM-pipeline extensions (winnow/doc_chunking/substring-spans/SCD2
     # rotated to the tail r8; families keep reps per registry comment)
     "text_profile",
@@ -88,14 +93,16 @@ REQUIRED_IN_WINDOW = {
     "contamination_ngram_overlap",
     "dedup_containment",
     "sim_cosine_topk",
-    # r10: minhash_lsh returns for a fresh datapoint; embedding clusters
-    # (green r9) to the tail
-    "dedup_minhash_lsh",
+    # r12: blocklist screen (null-safe stratum join) replaces minhash
+    # LSH (green r10+r11, keeps its bench rung)
+    "text_blocklist_screen",
     # r11: the PCA power iteration (zero-norm renormalize changed r10)
     # replaces IVF+quantized (green r9+r10, sf1/sf3 hash-verified, in
     # the tail); the persisted-index serve + append lifecycle stays
     "embedding_pca_top_component",
-    "sim_ivf_pq_index_append",
+    # r12: auto-rekeyed IVF-PQ serving (the round's headline surface)
+    # replaces the index append (green r9-r11; same oracle as serve)
+    "sim_ivf_pq_rekeyed_topk",
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",

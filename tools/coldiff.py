@@ -45,10 +45,18 @@ def main() -> int:
     if s_cols != o_cols:
         print("SCHEMA", s_cols, "vs", o_cols)
         return 1
+    # exit nonzero on ANY divergence — row-count mismatch (zip would
+    # silently truncate the comparison to the shorter side, so call it
+    # out explicitly) or value diffs — so scripted sweeps can trust the
+    # exit code, not just the printed report (ADVICE r11)
+    diverged = len(s_rows) != len(o_rows)
+    if diverged:
+        print(f"ROWCOUNT mismatch: comparing first {min(len(s_rows), len(o_rows))} rows only")
     for j, c in enumerate(s_cols):
         sv = [r[j] for r in s_rows]
         ov = [r[j] for r in o_rows]
-        if sv != ov:
+        if sv[: len(ov)] != ov[: len(sv)]:
+            diverged = True
             print(f"COL {c}:")
             shown = 0
             for i, (a, b) in enumerate(zip(sv, ov)):
@@ -57,7 +65,7 @@ def main() -> int:
                     shown += 1
                     if shown >= args.rows:
                         break
-    return 0
+    return 1 if diverged else 0
 
 
 if __name__ == "__main__":

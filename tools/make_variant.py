@@ -13,6 +13,8 @@ command instead of an ad-hoc /tmp script, so sweeps can be re-run
     python tools/make_variant.py offsetids --src ... --dst ... # id cols shifted by +10^9
     python tools/make_variant.py nullmix --src ... --dst ...   # 1/3 of each non-key col NULL
     python tools/make_variant.py unicode --src ... --dst ...   # multibyte tails on free text
+    python tools/make_variant.py extreme --src ... --dst ...   # type-edge values on ~1/13 rows
+    python tools/make_variant.py bigdoc  --src ... --dst ...   # multi-MB texts, 64KiB keys
 
 Then sweep with tools/check_all.py --sf-dir <dst>.
 
@@ -29,8 +31,9 @@ Variant semantics:
   0-based, flushing out hidden dense-id assumptions (modular bucket
   arithmetic stays valid, id-as-index does not).
 - nullmix: every non-key column gets NULLs on a deterministic third of
-  rows, with the mask phase-shifted per column so multi-column
-  expressions see every NULL/non-NULL combination. Unlike allnull
+  rows, with an INDEPENDENT per-column mask (splitmix64 over
+  (row, column)) so every pair of columns realizes all four
+  NULL/non-NULL combinations — including both-NULL. Unlike allnull
   (all-or-nothing), mixed NULLs flush ASYMMETRIC divergences: window
   ORDER BY over a nullable key (Spark defaults NULLS FIRST for asc,
   DuckDB NULLS LAST), rank/argmax tie-breaks that only fork when NULL
@@ -42,6 +45,18 @@ Variant semantics:
   grapheme reversal/substring, and regex class behavior between the
   JVM and DuckDB. Semantic/enum columns (event_type, statuses, lang,
   brands) stay ASCII so literal filters keep matching.
+- extreme: type-tailored edge values injected on an independent ~1/13
+  of rows per non-key column (negative prices/quantities, zero, 10^6
+  magnitudes, the int32 cast edge, rates outside [0,1], pre-epoch /
+  far-future / epoch-zero / 2038 timestamps, power-of-two-scaled
+  embeddings) — hunting ANSI overflow, cast edges, sqrt/log-of-
+  negative, divide-by-zero, and epoch-µs arithmetic forks. Magnitudes
+  are deliberately capped so sums and sums-of-squares stay exactly
+  representable in doubles: bigger values would only add last-ulp
+  float-order noise that diverges between ANY two engines.
+- bigdoc: ~1% of documents get multi-MB pseudo-word texts (and
+  c_name/p_name get 64 KiB tails) — the executor-OOM probe for the
+  per-position explode paths (shingles, winnowing, BPE, PII regex).
 """
 
 from __future__ import annotations
@@ -67,6 +82,116 @@ KEY_COLS = {
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "event_id", "user_id", "doc_id", "vec_id",
 }
+
+
+def _nullmix_mask(n: int, ci: int):
+    """Deterministic INDEPENDENT per-column NULL mask: ~1/3 of rows,
+    via the splitmix64 finalizer over (row, column) — so every pair of
+    columns realizes all four NULL/non-NULL combinations, including
+    both-NULL. The previous (i + ci) % 3 phase-shift could not: columns
+    whose indices differed by a multiple of 3 were NULL on exactly the
+    same rows, and different-phase pairs were NEVER both NULL, leaving
+    cross-column both-NULL interactions unprobed (ADVICE r11)."""
+    import numpy as np
+
+    return (_splitmix(n, ci) % np.uint64(3)) == 0
+
+
+#: columns that are RATES by contract (0..1) — their extreme probe
+#: breaks the contract's RANGE, not its magnitude: huge rate extremes
+#: would multiply into price columns and produce products whose SUMS
+#: are float-order-dependent across engines (irreducible last-ulp
+#: noise, not a bug class). -0.5 / 2.0 are exactly representable and
+#: keep every product exact.
+RATE_COLS = {"l_discount", "l_tax"}
+
+#: extreme kinds per type family. Doubles stay integer-valued (or
+#: 2-decimal) and ≤ 2^31 so that sums — and sums of squares in the
+#: moments family — remain exactly representable in doubles at sweep
+#: scale: the probe hunts SEMANTIC forks (negative prices into
+#: sqrt/log, zero divisors, int-cast edges, ANSI overflow), and a
+#: value large enough to break float-sum associativity would bury
+#: those in engine-order noise.
+EXTREME_DOUBLE = [-99999.99, 0.0, 1_000_000.0, -1_000_000.0, 0.01,
+                  2147483647.0]
+EXTREME_RATE = [-0.5, 2.0, 1.0, 0.0]
+EXTREME_INT32 = [2147483647, -2147483648, 0]
+EXTREME_INT64 = [1 << 40, -(1 << 40), 0]
+EXTREME_TS = [  # µs since epoch
+    7258118399_000_000,     # 2199-12-31 23:59:59 — far future
+    -2240521503_000_000,    # 1899-01-07 12:34:57 — pre-epoch (negative µs)
+    0,                      # 1970-01-01 00:00:00 — epoch zero
+    2147483648_000_000,     # 2038-01-19 03:14:08 — 32-bit rollover
+]
+
+
+def _splitmix(n: int, salt: int):
+    """Deterministic uint64 stream over row index — shared by the
+    nullmix mask and the extreme-value selector."""
+    import numpy as np
+
+    h = np.arange(n, dtype=np.uint64) + np.uint64(salt) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _extreme_col(field: pa.Field, col, n: int, ci: int):
+    """Inject type-tailored extreme values on a deterministic ~1/13 of
+    rows (independent per column, so single- and multi-column extreme
+    interactions both occur); other rows — and NULLs — pass through."""
+    import numpy as np
+
+    h = _splitmix(n, 1000 + ci)
+    sel = (h % np.uint64(13)) == 0
+    kind = (h >> np.uint64(8)).astype(np.int64)
+    if field.name == "embedding":
+        vals = col.to_pylist()
+        out = []
+        for i, v in enumerate(vals):
+            if v is None or not sel[i]:
+                out.append(v)
+            else:
+                k = kind[i] % 3
+                # power-of-two scalings are EXACT in float32: the
+                # direction (hence cosine) is preserved while every
+                # unnormalized distance/dot the index families compute
+                # moves far outside the trained N(0,1) regime
+                scale = (128.0, 2.0 ** -40, -1.0)[k]
+                out.append([x * scale for x in v])
+        return pa.array(out, type=field.type)
+    if pa.types.is_timestamp(field.type):
+        base = col.cast(pa.int64()).to_pylist()
+        out = [
+            (EXTREME_TS[kind[i] % len(EXTREME_TS)]
+             if sel[i] and v is not None else v)
+            for i, v in enumerate(base)
+        ]
+        return pa.array(out, type=pa.int64()).cast(field.type)
+    if pa.types.is_floating(field.type):
+        kinds = EXTREME_RATE if field.name in RATE_COLS else EXTREME_DOUBLE
+        vals = col.to_pylist()
+        out = [
+            (kinds[kind[i] % len(kinds)] if sel[i] and v is not None else v)
+            for i, v in enumerate(vals)
+        ]
+        return pa.array(out, type=field.type)
+    if pa.types.is_integer(field.type):
+        kinds = (EXTREME_INT64 if pa.types.is_int64(field.type)
+                 else EXTREME_INT32)
+        vals = col.to_pylist()
+        out = [
+            (kinds[kind[i] % len(kinds)] if sel[i] and v is not None else v)
+            for i, v in enumerate(vals)
+        ]
+        return pa.array(out, type=field.type)
+    return col
 
 
 def _variant(name: str, tbl: pa.Table) -> pa.Table:
@@ -115,20 +240,73 @@ def _variant(name: str, tbl: pa.Table) -> pa.Table:
             ]
             cols.append(pa.array(out, type=field.type))
         return pa.table(cols, schema=tbl.schema)
-    if name == "nullmix":
+    if name == "bigdoc":
+        # multi-MB documents.text rows (plus 64 KiB tails on the
+        # c_name/p_name join/group keys): the 100 TB failure mode here
+        # is executor/oracle OOM in the per-position explode paths
+        # (shingles, winnowing, BPE pair space, PII regexes), not wrong
+        # answers — the sweep measures which operators need a size-cap
+        # or chunked-intake policy. ~1% of rows, deterministic; doc
+        # text is pseudo-word filler (vocab 997) so tokenizers, LMs,
+        # and dedup see realistic repetition rather than one run-on
+        # token; n_chars is kept consistent with the new text.
         import numpy as np
 
         n = len(tbl)
-        idx = np.arange(n)
+        names = [f.name for f in tbl.schema]
+        if n == 0 or not ({"text", "c_name", "p_name"} & set(names)):
+            return tbl
+        sel = (_splitmix(n, 77) % np.uint64(101)) == 0
+        cols = list(tbl.columns)
+        if "text" in names:
+            ti = names.index("text")
+            texts = tbl.column(ti).to_pylist()
+            sizes = [120_000, 240_000, 480_000]  # ~0.8 / 1.6 / 3.2 MB
+            big_i = 0
+            for i in range(n):
+                if not sel[i] or texts[i] is None:
+                    continue
+                nw = sizes[big_i % len(sizes)]
+                big_i += 1
+                texts[i] = " ".join(
+                    f"w{(i * 2654435761 + j * 40503) % 997}"
+                    for j in range(nw)
+                )
+            cols[ti] = pa.array(texts, type=pa.string())
+            if "n_chars" in names:
+                nc = names.index("n_chars")
+                cols[nc] = pa.array(
+                    [None if t is None else len(t) for t in texts],
+                    type=tbl.schema.field(nc).type,
+                )
+        for key in ("c_name", "p_name"):
+            if key not in names:
+                continue
+            ki = names.index(key)
+            vals = tbl.column(ki).to_pylist()
+            vals = [
+                (v + " " + "x" * 65536) if sel[i] and v is not None else v
+                for i, v in enumerate(vals)
+            ]
+            cols[ki] = pa.array(vals, type=pa.string())
+        return pa.table(cols, schema=tbl.schema)
+    if name == "extreme":
+        n = len(tbl)
         cols = []
         for ci, (field, col) in enumerate(zip(tbl.schema, tbl.columns)):
             if field.name in KEY_COLS or n == 0:
                 cols.append(col)
                 continue
-            # deterministic, column-phase-shifted mask: row i of column
-            # ci is NULLed when (i + ci) % 3 == 0 — every pair of
-            # columns realizes all four NULL/non-NULL combinations
-            mask = pa.array((idx + ci) % 3 == 0)
+            cols.append(_extreme_col(field, col, n, ci))
+        return pa.table(cols, schema=tbl.schema)
+    if name == "nullmix":
+        n = len(tbl)
+        cols = []
+        for ci, (field, col) in enumerate(zip(tbl.schema, tbl.columns)):
+            if field.name in KEY_COLS or n == 0:
+                cols.append(col)
+                continue
+            mask = pa.array(_nullmix_mask(n, ci))
             cols.append(pc.if_else(mask, pa.nulls(n, type=field.type), col))
         return pa.table(cols, schema=tbl.schema)
     raise SystemExit(f"unknown variant {name!r}")
@@ -138,7 +316,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("variant",
                     choices=["dup2", "empty", "onerow", "allnull",
-                             "offsetids", "nullmix", "unicode"])
+                             "offsetids", "nullmix", "unicode", "extreme",
+                             "bigdoc"])
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", required=True)
     args = ap.parse_args()
