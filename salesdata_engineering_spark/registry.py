@@ -522,7 +522,9 @@ def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="F1-F8 scalar surface: substring/concat/when-otherwise/upper/length/"
     "coalesce (parity cites: customer_mart_sql_tranform_write.py:15-16, "
-    "sales_data_mart_sql_transform.py:22-24, main.py:195,245).",
+    "sales_data_mart_sql_transform.py:22-24, main.py:195,245). "
+    "COLLATION CONTRACT (class-13 pin): upper() is Unicode full case "
+    "mapping — upper('ß') = 'SS' vs DuckDB's 'ẞ'; engine side pinned.",
 )
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_tables(spark, sf_dir)["customer"]

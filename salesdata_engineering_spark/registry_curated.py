@@ -328,6 +328,18 @@ def q_setop_multiset_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: shared collation-contract docstring suffix for the surfaces the
+#: unicode probe axis forked (UNICODESWEEP r11): the engine keeps
+#: the JVM's standard semantics and pins them in class-13 tests.
+_COLLATE_UPPER = (
+    " COLLATION CONTRACT (class-13 pin, tests/test_scale_regressions.py): "
+    "upper() applies Unicode FULL case mapping in the JVM root locale — "
+    "upper('ß') = 'SS', where DuckDB maps to the single codepoint 'ẞ'; on "
+    "non-ASCII corpora the oracle forks by dialect and the engine side is "
+    "the contract."
+)
+
+
 @register(
     "scalar_string_functions",
     """
@@ -353,7 +365,7 @@ def q_setop_multiset_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="§2.8 umbrella: the F1-F8 scalar surface + extended string "
     "functions in one per-customer projection (pure codegen, no "
     "shuffle). Constituents remain registered (scalar_functions / "
-    "string_functions_extended).",
+    "string_functions_extended)." + _COLLATE_UPPER,
 )
 def q_scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_tables(spark, sf_dir)["customer"]
@@ -3554,9 +3566,12 @@ def q_stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distance threshold of 12 because |len(a)-len(b)| <= dist, so "
     "near-identical names share adjacent bands — an 8-wide band "
     "catches every pair with distance < 8 exactly, the usual "
-    "recall/cost dial). Spark's levenshtein and DuckDB's agree "
-    "(plain unit-cost edit distance), so matched-pair counts and "
-    "distance stats hash-match. Scale: the block join shuffles on "
+    "recall/cost dial). COLLATION CONTRACT (class-13 pin): Spark's "
+    "levenshtein counts CODEPOINT edits (the linguistic distance), "
+    "DuckDB's counts BYTE edits — identical on ASCII (this table), "
+    "forked on multi-byte text; the engine's codepoint semantics is "
+    "the pinned contract, so matched-pair counts and "
+    "distance stats hash-match on contract data. Scale: the block join shuffles on "
     "the composite blocking key; no broadcast of the catalog, no "
     "cross product — plan-assertable as a single equi-join.",
 )
