@@ -174,10 +174,17 @@ def asof_nearest_join(
         .orderBy("_ts", F.col("_is_right").cast("int").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward candidate uses a DESCENDING prefix frame, not
+    # [currentRow, unboundedFollowing]: Spark recomputes unbounded-
+    # FOLLOWING frames from scratch per row — O(n^2) on a hot key
+    # (extreme probe axis, r12). Reversing the order exactly
+    # ((ts, flag) asc <-> (ts, flag) desc, and Spark's asc NULLS FIRST
+    # <-> desc NULLS LAST) makes last() over the reversed prefix the
+    # same value in O(n), sharing the exchange with one extra sort.
     w_f = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", F.col("_is_right").cast("int").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("_ts").desc(), F.col("_is_right").cast("int").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     both = u.select(
         *keys,
@@ -185,7 +192,7 @@ def asof_nearest_join(
         "_is_right",
         *[c for c in left_cols if c not in keys],
         F.last("_m", ignorenulls=True).over(w_b).alias("_b"),
-        F.first("_m", ignorenulls=True).over(w_f).alias("_f"),
+        F.last("_m", ignorenulls=True).over(w_f).alias("_f"),
     ).filter(~F.col("_is_right"))
     b_ts, f_ts = F.col("_b._m_ts"), F.col("_f._m_ts")
     # ntz-safe: casting BOTH operands in the same session tz shifts them

@@ -3226,9 +3226,16 @@ def q_inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS ish
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     lat AS (
+        -- explicit FLOOR division + positive modulo: DuckDB's // and %
+        -- truncate toward zero, Spark's floor(x/7) floors — identical on
+        -- post-epoch dates, forked on pre-epoch (negative) day indexes;
+        -- the business-day step function is only monotone under
+        -- floor + pmod (extreme probe axis, r12)
         SELECT o_orderpriority,
-               (5 * (ish // 7) + least(ish % 7, 5))
-               - (5 * (io // 7) + least(io % 7, 5)) AS bd
+               (5 * CAST(floor(ish / 7.0) AS BIGINT)
+                  + least(((ish % 7) + 7) % 7, 5))
+               - (5 * CAST(floor(io / 7.0) AS BIGINT)
+                  + least(((io % 7) + 7) % 7, 5)) AS bd
         FROM j)
     SELECT o_orderpriority,
            count(*) AS n_items,
@@ -3256,8 +3263,11 @@ def q_orders_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame
     epoch = F.lit("1969-12-29").cast("date")
 
     def bdays(col: str) -> F.Column:
+        # floor division + POSITIVE modulo so the step function stays
+        # monotone on pre-epoch (negative) day indexes — Spark's % takes
+        # the dividend's sign, which fed least() a negative weekday
         idx = F.datediff(F.col(col).cast("date"), epoch)
-        return 5 * F.floor(idx / 7) + F.least(idx % 7, F.lit(5))
+        return 5 * F.floor(idx / 7) + F.least(F.pmod(idx, F.lit(7)), F.lit(5))
 
     j = t["lineitem"].join(
         t["orders"], F.col("l_orderkey") == F.col("o_orderkey")

@@ -44,6 +44,23 @@ def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).filter(F.col("ts").isNotNull())
 
 
+def _events_sane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_events_ts plus the SANE EVENT-TIME DOMAIN (extreme probe axis,
+    r12) — the intake for queries that generate a DATA-DRIVEN DENSE
+    GRID from [min(ts), max(ts)] (hourly gap-fill / interpolation):
+    one corrupt pre-epoch or far-future timestamp widens their spine
+    from a few thousand rows to millions of hours x series (a 1899 ->
+    2199 domain is 2.6M hours), turning the "tiny KB-sized spine" of
+    the docstrings into the dominant cost in BOTH engines. Same
+    (1970-01-01, 2100-01-01) exclusive-epoch domain as the streaming
+    intake (streaming/runner.py read_events_stream); oracles mirror
+    with the same predicate."""
+    return _events_ts(spark, sf_dir).filter(
+        (F.col("ts") > F.lit("1970-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+    )
+
+
 def _dec_val() -> F.Column:
     return F.col("value").cast("decimal(12,2)")
 
@@ -76,6 +93,32 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Sliding-window oracle (10-min length / 5-min slide: every event in
 #: exactly 2 windows, both starts derived arithmetically) — shared by
 #: the batch operator and its streaming twin.
+#: The streaming intake's EVENT-TIME SANITY DOMAIN (extreme probe axis,
+#: r12), mirrored into every streaming oracle: read_events_stream
+#: quarantines pre-epoch, EXACTLY-epoch-zero (the runtime's initial
+#: watermark — droppable as late; also the classic zero-initialized
+#: sentinel), and >= 2100-01-01 timestamps, because one
+#: corrupt far-future row advances every watermark to its horizon and
+#: silently drops ALL later-arriving valid events — the batch oracle
+#: cannot express watermark drops, so engine and oracle must agree the
+#: poisoned rows never enter. NULL ts passes through (each query's
+#: NULL-event-time convention is applied downstream, unchanged).
+_SANE_EVENTS_SQL = (
+    "(SELECT * FROM events WHERE ts IS NULL OR (ts > TIMESTAMP "
+    "'1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00')) "
+    "events"
+)
+
+
+def _stream_oracle(sql: str) -> str:
+    """The streaming twin of a batch oracle: same SQL with the events
+    scan replaced by the sanity-domain quarantine subquery — documented
+    proof that streaming results equal batch results OVER THE DOMAIN
+    the watermark contract admits."""
+    return sql.replace("FROM events", f"FROM {_SANE_EVENTS_SQL}")
+
+
+
 _SLIDING_ORACLE = f"""
     SELECT make_timestamp(((floor(epoch(ts)/300)::BIGINT - k.k) * 300) * 1000000) AS window_start,
            make_timestamp((((floor(epoch(ts)/300)::BIGINT - k.k) + 2) * 300) * 1000000) AS window_end,
@@ -160,7 +203,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_windows",
-    _SESSION_ORACLE,
+    _stream_oracle(_SESSION_ORACLE),
     doc="STREAMING session windows (new r6): the same 6h-gap "
     "sessionization on the live runtime — file source -> 1h watermark "
     "-> native stateful session_window aggregate -> AvailableNow drain "
@@ -205,13 +248,13 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_tumbling_counts",
-    f"""
+    _stream_oracle(f"""
     SELECT make_timestamp((floor(epoch(ts)/600)::BIGINT * 600) * 1000000) AS window_start,
            make_timestamp(((floor(epoch(ts)/600)::BIGINT + 1) * 600) * 1000000) AS window_end,
            event_type,
            count(*) AS n
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
-    """,
+    """),
     doc="REAL Structured Streaming run: file source (readStream) → "
     "1-hour watermark → tumbling window count → Trigger.AvailableNow "
     "drain → memory sink returned as a batch frame. Unified semantics "
@@ -225,11 +268,11 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_totals",
-    """
+    _stream_oracle("""
     SELECT user_id, count(*) AS n_events,
            round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
     FROM events GROUP BY 1
-    """,
+    """),
     doc="Custom stateful operator (applyInPandasWithState): per-user "
     "running (count, sum) accumulators in Spark's managed state store, "
     "streaming/stateful.py. Drained with AvailableNow in one batch, the "
@@ -325,9 +368,9 @@ def q_interval_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_keys",
-    """
+    _stream_oracle("""
     SELECT DISTINCT user_id, event_type FROM events
-    """,
+    """),
     doc="Streaming deduplication: readStream -> watermark -> "
     "dropDuplicates on the dedup key, state-store backed — the "
     "streaming half of the X1 dedup family (a live ingest pipeline "
@@ -349,9 +392,9 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_within_watermark",
-    """
+    _stream_oracle("""
     SELECT DISTINCT user_id, event_type FROM events
-    """,
+    """),
     doc="Bounded-state streaming dedup (dropDuplicatesWithinWatermark, "
     "Spark 3.5+): unlike dropDuplicates — whose state grows with ALL "
     "keys ever seen — state here is evicted once the watermark passes a "
@@ -374,14 +417,14 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "stream_stream_join",
-    """
+    _stream_oracle("""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
            c.ts AS click_ts, p.ts AS purchase_ts
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
     JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
       ON c.user_id = p.user_id
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
+    """),
     doc="Stream-stream watermarked inner join: purchases within 30 "
     "minutes after a click by the same user, BOTH sides readStream. The "
     "time-range join condition plus the 1-hour watermarks is what lets "
@@ -420,7 +463,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_static_enrich",
-    f"""
+    _stream_oracle(f"""
     SELECT make_timestamp((floor(epoch(ts)/600)::BIGINT * 600) * 1000000) AS window_start,
            c_mktsegment AS segment,
            count(*) AS n,
@@ -428,7 +471,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events JOIN customer ON user_id = c_custkey
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
-    """,
+    """),
     doc="Stream-static join: the streaming events source enriched by the "
     "STATIC customer dimension (joined per micro-batch — no state, no "
     "watermark needed on the static side; at scale the dim broadcasts "
@@ -571,12 +614,13 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_gapfill",
     """
     WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
-                      date_trunc('hour', max(ts)) AS hi FROM events),
+                      date_trunc('hour', max(ts)) AS hi FROM events
+               WHERE ts > TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
     spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
               FROM b),
     c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                  SUM(CAST(value AS DECIMAL(12,2))) AS sv
-          FROM events GROUP BY 1)
+          FROM events WHERE ts > TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00' GROUP BY 1)
     SELECT spine.hour, COALESCE(c.n, 0) AS n,
            CAST(COALESCE(round(c.sv, 2), 0.0) AS DOUBLE) AS sum_value
     FROM spine LEFT JOIN c USING (hour)
@@ -591,7 +635,7 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows shuffle once.",
 )
 def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_sane(spark, sf_dir)
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -613,14 +657,15 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_interpolate",
     """
     WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
-                      date_trunc('hour', max(ts)) AS hi FROM events),
-    types AS (SELECT DISTINCT event_type FROM events),
+                      date_trunc('hour', max(ts)) AS hi FROM events
+               WHERE ts > TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+    types AS (SELECT DISTINCT event_type FROM events WHERE ts > TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
     spine AS (SELECT event_type,
                      unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
               FROM b, types),
     k AS (SELECT event_type, date_trunc('hour', ts) AS hour,
                  count(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sv
-          FROM events WHERE value > 150 GROUP BY 1, 2),
+          FROM events WHERE ts > TIMESTAMP '1970-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00' AND value > 150 GROUP BY 1, 2),
     g AS (SELECT s.event_type, s.hour, COALESCE(k.n, 0) AS n,
                  CAST(k.sv AS DOUBLE) / k.n AS ka
           FROM spine s LEFT JOIN k USING (event_type, hour)),
@@ -660,7 +705,7 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doubles.",
 )
 def q_events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+    e = _events_sane(spark, sf_dir)
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -684,10 +729,17 @@ def q_events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward look runs on a DESCENDING prefix frame, NOT
+    # [currentRow, unboundedFollowing]: Spark's unbounded-FOLLOWING
+    # frame recomputes its aggregate from scratch per row — O(n^2) per
+    # partition, found hanging on the extreme probe's 123k-hour spine
+    # (a few hundred hours hid it); last() over the reversed prefix is
+    # the same value in O(n), at the cost of one extra sort on the
+    # same exchange
     wf = (
         Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     known_hour = F.when(F.col("_ka").isNotNull(), F.col("hour"))
     w = g.select(
@@ -697,8 +749,8 @@ def q_events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_ka",
         F.last("_ka", ignorenulls=True).over(wb).alias("_pv"),
         F.last(known_hour, ignorenulls=True).over(wb).alias("_pt"),
-        F.first("_ka", ignorenulls=True).over(wf).alias("_nv"),
-        F.first(known_hour, ignorenulls=True).over(wf).alias("_nt"),
+        F.last("_ka", ignorenulls=True).over(wf).alias("_nv"),
+        F.last(known_hour, ignorenulls=True).over(wf).alias("_nt"),
     )
     frac = (
         (F.unix_timestamp("hour") - F.unix_timestamp("_pt")).cast("double")
@@ -788,7 +840,7 @@ from .registry_maintenance import CDC_SNAPSHOT_ORACLE  # noqa: E402
 
 @register(
     "stream_cdc_latest",
-    CDC_SNAPSHOT_ORACLE,
+    _stream_oracle(CDC_SNAPSHOT_ORACLE),
     doc="Streaming CDC apply-changes (streaming/stateful.py "
     "streaming_cdc_latest): the batch cdc_apply_changes semantics on "
     "the live runtime — per-key last-writer-wins state folded by max "
@@ -815,7 +867,7 @@ def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_upsert_sink_snapshot",
-    CDC_SNAPSHOT_ORACLE,
+    _stream_oracle(CDC_SNAPSHOT_ORACLE),
     doc="foreachBatch UPSERT sink (streaming/runner.py "
     "run_foreach_batch_upsert): the third runtime for the ONE CDC "
     "snapshot semantics - batch max_by (cdc_apply_changes), managed "
@@ -1213,7 +1265,7 @@ def q_events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding_counts",
-    _SLIDING_ORACLE,
+    _stream_oracle(_SLIDING_ORACLE),
     doc="STREAMING sliding windows (new r6): the batch "
     "events_sliding_avg semantics (10-minute window, 5-minute slide — "
     "every event in exactly 2 windows) on the live runtime: file "
@@ -2384,7 +2436,7 @@ def q_events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_left_outer_join",
-    """
+    _stream_oracle("""
     WITH c AS (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'click' AND ts IS NOT NULL),
     p AS (SELECT event_id, user_id, ts FROM events
@@ -2394,7 +2446,7 @@ def q_events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c LEFT JOIN p
       ON c.user_id = p.user_id
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
+    """),
     doc="Stream-stream LEFT OUTER join — the state-EVICTION semantics "
     "the inner join never exercises: an unmatched click is emitted "
     "(null-padded) only when the watermark passes its whole 30-minute "
@@ -3546,7 +3598,7 @@ def q_events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_dynamic_gap",
-    _DYN_SESSION_ORACLE,
+    _stream_oracle(_DYN_SESSION_ORACLE),
     doc="Streaming twin of events_session_dynamic_gap: the SAME "
     "dynamic-gap session_window aggregate run as a Structured "
     "Streaming query (file source -> watermark -> native stateful "

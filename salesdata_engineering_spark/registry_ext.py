@@ -2727,12 +2727,16 @@ def q_graph_triangle_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     """
-    SELECT doc_id AS media_id,
-           unnest(generate_series(0, greatest(n_chars - 1, 0), 250))
+    WITH med AS (
+        SELECT doc_id AS media_id, text,
+               least(greatest(n_chars, 0), 3600000) AS dur
+        FROM documents)
+    SELECT media_id,
+           unnest(generate_series(0, greatest(dur - 1, 0), 250))
                AS frame_ts_ms,
-           md5(unnest(generate_series(0, greatest(n_chars - 1, 0), 250))::VARCHAR
+           md5(unnest(generate_series(0, greatest(dur - 1, 0), 250))::VARCHAR
                || ':' || text) AS frame_digest
-    FROM documents
+    FROM med
     """,
     doc="Video frame-sampling plumbing (ext/multimodal.py "
     "frame_sample_plan): one row per sampled frame timestamp (every "
@@ -2756,7 +2760,14 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("video/mp4").alias("mime"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.col("n_chars").cast("int").alias("duration_ms"),
+            # duration-validity clamp (extreme probe axis, r12): a
+            # negative or absurd duration is corrupt metadata — the
+            # bare int cast overflowed under ANSI on a 2^40 stand-in
+            # duration, and an unclamped huge value would explode the
+            # per-frame/segment grid; [0, 1h] is the documented
+            # validity domain (1h per asset), mirrored in the oracle
+            F.least(F.greatest(F.col("n_chars"), F.lit(0)),
+                    F.lit(3_600_000)).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
     frames = frame_sample_plan(media, every_ms=250)
@@ -3153,19 +3164,23 @@ def q_sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_segments",
     """
-    WITH seg AS (
-        SELECT doc_id AS media_id, text, n_chars,
-               unnest(generate_series(0, greatest(n_chars - 1, 0), 500))
+    WITH med AS (
+        SELECT doc_id AS media_id, text,
+               least(greatest(n_chars, 0), 3600000) AS dur
+        FROM documents),
+    seg AS (
+        SELECT media_id, text, dur,
+               unnest(generate_series(0, greatest(dur - 1, 0), 500))
                    AS seg_start_ms
-        FROM documents)
+        FROM med)
     SELECT media_id,
            CAST(floor(seg_start_ms / 500.0) AS BIGINT) AS seg_idx,
            seg_start_ms,
-           least(seg_start_ms + 1000, n_chars) AS seg_end_ms,
-           (least(seg_start_ms + 1000, n_chars) - seg_start_ms) * 16
+           least(seg_start_ms + 1000, dur) AS seg_end_ms,
+           (least(seg_start_ms + 1000, dur) - seg_start_ms) * 16
                AS n_samples,
            md5(seg_start_ms::VARCHAR || '-'
-               || least(seg_start_ms + 1000, n_chars)::VARCHAR
+               || least(seg_start_ms + 1000, dur)::VARCHAR
                || ':' || text) AS segment_digest
     FROM seg
     """,
@@ -3189,7 +3204,14 @@ def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit("audio/wav").alias("mime"),
             F.lit(16000).alias("sample_rate"),
-            F.col("n_chars").cast("int").alias("duration_ms"),
+            # duration-validity clamp (extreme probe axis, r12): a
+            # negative or absurd duration is corrupt metadata — the
+            # bare int cast overflowed under ANSI on a 2^40 stand-in
+            # duration, and an unclamped huge value would explode the
+            # per-frame/segment grid; [0, 1h] is the documented
+            # validity domain (1h per asset), mirrored in the oracle
+            F.least(F.greatest(F.col("n_chars"), F.lit(0)),
+                    F.lit(3_600_000)).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
     segs = audio_segment_plan(media, window_ms=1000, hop_ms=500)

@@ -30,7 +30,7 @@ _REC_MONTH_SPINE = """
 WITH RECURSIVE b AS (
   SELECT date_trunc('month', min(o_orderdate)) AS lo,
          date_trunc('month', max(o_orderdate)) AS hi FROM orders),
-m(month) AS (
+m(month) MAX RECURSION LEVEL 600 AS (
   SELECT lo FROM b
   UNION ALL
   SELECT month + INTERVAL 1 MONTH FROM m, b WHERE month < b.hi)
@@ -61,10 +61,17 @@ GROUP BY 1
     "from the data's own [min, max] order months — zero-order months "
     "appear with n_orders = 0, the classic reporting gap-fill the "
     "engine elsewhere builds with explode(sequence(...)) "
-    "(events_hourly_gapfill). Recursion depth = month span (bounded, "
-    "driver-side iteration of a tiny 1-row-per-month frame); the fact "
-    "table is touched once by the final join. Identical SQL runs on "
-    "DuckDB modulo its DATE-returning date_trunc.",
+    "(events_hourly_gapfill). Recursion depth = month span, bounded "
+    "by an explicit MAX RECURSION LEVEL 600 (50 years) — a "
+    "PRECONDITION, not a tuning knob: Spark executes each level as a "
+    "separate UnionLoop iteration, so a dirty pre-epoch/far-future "
+    "date that widens the domain to millennia (extreme probe axis, "
+    "r12) would turn the spine into thousands of driver-paced jobs; "
+    "past the bound the engine raises RECURSION_LEVEL_LIMIT_EXCEEDED "
+    "loudly instead, and the scalable wide-domain gap-fill is the "
+    "explode(sequence()) form. The fact table is touched once by the "
+    "final join. Identical SQL runs on DuckDB modulo its "
+    "DATE-returning date_trunc and the level clause.",
 )
 def q_sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)

@@ -119,7 +119,30 @@ def read_events_stream(
         # watermarks demand TIMESTAMP (with local-tz semantics); the cast is
         # value-preserving because the session timezone is pinned to UTC above
         out = out.withColumn("ts", out["ts"].cast("timestamp"))
-    return out
+    # EVENT-TIME SANITY DOMAIN (extreme probe axis, r12): one corrupt
+    # far-future timestamp would advance every downstream watermark to
+    # its horizon and silently drop ALL valid events that arrive in
+    # later micro-batches — at 100 TB a single poisoned row in a
+    # billion kills the pipeline's output, invisibly. Out-of-domain
+    # event times (pre-epoch or >= 2100-01-01) are quarantined at the
+    # intake, mirrored by the same predicate in every streaming oracle.
+    # The left bound is EXCLUSIVE: epoch zero is the streaming
+    # runtime's INITIAL watermark value, so a row exactly at it is
+    # indistinguishable from late data (Spark's stream-stream join
+    # provably drops it — extreme sweep, 10 epoch-zero matches) — and
+    # an exactly-zero event time is the canonical zero-initialized
+    # sentinel of a corrupt producer besides. NULL ts rows pass
+    # through unchanged: each query's NULL-event-time semantics
+    # (class-10/12 conventions) are decided downstream, not here.
+    from pyspark.sql import functions as F
+
+    return out.filter(
+        F.col("ts").isNull()
+        | (
+            (F.col("ts") > F.lit("1970-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+        )
+    )
 
 
 def run_to_completion(

@@ -15,6 +15,7 @@ command instead of an ad-hoc /tmp script, so sweeps can be re-run
     python tools/make_variant.py unicode --src ... --dst ...   # multibyte tails on free text
     python tools/make_variant.py extreme --src ... --dst ...   # type-edge values on ~1/13 rows
     python tools/make_variant.py bigdoc  --src ... --dst ...   # multi-MB texts, 64KiB keys
+    python tools/make_variant.py dupnullmix / unicode1row / allnulloffset   # composite axes
 
 Then sweep with tools/check_all.py --sf-dir <dst>.
 
@@ -195,6 +196,19 @@ def _extreme_col(field: pa.Field, col, n: int, ci: int):
 
 
 def _variant(name: str, tbl: pa.Table) -> pa.Table:
+    # composite axes (VERDICT r11 item 4): every single axis found bugs
+    # the others could not; interactions are the named blind spot.
+    if name == "dupnullmix":
+        # dup2 FIRST, then the independent NULL mask over the doubled
+        # row space: the two copies of each key get DIFFERENT NULL
+        # patterns — duplicated keys whose copies differ only in NULL
+        # pattern, the case that stresses the class-9 "collapse exact
+        # duplicates" rule against the class-10/12 NULL conventions.
+        return _variant("nullmix", _variant("dup2", tbl))
+    if name == "unicode1row":
+        return _variant("unicode", _variant("onerow", tbl))
+    if name == "allnulloffset":
+        return _variant("offsetids", _variant("allnull", tbl))
     if name == "dup2":
         return pa.concat_tables([tbl, tbl])
     if name == "empty":
@@ -317,7 +331,8 @@ def main() -> int:
     ap.add_argument("variant",
                     choices=["dup2", "empty", "onerow", "allnull",
                              "offsetids", "nullmix", "unicode", "extreme",
-                             "bigdoc"])
+                             "bigdoc", "dupnullmix", "unicode1row",
+                             "allnulloffset"])
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", required=True)
     args = ap.parse_args()
