@@ -1668,8 +1668,13 @@ def q_stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_benford_first_digit",
     """
     WITH d AS (
-        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
-                    AS INT) AS digit
+        -- first SIGNIFICANT digit: sub-1 totals render as '0.xx', so
+        -- taking char 1 yields digit 0 and a 1/0 in the expectation
+        -- column (extreme probe axis, r12) — Benford is defined on the
+        -- leading nonzero digit
+        SELECT CAST(regexp_extract(
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   '[1-9]') AS INT) AS digit
         FROM orders WHERE o_totalprice > 0),
     c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
@@ -1691,8 +1696,10 @@ def q_stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
-    digit = F.substring(
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    # first SIGNIFICANT digit (see oracle comment): '0.01' must read
+    # as digit 1, not 0
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
     ).cast("int")
     c = (
         o.filter(F.col("o_totalprice") > 0)
@@ -3133,9 +3140,13 @@ def q_supplier_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inventory_clamped_balance",
     """
     WITH moves AS (
+        -- explicit floor before the int cast: DuckDB CASTs doubles to
+        -- ints by ROUNDING, Spark by TRUNCATION — identical on the
+        -- contract's integer-valued quantities, forked on fractional
+        -- extremes (extreme probe axis, r12)
         SELECT l_partkey AS part,
-               CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
-                    ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+               CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_quantity) AS BIGINT)
+                    ELSE -CAST(floor(l_quantity) AS BIGINT) END AS delta,
                l_shipdate, l_orderkey, l_linenumber
         FROM lineitem WHERE l_shipdate IS NOT NULL),
     s AS (
@@ -3187,9 +3198,10 @@ def q_inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves = li.select(
         F.col("l_partkey").alias("part"),
         F.when(
-            F.col("l_returnflag") == "R", F.col("l_quantity").cast("bigint")
+            F.col("l_returnflag") == "R",
+            F.floor(F.col("l_quantity")).cast("bigint"),
         )
-        .otherwise(-F.col("l_quantity").cast("bigint"))
+        .otherwise(-F.floor(F.col("l_quantity")).cast("bigint"))
         .alias("delta"),
         *order_cols,
     )

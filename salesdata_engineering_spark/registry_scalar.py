@@ -769,14 +769,18 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_functions",
     """
+    -- + 0.0 normalizes the SIGN OF ZERO: DuckDB's round keeps -0.0
+    -- for tiny negatives where Spark's returns +0.0 (extreme probe
+    -- axis, r12 — denormal-scale vector components); IEEE -0.0 + 0.0
+    -- = +0.0 in both engines
     SELECT vec_id,
            len(embedding) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 6) AS first_c,
-           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_c,
-           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_c,
+           round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS first_c,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) + 0.0 AS max_c,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) + 0.0 AS min_c,
            CASE WHEN list_contains(list_transform(embedding, x -> x > 0), true)
                 THEN 1 ELSE 0 END AS any_pos,
-           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) + 0.0 AS sorted_first,
            len(list_filter(embedding, x -> x > 0)) AS n_pos
     FROM embeddings
     """,
@@ -791,11 +795,12 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.round(emb.getItem(0), 6).alias("first_c"),
-        F.round(F.array_max(emb), 6).alias("max_c"),
-        F.round(F.array_min(emb), 6).alias("min_c"),
+        # + 0.0: sign-of-zero normalization, mirrored in the oracle
+        (F.round(emb.getItem(0), 6) + F.lit(0.0)).alias("first_c"),
+        (F.round(F.array_max(emb), 6) + F.lit(0.0)).alias("max_c"),
+        (F.round(F.array_min(emb), 6) + F.lit(0.0)).alias("min_c"),
         F.when(F.exists(emb, lambda x: x > 0), 1).otherwise(0).alias("any_pos"),
-        F.round(F.sort_array(emb).getItem(0), 6).alias("sorted_first"),
+        (F.round(F.sort_array(emb).getItem(0), 6) + F.lit(0.0)).alias("sorted_first"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
     )
 

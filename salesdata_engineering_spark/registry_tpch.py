@@ -58,15 +58,18 @@ from .registry_scalar import _drev as _rev
 
 # per-(supplier, part) minimum observed unit sell price — the partsupp
 # stand-in shared by Q2 and (in spirit) Q11/Q20's value tables
+#: zero-quantity lines have no unit price — excluded, or the derived
+#: cost is an ANSI divide-by-zero (extreme probe axis, r12); mirrored
+#: in _supply below.
 _SUPPLY_SQL = """
     SELECT l_suppkey AS ps_suppkey, l_partkey AS ps_partkey,
            MIN(round(l_extendedprice / l_quantity, 4)) AS ps_supplycost
-    FROM lineitem GROUP BY 1, 2
+    FROM lineitem WHERE l_quantity <> 0 GROUP BY 1, 2
 """
 
 
 def _supply(li: DataFrame) -> DataFrame:
-    return li.groupBy(
+    return li.filter(F.col("l_quantity") != 0).groupBy(
         F.col("l_suppkey").alias("ps_suppkey"), F.col("l_partkey").alias("ps_partkey")
     ).agg(
         F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias(
