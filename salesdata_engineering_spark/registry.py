@@ -433,13 +433,17 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(o_totalprice) OVER w AS o_totalprice_lag,
            lead(o_totalprice) OVER w AS o_totalprice_lead
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    -- measured column appended as final tie-break: dup-keyed rows
+    -- whose copies differ only in NULL pattern (dupnullmix probe,
+    -- r12) otherwise tie, and lag/lead become engine-ordered
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey,
+                 o_totalprice, o_orderstatus)
     """,
     doc="lag/lead analytics (engine extension, SURVEY §2.5 'absent' row).",
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
-    out = lag_lead(o, keys=["o_custkey"], order=asc_nulls_last("o_orderdate", "o_orderkey"), value="o_totalprice")
+    out = lag_lead(o, keys=["o_custkey"], order=asc_nulls_last("o_orderdate", "o_orderkey", "o_totalprice", "o_orderstatus"), value="o_totalprice")
     return out.select("o_custkey", "o_orderkey", "o_totalprice", "o_totalprice_lag", "o_totalprice_lead")
 
 

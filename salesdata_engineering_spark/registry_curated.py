@@ -171,24 +171,39 @@ def q_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus,
+               o_orderpriority
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
            COUNT(*) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus,
+               o_orderpriority
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus,
+               o_orderpriority
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
            lag(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_lag,
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus,
+               o_orderpriority) AS price_lag,
            lead(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_lead,
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus,
+               o_orderpriority) AS price_lead,
            COUNT(*) OVER (
                PARTITION BY o_orderpriority ORDER BY o_totalprice
                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_close_cheaper
     FROM orders
     """,
-    doc="§2.5 frame-family umbrella: 3-row moving sum, running sum "
+    doc="§2.5 frame-family umbrella — the per-customer order carries "
+    "EVERY non-key column as a tie-break (dupnullmix probe, r12): two "
+    "copies of a key differing only in the RANGE window's partition "
+    "column (priority) get genuinely different n_close_cheaper values, "
+    "and without a total order the customer-window values pair with "
+    "them engine-arbitrarily. 3-row moving sum, running sum "
     "(unbounded→current), lag/lead, and a value-based RANGE frame — one "
     "row per order, two window exchanges (per-customer sort shared by "
     "four functions; per-priority sort for the range frame). Constituent "
@@ -199,7 +214,8 @@ def q_stats_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_frames_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir)
     wc = Window.partitionBy("o_custkey").orderBy(
-        *asc_nulls_last("o_orderdate", "o_orderkey")
+        *asc_nulls_last("o_orderdate", "o_orderkey", "o_totalprice",
+                        "o_orderstatus", "o_orderpriority")
     )
     w3 = wc.rowsBetween(-2, Window.currentRow)
     wrun = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3150,21 +3166,25 @@ def q_supplier_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_shipdate, l_orderkey, l_linenumber
         FROM lineitem WHERE l_shipdate IS NOT NULL),
     s AS (
+        -- delta as final tie-break (dupnullmix r12): duplicate
+        -- (shipdate, orderkey, linenumber) copies differing only in
+        -- quantity/returnflag otherwise walk in engine order
         SELECT part, delta, l_shipdate, l_orderkey, l_linenumber,
                CAST(SUM(delta) OVER w AS BIGINT) AS cum
         FROM moves
         WINDOW w AS (PARTITION BY part
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, delta
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     b AS (
         SELECT part, cum,
                cum - least(0, MIN(cum) OVER w) AS balance,
                row_number() OVER (PARTITION BY part
                                   ORDER BY l_shipdate DESC, l_orderkey DESC,
-                                           l_linenumber DESC) AS rn_last
+                                           l_linenumber DESC, delta DESC)
+                   AS rn_last
         FROM s
         WINDOW w AS (PARTITION BY part
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, delta
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT part,
            count(*) AS n_moves,
@@ -3205,13 +3225,13 @@ def q_inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta"),
         *order_cols,
     )
-    w = Window.partitionBy("part").orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w = Window.partitionBy("part").orderBy(
+        *order_cols, F.col("delta").asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s = moves.withColumn("cum", F.sum("delta").over(w))
     balance = F.col("cum") - F.least(F.lit(0), F.min("cum").over(w))
     w_last = Window.partitionBy("part").orderBy(
-        *[F.col(c).desc() for c in order_cols]
+        *[F.col(c).desc() for c in order_cols], F.col("delta").desc()
     )
     b = s.select(
         "part",

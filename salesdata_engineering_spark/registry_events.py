@@ -887,8 +887,13 @@ def q_stream_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from .streaming.runner import run_foreach_batch_upsert
 
-    stream = read_events_stream(spark, sf_dir).select(
-        "user_id", "event_type", "value", "ts", "event_id"
+    # same last-writer pick order as the other two CDC paths (see
+    # CDC_SNAPSHOT_ORACLE): NULL-ts changes excluded, payload columns
+    # as final tie-breaks
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "value", "ts", "event_id")
     )
     # FIXED per-(query, sf_dir, PROCESS) paths, cleaned at the start of
     # each invocation: a driver/check loop re-running this query reuses
@@ -907,7 +912,8 @@ def q_stream_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     for d in (out_dir, f"{out_dir}.new", f"{out_dir}.old", ckpt):
         shutil.rmtree(d, ignore_errors=True)
     run_foreach_batch_upsert(
-        stream, out_dir, "user_id", ["ts", "event_id"], checkpoint=ckpt
+        stream, out_dir, "user_id",
+        ["ts", "event_id", "event_type", "value"], checkpoint=ckpt,
     )
     snap = spark.read.parquet(out_dir)
     return snap.filter(F.col("event_type") != "error").select(
@@ -1305,7 +1311,8 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk AS (SELECT *, row_number() OVER w AS rn,
                   count(*) OVER (PARTITION BY purchase_id) AS n
            FROM pr
-           WINDOW w AS (PARTITION BY purchase_id ORDER BY touch_ts, touch_id)),
+           WINDOW w AS (PARTITION BY purchase_id
+                        ORDER BY touch_ts, touch_id, mc)),
     sh AS (SELECT channel,
                   CASE WHEN n = 1 THEN mc
                        WHEN n = 2 AND rn = 1 THEN mc // 2
@@ -1347,7 +1354,11 @@ def q_events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = interval_join(
         touches, purch, ["user_id"], "touch_ts", "purchase_ts", "7 days"
     )
-    w = Window.partitionBy("purchase_id").orderBy("touch_ts", "touch_id")
+    # mc as final tie-break: duplicated purchases whose copies differ
+    # only in value otherwise tie (dupnullmix r12)
+    w = Window.partitionBy("purchase_id").orderBy(
+        "touch_ts", "touch_id", F.col("_mc").asc_nulls_last()
+    )
     wn = Window.partitionBy("purchase_id")
     rk = pairs.select(
         "channel",
@@ -2371,7 +2382,9 @@ def q_events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE ts IS NOT NULL),
     strs AS (
         SELECT user_id, count(*) AS n_events,
-               string_agg(s, '' ORDER BY ts, event_id) AS seq
+               -- s as final tie-break: duplicate (ts, event_id)
+               -- copies differing in event_type (dupnullmix r12)
+               string_agg(s, '' ORDER BY ts, event_id, s) AS seq
         FROM sym GROUP BY user_id),
     m AS (
         SELECT user_id, n_events,
@@ -3305,10 +3318,12 @@ def q_events_forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(value AS DECIMAL(12,2)) AS v,
                row_number() OVER (
                    PARTITION BY event_type, CAST(floor(epoch(ts)/3600) AS BIGINT)
-                   ORDER BY ts, event_id) AS rn_a,
+                   ORDER BY ts, event_id,
+                            CAST(value AS DECIMAL(12,2))) AS rn_a,
                row_number() OVER (
                    PARTITION BY event_type, CAST(floor(epoch(ts)/3600) AS BIGINT)
-                   ORDER BY ts DESC, event_id DESC) AS rn_d
+                   ORDER BY ts DESC, event_id DESC,
+                            CAST(value AS DECIMAL(12,2)) DESC) AS rn_d
         FROM events),
     bars AS (
         SELECT event_type, hr,
@@ -3346,9 +3361,14 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     hr = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr")
     seq = e.select("event_type", hr, _dec_val().alias("v"), "ts", "event_id")
-    wa = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    # v as final tie-break both directions (dupnullmix r12): duplicate
+    # (ts, event_id) copies differing only in value otherwise make
+    # open/close picks engine-arbitrary
+    wa = Window.partitionBy("event_type", "hr").orderBy(
+        "ts", "event_id", F.col("v").asc_nulls_last()
+    )
     wd = Window.partitionBy("event_type", "hr").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.col("ts").desc(), F.col("event_id").desc(), F.col("v").desc()
     )
     seq = seq.select(
         "event_type",
@@ -3392,7 +3412,8 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
                epoch_us(lead(ts) OVER (PARTITION BY event_type
-                                       ORDER BY ts, event_id))
+                                       ORDER BY ts, event_id,
+                                                CAST(value AS DECIMAL(12,2))))
                    - epoch_us(ts) AS dur_us
         FROM events),
     iv AS (SELECT * FROM seq WHERE dur_us IS NOT NULL)
@@ -3419,7 +3440,11 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # value tie-break (dupnullmix r12): duplicate (ts, event_id) copies
+    # differing only in value otherwise swap interval assignments
+    w = Window.partitionBy("event_type").orderBy(
+        "ts", "event_id", _dec_val().asc_nulls_last()
+    )
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     seq = e.select(
         "event_type",

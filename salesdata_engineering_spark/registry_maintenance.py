@@ -377,12 +377,21 @@ def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: below and the streaming twin (registry_events.py stream_cdc_latest) —
 #: "one semantics, two runtimes" holds only while both verify against
 #: the SAME oracle text.
+#: One last-writer pick order for all three CDC paths (batch max_by,
+#: streaming stateful fold, this oracle): (ts, event_id) extended by
+#: the PAYLOAD columns as final tie-breaks — duplicate change rows
+#: whose copies differ only in NULL pattern (dupnullmix probe, r12)
+#: otherwise tie and each engine picks its own survivor. DESC default
+#: NULLS LAST = NULL payloads lose to non-NULL, matching Spark's
+#: struct-max and the pandas fold. A NULL-ts change has no position
+#: in a change log (class-12 convention) — excluded in all paths.
 CDC_SNAPSHOT_ORACLE = """
     WITH ranked AS (
         SELECT user_id, event_type, value, ts,
                row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
+                                  ORDER BY ts DESC, event_id DESC,
+                                           event_type DESC, value DESC) AS rn
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, event_type AS last_op,
            CAST(value AS DOUBLE) AS last_value, ts AS last_ts
@@ -407,10 +416,15 @@ CDC_SNAPSHOT_ORACLE = """
     bench=True,
 )
 def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir)["events"]
+    # NULL-ts changes excluded; payload columns in the max key as the
+    # final tie-breaks (see CDC_SNAPSHOT_ORACLE comment) — Spark's
+    # struct comparison treats a NULL field as smallest, so NULL
+    # payloads lose the pick exactly like DESC NULLS LAST
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
     latest = e.groupBy("user_id").agg(
         F.max_by(
-            F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")
+            F.struct("event_type", "value", "ts"),
+            F.struct("ts", "event_id", "event_type", "value"),
         ).alias("_s")
     )
     return latest.filter(F.col("_s.event_type") != "error").select(

@@ -269,7 +269,7 @@ def q_stats_median_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            round(CAST(median(o_totalprice) OVER (
                PARTITION BY o_orderpriority
-               ORDER BY o_orderdate, o_orderkey
+               ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus
                ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
                AS rolling_med
     FROM orders
@@ -290,7 +290,7 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey"))
+        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey", "o_totalprice", "o_orderstatus"))
         .rowsBetween(-10, 0)
     )
     return o.select(
@@ -509,7 +509,7 @@ def q_scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            nth_value(o_totalprice, 2) OVER w AS second_price
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_orderdate, o_orderkey
+                 ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     doc="IGNORE NULLS window navigation (first_value / last_value with "
@@ -529,7 +529,7 @@ def q_window_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey"))
+        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey", "o_totalprice", "o_orderstatus"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     settled = F.expr("nullif(o_orderstatus, 'P')")

@@ -871,10 +871,12 @@ def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
            COUNT(*) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, o_totalprice, o_orderstatus
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame
     FROM orders
     """,
@@ -889,7 +891,7 @@ def q_window_moving_sum_3rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey"))
+        .orderBy(*asc_nulls_last("o_orderdate", "o_orderkey", "o_totalprice", "o_orderstatus"))
         .rowsBetween(-2, Window.currentRow)
     )
     dec = F.col("o_totalprice").cast("decimal(14,2)")

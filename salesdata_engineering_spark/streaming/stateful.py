@@ -155,21 +155,38 @@ def _update_latest(
 ) -> Iterator[pd.DataFrame]:
     """Fold this batch's change rows for one key into the persisted
     last-writer state: keep the row with the max (ts, event_id)."""
+    def _pick_key(t):
+        # total order matching the oracle's DESC NULLS LAST: a NULL
+        # payload loses to any non-NULL at the same (ts, seq)
+        return (t[0], t[1], t[2] is not None, t[2] or "",
+                t[3] is not None, 0.0 if t[3] is None else t[3])
+
     best = state.get if state.exists else None  # (ts_ns, seq, op, value)
     for pdf in pdfs:
+        # a NULL-ts change has no position in a change log — excluded
+        # in all three CDC paths (class-12 convention, dupnullmix r12)
+        pdf = pdf[pdf["ts"].notna()].reset_index(drop=True)
+        if len(pdf) == 0:
+            continue
         ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
         seq = pdf["event_id"].astype("int64")
+        # payload columns are the FINAL tie-breaks (duplicate change
+        # rows whose copies differ only in NULL pattern otherwise tie,
+        # and the stable sort would pick by arrival order);
+        # na_position='first' makes NULL payloads lose the max pick
         i = int(
-            pd.DataFrame({"a": ts_ns, "b": seq})
-            .sort_values(["a", "b"])
+            pd.DataFrame(
+                {"a": ts_ns, "b": seq,
+                 "c": pdf["event_type"].astype(object),
+                 "d": pdf["value"].astype("float64")}
+            )
+            .sort_values(["a", "b", "c", "d"], na_position="first")
             .index[-1]
         )
         # preserve SQL NULLs: str(None) would mint the STRING 'None'
         # and float(None) NaN, both of which defeat three-valued logic
         # downstream (the tombstone filter must drop NULL ops the same
-        # way the batch twin and the oracle do). NaT folds to int64
-        # min, which sorts NULLS-LAST under the DESC pick — matching
-        # both engines' default null ordering.
+        # way the batch twin and the oracle do).
         op_i, val_i = pdf["event_type"].iloc[i], pdf["value"].iloc[i]
         cand = (
             int(ts_ns.iloc[i]),
@@ -177,15 +194,19 @@ def _update_latest(
             None if pd.isna(op_i) else str(op_i),
             None if pd.isna(val_i) else float(val_i),
         )
-        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+        if best is None or _pick_key(cand) > _pick_key(best):
             best = cand
+    if best is None:
+        # every row in this batch was NULL-ts and no prior state: the
+        # key has no valid change yet — no state, no emission
+        return
     state.update(best)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "last_op": [best[2]],
             "last_value": [best[3]],
-            "last_ts": [pd.NaT if best[0] == pd.NaT.value else pd.Timestamp(best[0])],
+            "last_ts": [pd.Timestamp(best[0])],
             "last_seq": [best[1]],
         }
     )
