@@ -57,8 +57,40 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["documents"]
 
 
+def _docs_nn_uniq(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """Document-membership intake (composite dupnullmix convention,
+    r12, the documents twin of _embs_nn_uniq): a member is a DISTINCT
+    (doc_id, text[, extra...]) tuple with non-NULL text — duplicate
+    ingest rows collapse and a NULL text has no tokens/grams/language.
+    Mirrored by SELECT DISTINCT ... WHERE text IS NOT NULL in the
+    paired oracles; free on contract-valid data."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", *extra)
+        .distinct()
+    )
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["embeddings"]
+
+
+def _embs_nn_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-membership intake for the ANN/eval family (composite
+    dupnullmix convention, r12): a corpus member is a DISTINCT
+    (vec_id, embedding) pair with a non-NULL embedding — duplicate
+    ingest rows collapse (class 9) and NULL vectors are not members
+    (class 10/12); duplicate ids with DIFFERENT vectors remain honest
+    multi-member ids. Mirrored by SELECT DISTINCT ... WHERE embedding
+    IS NOT NULL in the paired oracles; free on contract-valid data
+    (unique ids, no NULLs)."""
+    return (
+        _embs(spark, sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .distinct()
+    )
 
 
 def _embs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +228,9 @@ _WINNOW_GRAMS = (
 @register(
     "text_winnow_fingerprint",
     f"""
-    WITH g AS (SELECT doc_id, {_WINNOW_GRAMS} AS grams FROM documents),
+    WITH g AS (SELECT doc_id, {_WINNOW_GRAMS} AS grams
+           FROM (SELECT DISTINCT doc_id, text FROM documents
+                WHERE text IS NOT NULL) documents),
     m AS (SELECT doc_id,
            list_sort(list_distinct(
                list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
@@ -211,7 +245,7 @@ _WINNOW_GRAMS = (
     "per row — no explode, no shuffle.",
 )
 def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return winnow_fingerprint(_docs(spark, sf_dir), k=8, w=4)
+    return winnow_fingerprint(_docs_nn_uniq(spark, sf_dir), k=8, w=4)
 
 
 @register(
@@ -485,7 +519,7 @@ _BUCKETS_SQL = (
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p),
+           FROM embeddings, p WHERE embedding IS NOT NULL),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
@@ -511,7 +545,7 @@ _BUCKETS_SQL = (
     "re-rank. Recall vs brute force measured in tests.",
 )
 def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn_uniq(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return lsh_ann_topk(
         corpus, _queries_subset(corpus), k=5, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
@@ -646,6 +680,14 @@ _SQL_STRIDE_NN = _SQL_STRIDE.replace(
     "FROM embeddings", "FROM embeddings WHERE embedding IS NOT NULL"
 )
 
+#: Stride over the DISTINCT-membership corpus (see _embs_nn_uniq) —
+#: paired with _embs_nn_uniq intakes only.
+_SQL_STRIDE_UNIQ = _SQL_STRIDE.replace(
+    "FROM embeddings",
+    "FROM (SELECT DISTINCT vec_id, embedding FROM embeddings"
+    " WHERE embedding IS NOT NULL)"
+)
+
 
 def _ivf_stride(corpus: DataFrame, n: int | None = None) -> int:
     """Centroid stride = max(round(sqrt(N)), ceil(N/_IVF_MAX_CELLS)) —
@@ -662,8 +704,9 @@ def _ivf_stride(corpus: DataFrame, n: int | None = None) -> int:
 @register(
     "sim_ivf_ann_topk",
     f"""
-    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE} = 0),
+    WITH c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE embedding IS NOT NULL),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_UNIQ} = 0),
     cells AS (
         SELECT vec_id, v, cid
         FROM (SELECT c0.vec_id, c0.v, cents.cid,
@@ -700,7 +743,7 @@ def _ivf_stride(corpus: DataFrame, n: int | None = None) -> int:
     "corpus vs brute-force's full scan.",
 )
 def q_sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn_uniq(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return ivf_ann_topk(
         corpus, _queries_subset(corpus), k=5, stride=_ivf_stride(corpus),
@@ -752,7 +795,13 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_curation_pipeline",
     f"""
-    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    WITH documents AS (
+        -- document-membership intake (dupnullmix r12): the whole
+        -- pipeline runs on DISTINCT non-NULL-text members, shadowing
+        -- the raw view for every stage below
+        SELECT DISTINCT doc_id, text, lang, source, n_chars
+        FROM main.documents WHERE text IS NOT NULL),
+    keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
     {_SQL_QUALITY_Q},
     curated AS (
         SELECT DISTINCT d.doc_id, d.source, d.n_chars, q.quality
@@ -779,7 +828,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import quality_expr
 
-    d = _docs(spark, sf_dir)
+    d = _docs_nn_uniq(spark, sf_dir, "lang", "source", "n_chars")
     keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
     # quality inline in the main projection: one scan of documents plus
     # the column-pruned dedup branch — not three scans and two joins.
@@ -1243,9 +1292,9 @@ def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
 @register(
     "sim_ivf_trained_topk",
     f"""
-    WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                WHERE embedding IS NOT NULL),
-    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_NN} = 0),
+    WITH c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE embedding IS NOT NULL),
+    cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_UNIQ} = 0),
     {_sql_lloyd_iter("cents0", "cents1", 1)},
     {_sql_lloyd_iter("cents1", "cents2", 2)},
     cells AS (
@@ -1289,7 +1338,7 @@ def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
 def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import ivf_train_centroids
 
-    emb = _embs_nn(spark, sf_dir)
+    emb = _embs_nn_uniq(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     stride = _ivf_stride(corpus)
     cents = ivf_train_centroids(corpus, stride=stride, iters=2)
@@ -1695,7 +1744,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p),
+           FROM embeddings, p WHERE embedding IS NOT NULL),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
@@ -1741,7 +1790,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asserted >= the OR-amplification bound in tests/test_ext.py.",
 )
 def q_sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn_uniq(spark, sf_dir)
     # the eval is keyed by vec_id: dedup input rows so a duplicated id
     # contributes one candidate, not rank-tied copies that would eat
     # top-5 slots (bug class 9); the evals run on samples, so the
@@ -3483,7 +3532,9 @@ def q_dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "text_lang_id_eval",
     f"""
-    WITH sp AS (SELECT doc_id, lang, {{SQL_TOKENS}} AS t FROM documents),
+    WITH sp AS (SELECT doc_id, lang, {{SQL_TOKENS}} AS t
+            FROM (SELECT DISTINCT doc_id, text, lang FROM documents
+                  WHERE text IS NOT NULL) documents),
     r AS (SELECT doc_id, lang,
            {{_LANG_RATIOS}}
     FROM sp),
@@ -3508,7 +3559,7 @@ def q_dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import lang_id
 
-    d = load_tables(spark, sf_dir)["documents"]
+    d = _docs_nn_uniq(spark, sf_dir, "lang")
     pred = lang_id(d).select("doc_id", "lang_pred")
     # confusion cells count DISTINCT docs: a duplicated doc_id would
     # otherwise be counted 4x through the self-join (bug class 9); the
@@ -4429,7 +4480,7 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p),
+           FROM embeddings, p WHERE embedding IS NOT NULL),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
@@ -4497,7 +4548,7 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "panel); the eval join itself is |Q| x k rows.",
 )
 def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn_uniq(spark, sf_dir)
     # dedup by row for the same bug-class-9 reason as sim_ann_recall_eval
     corpus = emb.withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -4667,7 +4718,10 @@ def q_sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      unnest(list_transform(embedding::DOUBLE[],
                                            (x, i) -> struct_pack(d := i, x := x)))
                          AS u
-              FROM embeddings)),
+              FROM (SELECT DISTINCT vec_id, embedding, label
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL
+                      AND label IS NOT NULL) embeddings)),
     cent AS (
         SELECT label AS cl, d, CAST(SUM(xm) AS BIGINT) AS s
         FROM comp GROUP BY label, d),
@@ -4728,7 +4782,17 @@ def q_sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by |L|^2.",
 )
 def q_sim_centroid_assignment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    # labeled membership intake (dupnullmix r12): DISTINCT
+    # (vec_id, embedding, label); a NULL label is not a sample of a
+    # LABELED eval (it would otherwise form a NULL-label centroid
+    # whose tie-breaks fork between engines)
+    emb = (
+        _embs(spark, sf_dir)
+        .filter(F.col("embedding").isNotNull()
+                & F.col("label").isNotNull())
+        .select("vec_id", "embedding", "label")
+        .distinct()
+    )
     comp = emb.select(
         "vec_id",
         "label",
@@ -5434,7 +5498,7 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p),
+           FROM embeddings, p WHERE embedding IS NOT NULL),
     cb AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
            FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     qb AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
@@ -5521,7 +5585,7 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|Q| x k rows.",
 )
 def q_sim_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embs(spark, sf_dir)
+    emb = _embs_nn_uniq(spark, sf_dir)
     # dedup by row for the same bug-class-9 reason as sim_ann_recall_eval
     corpus = emb.withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -5647,7 +5711,9 @@ def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_heaps_law_fit",
     f"""
     WITH toks AS (
-        SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+        SELECT doc_id, unnest({SQL_TOKENS}) AS term
+        FROM (SELECT DISTINCT doc_id, text FROM documents
+                WHERE text IS NOT NULL) documents),
     firsts AS (
         SELECT term, min(doc_id) AS fd FROM toks WHERE term <> ''
         GROUP BY term),
@@ -5657,7 +5723,8 @@ def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, COALESCE(nt, 0) AS nt, COALESCE(nv, 0) AS nv
         FROM (SELECT DISTINCT doc_id,
                      len(list_filter({SQL_TOKENS}, x -> x <> '')) AS nt
-              FROM documents) d LEFT JOIN newterms USING (doc_id)),
+              FROM (SELECT DISTINCT doc_id, text FROM documents
+                WHERE text IS NOT NULL) documents) d LEFT JOIN newterms USING (doc_id)),
     cum AS (
         SELECT doc_id,
                SUM(nt) OVER (ORDER BY doc_id) AS cumtok,
@@ -5705,7 +5772,7 @@ def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.sorts import global_cumsum_multi
 
-    d = _docs(spark, sf_dir)
+    d = _docs_nn_uniq(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
