@@ -131,10 +131,10 @@ def _splitmix(n: int, salt: int):
     nullmix mask and the extreme-value selector."""
     import numpy as np
 
-    h = np.arange(n, dtype=np.uint64) + np.uint64(salt) * np.uint64(
-        0x9E3779B97F4A7C15
-    )
     with np.errstate(over="ignore"):
+        h = np.arange(n, dtype=np.uint64) + np.uint64(salt) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
         h ^= h >> np.uint64(30)
         h *= np.uint64(0xBF58476D1CE4E5B9)
         h ^= h >> np.uint64(27)
