@@ -907,6 +907,12 @@ def _serve_rekeyed(
             ),
         )
         .drop("_dense_qid")
+        # one query per translated id: duplicate input query ROWS for
+        # the same original id collapse (on a duplicated corpus the
+        # member copies share the vector by membership construction) —
+        # without this, the duplicated rows double every ADC partial
+        # and duplicate the re-rank stream (dupnullmix probe, r12)
+        .dropDuplicates([query_id_col])
     )
     res = fn(
         corpus2.drop(orig),

@@ -2304,6 +2304,14 @@ _PQ_STEP_GAP = _PQ_STEP.replace(
                WHERE {_GAP_WHERE}),
     c0 AS (SELECT row_number() OVER (ORDER BY orig_id) - 1 AS vec_id, orig_id, v
            FROM g),
+    -- member queries dedup by ORIGINAL id and take their LOWEST dense
+    -- copy (the engine's documented auto_rekey semantics): on a
+    -- duplicated corpus each orig id queries once, self-excluding the
+    -- lowest copy (dupnullmix r12)
+    q0 AS (SELECT c0.vec_id, c0.orig_id, c0.v
+           FROM c0 JOIN (SELECT orig_id, min(vec_id) AS mv FROM c0
+                         WHERE orig_id < 10 GROUP BY orig_id) m
+             ON c0.vec_id = m.mv),
     cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_GAP} = 0),
     cells AS (
         SELECT vec_id, cid
@@ -2314,10 +2322,10 @@ _PQ_STEP_GAP = _PQ_STEP.replace(
     ),
     probes AS (
         SELECT query_id, cid
-        FROM (SELECT c0.vec_id AS query_id, cents.cid,
-                     {_SQL_ASSIGN.format(a="c0.v", b="cents.cv")} AS cs
-              FROM c0, cents WHERE c0.orig_id < 10
-              QUALIFY row_number() OVER (PARTITION BY c0.vec_id ORDER BY cs DESC, cid)
+        FROM (SELECT q0.vec_id AS query_id, cents.cid,
+                     {_SQL_ASSIGN.format(a="q0.v", b="cents.cv")} AS cs
+              FROM q0, cents
+              QUALIFY row_number() OVER (PARTITION BY q0.vec_id ORDER BY cs DESC, cid)
                       <= {_IVF_NPROBE})
     ),
     subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
@@ -2342,11 +2350,11 @@ _PQ_STEP_GAP = _PQ_STEP.replace(
     encc AS (SELECT enc.vec_id, cells.cid, enc.s, enc.code
              FROM enc JOIN cells ON enc.vec_id = cells.vec_id),
     dt AS (
-        SELECT c0.vec_id AS query_id, pqc.s, pqc.c,
+        SELECT q0.vec_id AS query_id, pqc.s, pqc.c,
                CAST(floor((pqc.cc - 2 * list_dot_product(
-                   c0.v[pqc.s*8 + 1 : pqc.s*8 + 8], pqc.cchunk))
+                   q0.v[pqc.s*8 + 1 : pqc.s*8 + 8], pqc.cchunk))
                    * 1e12 + 0.5) AS BIGINT) AS qd
-        FROM c0, pqc WHERE c0.orig_id < 10
+        FROM q0, pqc
     ),
     adc AS (
         SELECT dt.query_id, encc.vec_id, sum(dt.qd) AS dist
