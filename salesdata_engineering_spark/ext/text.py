@@ -266,20 +266,31 @@ def winnow_fingerprint(
     # would span cross-copy rows (bug class 9); per-row framing keeps
     # each copy's minima correct and the collect_set unions the
     # (identical) per-copy fingerprint sets. 1:1 with id on valid data.
-    grams = df.withColumn("_rid", F.monotonically_increasing_id()).select(
-        F.col(id_col).alias("id"),
-        "_rid",
-        F.posexplode(F.expr(f"sequence(1, greatest(length({text_col}) - {k - 1}, 1))")).alias(
-            "ord", "i"
-        ),
-        F.col(text_col).alias("_t"),
-    ).select(
-        "id",
-        "_rid",
-        "i",
-        F.conv(F.substring(F.md5(F.expr(f"substring(_t, i, {k})")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("g"),
+    # The gram ARRAY is built in one per-row transform and only the
+    # bigint hashes explode — never explode positions with the text
+    # still attached: that shape copies the WHOLE document into every
+    # position row (O(len²) bytes — a 256 KiB doc became 67 GB of
+    # duplicated string traffic; found hanging by the bigdoc probe
+    # axis, r12). One md5 per gram either way; the transform runs once
+    # per row, so the docstring's O(len²)-md5 trap (re-evaluating the
+    # array per WINDOW position) still doesn't apply.
+    grams = (
+        df.withColumn("_rid", F.monotonically_increasing_id())
+        .select(
+            F.col(id_col).alias("id"),
+            "_rid",
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+                f"i -> CAST(conv(substring(md5(substring({text_col}, i, {k})), 1, 15),"
+                " 16, 10) AS BIGINT))"
+            ).alias("_garr"),
+        )
+        .select(
+            "id",
+            "_rid",
+            F.posexplode("_garr").alias("_pos", "g"),
+        )
+        .select("id", "_rid", (F.col("_pos") + 1).alias("i"), "g")
     )
     win = Window.partitionBy("_rid").orderBy("i").rowsBetween(0, w - 1)
     n_win = Window.partitionBy("_rid")

@@ -229,8 +229,9 @@ _WINNOW_GRAMS = (
     "text_winnow_fingerprint",
     f"""
     WITH g AS (SELECT doc_id, {_WINNOW_GRAMS} AS grams
-           FROM (SELECT DISTINCT doc_id, text FROM documents
-                WHERE text IS NOT NULL) documents),
+           FROM (SELECT DISTINCT doc_id, substr(text, 1, 65536) AS text
+                 FROM documents
+                 WHERE text IS NOT NULL) documents),
     m AS (SELECT doc_id,
            list_sort(list_distinct(
                list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
@@ -245,7 +246,17 @@ _WINNOW_GRAMS = (
     "per row — no explode, no shuffle.",
 )
 def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return winnow_fingerprint(_docs_nn_uniq(spark, sf_dir), k=8, w=4)
+    # FINGERPRINT-PREFIX CAP (bigdoc probe axis, r12): winnowing runs
+    # one md5 per character position, so a multi-MB document is
+    # millions of hashes per row in BOTH engines — the fingerprint is
+    # computed over the first 64 KiB (a documented intake policy,
+    # identical in the oracle; a no-op on contract-sized documents).
+    # Oversized docs at 100 TB should be chunked upstream
+    # (doc_chunking / text_cdc_chunking) before near-dup analysis.
+    d = _docs_nn_uniq(spark, sf_dir).withColumn(
+        "text", F.substring("text", 1, 65536)
+    )
+    return winnow_fingerprint(d, k=8, w=4)
 
 
 @register(
@@ -6027,11 +6038,14 @@ def q_graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_cdc_chunking",
     f"""
     WITH b AS (
+        -- 64 KiB chunking-prefix cap, same policy as the winnowing
+        -- fingerprint (bigdoc probe axis, r12)
         SELECT doc_id, text, length(text) AS n,
                list_filter(generate_series(1, greatest(length(text) - 7, 1)),
                            i -> {sql_md5_long("substr(text, i, 8)")} % 64 = 0)
                    AS cuts
-        FROM documents),
+        FROM (SELECT doc_id, substr(text, 1, 65536) AS text
+              FROM documents) documents),
     spans AS (
         SELECT doc_id, text,
                list_prepend(1, list_transform(cuts, x -> x)) AS starts,
@@ -6074,7 +6088,12 @@ def q_graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate is the standard exact-dedup shape on 16-byte keys.",
 )
 def q_text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # 64 KiB chunking-prefix cap (bigdoc probe axis, r12): the rolling
+    # boundary hash is one md5 per character position — see the winnow
+    # fingerprint for the policy rationale; mirrored in the oracle
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.substring("text", 1, 65536)
+    )
     # substring with a dynamic start inside the lambda needs the
     # expr-form of the boundary predicate (same md5-substr spelling as
     # the winnowing grams)
