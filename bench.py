@@ -579,9 +579,13 @@ def main() -> None:
                 prev_calib = (
                     json.load(fh).get("env", {}).get("start", {}).get("calib_sec")
                 )
-            break
         except Exception:
             continue
+        # ADVICE r12: a record that parses but lacks env.start.calib_sec
+        # (e.g. a truncated scratch BENCH_DETAIL.json) must fall through
+        # to the committed BENCH_LOCAL.json, not break with None
+        if prev_calib is not None:
+            break
     base_calib = hl_detail["coload"].get("baseline_calib")
     hl_detail["coload"]["prev_round_calib"] = prev_calib
     hl_detail["coload"]["baseline_elevated"] = (

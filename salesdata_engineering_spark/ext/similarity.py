@@ -880,20 +880,53 @@ def _serve_rekeyed(
     from ..ops.sorts import rekey_dense
 
     orig = f"_orig_{id_col}"
+    from ..ops.sorts import global_row_number
+
     corpus2 = rekey_dense(
         corpus, id_col, orig_alias=orig,
         persist_key=f"rekey_dense:{getattr(fn, '__name__', 'ann')}",
     )
     mapping = corpus2.select(id_col, orig)
-    qids = queries.select(F.col(query_id_col).alias(orig)).distinct()
+    # one query per ORIGINAL query id, collapsed BEFORE id translation
+    # (ADVICE r12: collapsing after translation let duplicate NON-member
+    # rows — each holding a distinct negative id — all survive, serving
+    # k results per copy). Survivor selection is DETERMINISTIC: the
+    # vector with the smallest (xxhash64, bytes) wins, so duplicate
+    # query rows that carry DIFFERENT vectors (queries not drawn from
+    # the corpus) serve a reproducible one — one-vector-per-query-id is
+    # the documented contract here, not an arbitrary dropDuplicates
+    # survivor. Without the collapse, duplicated rows double every ADC
+    # partial and duplicate the re-rank stream (dupnullmix probe, r12).
+    quniq = (
+        queries.withColumnRenamed(query_id_col, "_q_orig")
+        .groupBy("_q_orig")
+        .agg(
+            F.min_by(
+                vec_col, F.struct(F.xxhash64(vec_col), F.col(vec_col))
+            ).alias(vec_col)
+        )
+    )
+    qids = quniq.select(F.col("_q_orig").alias(orig))
     memb = (
         mapping.join(F.broadcast(qids), orig)
         .groupBy(orig)
         .agg(F.min(id_col).alias("_dense_qid"))
     )
-    wq = Window.orderBy(F.col("_q_orig").asc_nulls_last())
+    # negative ids for non-member queries: two-pass range-partitioned
+    # numbering (ops/sorts.py global_row_number — the rekey substrate
+    # itself), NOT row_number() over an unpartitioned Window: that
+    # funnels the whole queries frame through ONE task, the exact
+    # single-partition-window shape the engine bans at 100 TB (ADVICE
+    # r12 / VERDICT r12 item 4). Negatives are distinct but need not be
+    # contiguous — exclusion semantics only require that they can never
+    # collide with a dense (0-based, non-negative) corpus id.
     q2 = (
-        queries.withColumnRenamed(query_id_col, "_q_orig")
+        global_row_number(
+            quniq,
+            ["_q_orig"],
+            alias="_q_rn",
+            persist_key=f"rekey_queries:{getattr(fn, '__name__', 'ann')}",
+        )
         .join(
             F.broadcast(memb.withColumnRenamed(orig, "_q_orig")),
             "_q_orig",
@@ -903,16 +936,10 @@ def _serve_rekeyed(
             query_id_col,
             F.coalesce(
                 F.col("_dense_qid").cast("long"),
-                (-F.row_number().over(wq)).cast("long"),
+                (-F.col("_q_rn")).cast("long"),
             ),
         )
-        .drop("_dense_qid")
-        # one query per translated id: duplicate input query ROWS for
-        # the same original id collapse (on a duplicated corpus the
-        # member copies share the vector by membership construction) —
-        # without this, the duplicated rows double every ADC partial
-        # and duplicate the re-rank stream (dupnullmix probe, r12)
-        .dropDuplicates([query_id_col])
+        .drop("_dense_qid", "_q_rn")
     )
     res = fn(
         corpus2.drop(orig),

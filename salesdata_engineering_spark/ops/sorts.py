@@ -232,13 +232,20 @@ def rekey_dense(
       ``_orig_<id_col>``) so results computed in the dense space can be
       mapped back — the frame IS its own old→new mapping.
     * The new ids keep the original column's integral dtype when it is
-      one, else BIGINT, so downstream schemas stay stable.
+      one, else BIGINT, so downstream schemas stay stable. When the
+      row count exceeds that narrow dtype's range (possible: the
+      function explicitly supports DUPLICATED ids, so N can exceed the
+      id domain), the cast would wrap silently under non-ANSI Spark —
+      minting duplicate "dense" ids, the exact corruption the dense-id
+      precondition exists to prevent (ADVICE r12). Overflowing rows
+      therefore raise loudly via a guarded ``raise_error`` instead.
     """
     from pyspark.sql import types as T
 
     order = list(order) if order is not None else [id_col]
     orig = orig_alias or f"_orig_{id_col}"
     dtype = df.schema[id_col].dataType
+    _DTYPE_MAX = {T.ByteType: 127, T.ShortType: 32767, T.IntegerType: 2147483647}
     if not isinstance(
         dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ):
@@ -246,8 +253,25 @@ def rekey_dense(
     numbered = global_row_number(
         df, order, alias="_rk_rn", n_parts=n_parts, persist_key=persist_key
     )
+    dense = F.col("_rk_rn") - 1
+    if type(dtype) in _DTYPE_MAX:
+        dense = F.when(
+            dense <= F.lit(_DTYPE_MAX[type(dtype)]),
+            dense.cast(dtype),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"rekey_dense: row count exceeds the range of the "
+                    f"original id dtype {dtype.simpleString()} — a cast "
+                    f"would wrap into duplicate 'dense' ids. Widen "
+                    f"'{id_col}' (e.g. .cast('long')) before rekeying."
+                )
+            )
+        )
+    else:
+        dense = dense.cast(dtype)
     return (
         numbered.withColumnRenamed(id_col, orig)
-        .withColumn(id_col, (F.col("_rk_rn") - 1).cast(dtype))
+        .withColumn(id_col, dense)
         .drop("_rk_rn")
     )

@@ -4142,14 +4142,17 @@ def q_returns_rate_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT a.p_type AS ptype, a.p_size AS psize,
                a.p_brand AS brand_a, b.p_brand AS brand_b,
-               a.price - b.price AS saving
+               a.price - b.price AS saving,
+               CAST((a.price - b.price) * 100 AS BIGINT) AS saving_cents
         FROM p a JOIN p b
           ON a.p_type = b.p_type AND a.p_size = b.p_size
          AND a.p_brand <> b.p_brand AND b.price < a.price)
     SELECT ptype, psize,
            count(*) AS n_candidates,
            CAST(max(saving) AS DOUBLE) AS max_saving,
-           round(CAST(SUM(saving) AS DOUBLE) / count(*), 6) AS avg_saving
+           round(CAST(CAST(floor(CAST(SUM(saving_cents) AS DOUBLE)
+                                 / count(*) * 10000 + 0.5) AS BIGINT)
+                      AS DOUBLE) / 1000000, 6) AS avg_saving
     FROM pairs GROUP BY 1, 2
     HAVING count(*) >= 3
     ORDER BY ptype, psize
@@ -4159,7 +4162,11 @@ def q_returns_rate_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     "procurement 'can we swap this SKU' screen, reported per class "
     "with candidate count and price savings (classes with <3 "
     "candidates suppressed as noise). Prices stay DECIMAL(12,2) so "
-    "savings are exact cents. Scale: the pair join is blocked by the "
+    "savings are exact cents; the mean saving quantizes to integer "
+    "micro-units (floor(cents/n*10^4+0.5), the "
+    "stats_poisson_bootstrap_ci recipe) because a bare round(x, 6) "
+    "on a ~1e9-magnitude double forks between engines at the 16th "
+    "digit (EXTREMESWEEP r12). Scale: the pair join is blocked by the "
     "(type, size) class key — the same sum-of-block-squares bound as "
     "the ER blocking join, never an all-pairs catalog scan; "
     "plan-assertable as a pure equi-join.",
@@ -4190,15 +4197,29 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.col("psize") == F.col("bsize"))
         & (F.col("brand_a") != F.col("brand_b"))
         & (F.col("price_b") < F.col("price_a")),
-    ).select("ptype", "psize", (F.col("price_a") - F.col("price_b")).alias("saving"))
+    ).select(
+        "ptype",
+        "psize",
+        (F.col("price_a") - F.col("price_b")).alias("saving"),
+        ((F.col("price_a") - F.col("price_b")) * 100)
+        .cast("bigint")
+        .alias("saving_cents"),
+    )
     return (
         pairs.groupBy("ptype", "psize")
         .agg(
             F.count("*").alias("n_candidates"),
             F.max("saving").cast("double").alias("max_saving"),
-            F.round(F.sum("saving").cast("double") / F.count("*"), 6).alias(
-                "avg_saving"
-            ),
+            F.round(
+                F.floor(
+                    F.sum("saving_cents").cast("double")
+                    / F.count("*")
+                    * 10000
+                    + 0.5
+                ).cast("double")
+                / 1000000,
+                6,
+            ).alias("avg_saving"),
         )
         .filter(F.col("n_candidates") >= 3)
         .orderBy("ptype", "psize")

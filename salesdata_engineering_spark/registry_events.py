@@ -3996,9 +3996,11 @@ def q_events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz AS (SELECT cw AS cohort_week, count(*) AS n_users
            FROM cohort GROUP BY cw)
     SELECT cell.cohort_week AS cohort_week, age_week, n_users,
-           round(CAST(SUM(cents) OVER (PARTITION BY cell.cohort_week
-                                       ORDER BY age_week) AS DOUBLE)
-                 / n_users / 100, 6) AS cum_ltv_per_user
+           round(CAST(CAST(floor(
+                     CAST(SUM(cents) OVER (PARTITION BY cell.cohort_week
+                                           ORDER BY age_week) AS DOUBLE)
+                     / n_users * 10000 + 0.5) AS BIGINT) AS DOUBLE)
+                 / 1000000, 6) AS cum_ltv_per_user
     FROM cell JOIN sz ON cell.cohort_week = sz.cohort_week
     ORDER BY cell.cohort_week, age_week
     """,
@@ -4008,7 +4010,12 @@ def q_events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle every growth team reads to see whether newer cohorts "
     "monetize faster. Week indexing is exact integer arithmetic on "
     "second differences; value rides as integer cents until the one "
-    "per-user division. Scale: one user-keyed aggregate for "
+    "per-user division, whose readout quantizes to integer "
+    "micro-units (floor(x*10^4+0.5) on the cents-per-user double — "
+    "the stats_poisson_bootstrap_ci recipe) so the 6-decimal readout "
+    "is a single IEEE division both engines perform identically; a "
+    "bare round(x/n/100, 6) forks at the 16th digit on extreme "
+    "magnitudes (EXTREMESWEEP r12). Scale: one user-keyed aggregate for "
     "cohorting, one (cohort, age) aggregate, and the running sum on "
     "the bounded cohort-age triangle (weeks x weeks, regardless of "
     "event volume).",
@@ -4047,7 +4054,13 @@ def q_events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "age_week",
             "n_users",
             F.round(
-                F.sum("cents").over(wc).cast("double") / F.col("n_users") / 100,
+                F.floor(
+                    F.sum("cents").over(wc).cast("double")
+                    / F.col("n_users")
+                    * 10000
+                    + 0.5
+                ).cast("double")
+                / 1000000,
                 6,
             ).alias("cum_ltv_per_user"),
         )

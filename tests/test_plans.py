@@ -977,3 +977,23 @@ def test_lorenz_deciles_two_pass_rank(spark, sf_dir):
     plan = plan_of(QUERIES["revenue_lorenz_deciles"].fn(spark, sf_dir))
     assert "Exchange rangepartitioning" in plan
     assert "ntile" not in plan.lower()
+
+
+def test_rekeyed_serve_no_single_task_window(spark, sf_dir):
+    """VERDICT r12 item 4: the rekeyed ANN serve path must contain NO
+    unpartitioned data-sized Window — negative-id assignment for
+    non-member queries goes through the two-pass global_row_number, not
+    row_number() OVER (ORDER BY ...). The only unpartitioned windows
+    allowed in the plan are global_row_number's offsets pass over the
+    tiny per-partition counts frame (ordered by _pid, n_parts rows)."""
+    df = QUERIES["sim_ivf_pq_rekeyed_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = spec.split(",")[0].strip()
+        # partitioned windows list partition columns BEFORE the first
+        # directed (ASC/DESC) order key; an unpartitioned window's first
+        # element is the order key itself
+        if (" ASC" in first or " DESC" in first) and "_pid" not in first:
+            raise AssertionError(
+                f"unpartitioned data-sized window in rekeyed serve: {spec}"
+            )

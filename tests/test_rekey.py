@@ -145,3 +145,51 @@ def test_negative_pair_sample_auto_rekey(spark, sf_dir):
     # deterministic: same pairs on a rerun
     out2 = negative_pair_sample(gapped, "vec_id", k=2, auto_rekey=True).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_rekey_dense_overflow_raises_not_wraps(spark):
+    """ADVICE r12: with DUPLICATED ids the row count can exceed the
+    original narrow dtype's range; the dense-id cast must raise loudly
+    instead of wrapping into duplicate 'dense' ids under non-ANSI."""
+    big = spark.range(300).select(
+        F.lit(1).cast("byte").alias("id"), F.col("id").alias("v")
+    )
+    out = rekey_dense(big, "id", order=["v"], persist_key="rekey_dense:ovf")
+    with pytest.raises(Exception, match="rekey_dense: row count exceeds"):
+        out.collect()
+    # within range the narrow dtype is kept and numbering is unchanged
+    small = spark.range(100).select(
+        F.lit(1).cast("byte").alias("id"), F.col("id").alias("v")
+    )
+    got = rekey_dense(small, "id", order=["v"], persist_key="rekey_dense:ovf2")
+    assert got.schema["id"].dataType.simpleString() == "tinyint"
+    assert sorted(r.id for r in got.collect()) == list(range(100))
+
+
+def test_auto_rekey_duplicate_nonmember_queries_collapse(spark, sf_dir):
+    """ADVICE r12 (medium): duplicate NON-member query rows used to each
+    receive a distinct negative id, so every copy served its own k-set —
+    duplicate (query_id, rk) output rows. They must collapse to ONE
+    deterministic k-set per original query id, equal to the single-copy
+    run."""
+    gapped = _gapped_corpus(spark, sf_dir)
+    n = gapped.count()
+    # vec_id % 7 == 3 rows are exactly the ones _gapped_corpus drops,
+    # so these queries are NON-members of the corpus id space
+    qbase = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .filter(F.col("embedding").isNotNull())
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") < 40))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    kw = dict(k=3, m_cand=10, n_codes=64, corpus_count=n)
+    tripled = pq_adc_topk(
+        gapped, qbase.union(qbase).union(qbase), auto_rekey=True, **kw
+    ).collect()
+    single = pq_adc_topk(gapped, qbase, auto_rekey=True, **kw).collect()
+    key = lambda r: (r.query_id, r.neighbor_id, r.rk, r.cosine_sim)  # noqa: E731
+    assert sorted(map(key, tripled)) == sorted(map(key, single))
+    # exactly one row per (query_id, rk)
+    seen = {(r.query_id, r.rk) for r in tripled}
+    assert len(seen) == len(tripled)
