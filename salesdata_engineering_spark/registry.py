@@ -611,19 +611,19 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     "distinct_pairs",
     "agg_grouping_variants",
-    # r11 rotation (VERDICT r10 item 6 — the window turns toward the
-    # r10-changed surfaces): the time-capped funnel (try_divide step
-    # conversion changed in the empty sweep) replaces the plain funnel
-    # (driver-green r1-r10)
-    "events_funnel_time_capped",
-    # graph rep rotated r9: triangle cliques (driver-suggested) replaces
-    # BFS levels (driver-green r7+r8, now in the tail; pagerank rotated r7)
-    "graph_triangle_cliques",
-    # joins (anti rep rotated to the tail r6; semi/q13 + a TPC-H rep
-    # cover the row). r10 rotation (VERDICT r9 item 4): q5 (6-table
-    # star, first driver check) replaces q3 (driver-green r5-r9)
+    # r13 rotation (VERDICT r12 item 9 — toward the r12-changed
+    # surfaces): the TWAP readout (total-order tie-breaks + the
+    # DECIMAL(38) numerator recipe, extreme/dupnullmix-changed)
+    # replaces the time-capped funnel (driver-green r11+r12, to the
+    # tail)
+    "events_twap_value",
+    # r13: business-day latency (the floor-div + pmod sign fork fix
+    # from the extreme axis) replaces triangle cliques (driver-green
+    # r9-r12, to the tail; graph_bfs_levels keeps the graph rep)
+    "orders_business_day_latency",
+    # joins (anti rep rotated to the tail r6; semi + a TPC-H rep cover
+    # the row). r13: q13 (driver-green r?-r12) to the tail
     "join_semi_customers_with_orders",
-    "q13_customer_order_distribution",
     "q5_local_supplier_volume",
     # sorts / top-k / windows (frames rep rotated r6, global top-k and
     # the analytics-suite umbrella rotated r7 — topk_suppliers keeps the
@@ -657,13 +657,11 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # sessionization is now represented by events_session_funnel)
     "events_tumbling_counts",
     "interval_join_click_error",
-    # streaming reps rotated r10 (VERDICT r9 item 4): the dynamic-gap
-    # sessionizer (applyInPandasWithState custom state, pytest-only
-    # until now) and sliding-window counts get first driver checks;
-    # stream_session_windows + stream_stream_left_outer_join (both
-    # driver-green r9, and the left-outer join now has a dedicated
-    # streaming_sf1 bench rung) move to the tail
-    "events_session_dynamic_gap",
+    # streaming reps rotated r10 (VERDICT r9 item 4); r13: the hourly
+    # gap-fill interpolation (sanity-domain intake + the descending-
+    # prefix frame rewrite, both extreme-axis changes) replaces the
+    # dynamic-gap sessionizer (driver-green r10-r12, to the tail)
+    "events_hourly_interpolate",
     "stream_sliding_counts",
     # events analytics reps, rotated r8 (VERDICT r7 #3): the r6 cohort
     # (session funnel, RFM, basket affinity — driver-green r6+r7) moves
@@ -691,6 +689,11 @@ CHECKED_WINDOW: tuple[str, ...] = (
     # nullmix sweep) replaces the point-in-time join built on its
     # output (driver-green r7-r11, to the tail)
     "scd2_customer_segments",
+    # r13: the nearest as-of join (the r12 struct-carry payload fix —
+    # a NULL payload of the matched row no longer inherits an older
+    # row's value — plus the O(n) descending-prefix frame rewrite)
+    # gets its first driver check since those changes
+    "asof_nearest_click_purchase",
     # stats second rep: KS two-sample (r7 surface) alongside Welch
     "stats_ks_two_sample",
     # r12: the trimmed mean (rank statistic riding the NULL-is-not-a-
@@ -705,6 +708,10 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "text_profile",
     "text_pii_scrub",
     "text_repetition_score",
+    # r13: the winnowing fingerprint returns (the r12 bigdoc O(len²)
+    # explode fix + the 64 KiB prefix cap mirrored in its oracle —
+    # driver-unchecked since those changes; green r5-r7 in its old form)
+    "text_winnow_fingerprint",
     "pack_training_sequences",
     "dedup_exact",
     "dedup_cluster_components",
@@ -739,10 +746,9 @@ CHECKED_WINDOW: tuple[str, ...] = (
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",
-    # sampling second rep rotated r10: temperature-mixture epoch
-    # assembly (first driver check) replaces stratified k-fold (green
-    # r9; the fold machinery stays pytest-oracle-checked in the tail)
-    "sample_mixture_epochs",
+    # sampling second rep rotated r10 (mixture epochs, green r10-r12,
+    # to the tail r13 — the five r13 in-rotations are the r12-changed
+    # surfaces named by VERDICT r12 item 9)
     "corpus_curation_pipeline",
 )
 

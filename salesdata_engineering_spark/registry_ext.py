@@ -57,19 +57,61 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["documents"]
 
 
+#: per-(sf_dir, table) memo of the membership uniqueness probe — the
+#: probe is one narrow aggregate per TABLE per process, not one per
+#: query (the ANN/eval/curation family alone registers ~40 queries over
+#: the same two tables). Keyed by directory: a variant sweep pointing at
+#: a different --sf-dir probes its own data; files changing UNDER a dir
+#: mid-process would stale this (no sweep does).
+_UNIQ_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _is_member_unique(
+    df: DataFrame, cols: list[str], cache_key: tuple[str, str]
+) -> bool:
+    """True when ``cols`` tuples are already duplicate-free, proven by
+    ONE aggregate whose exchange carries an 8-byte xxhash64 per row —
+    never the embedding arrays / document texts themselves (VERDICT r12
+    item 3: the unconditional ``.distinct()`` shuffled the full corpus
+    payload on every query even on contract-valid data).
+
+    Soundness: rows that ``distinct()`` would collapse (equal tuples,
+    NULLs compare equal) always hash equal, so
+    ``count_distinct(hash) == count(*)`` PROVES no duplicates; a hash
+    collision between genuinely different rows only under-counts, which
+    routes to the slow path (a true value-level ``distinct()``) — a
+    collision can cost time, never correctness."""
+    hit = _UNIQ_CACHE.get(cache_key)
+    if hit is None:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.xxhash64(*cols)).alias("d"),
+        ).first()
+        hit = bool(row.n == row.d)
+        _UNIQ_CACHE[cache_key] = hit
+    return hit
+
+
 def _docs_nn_uniq(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
     """Document-membership intake (composite dupnullmix convention,
     r12, the documents twin of _embs_nn_uniq): a member is a DISTINCT
     (doc_id, text[, extra...]) tuple with non-NULL text — duplicate
     ingest rows collapse and a NULL text has no tokens/grams/language.
     Mirrored by SELECT DISTINCT ... WHERE text IS NOT NULL in the
-    paired oracles; free on contract-valid data."""
-    return (
-        _docs(spark, sf_dir)
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", "text", *extra)
-        .distinct()
-    )
+    paired oracles. On contract-valid data (no duplicate (doc_id, text)
+    rows) the hash-probe proves uniqueness once per table and the
+    collapse is SKIPPED — no payload shuffle at all; uniqueness of
+    (doc_id, text) implies uniqueness of any (doc_id, text, extra...)
+    superset, so one probe covers every extras combination."""
+    base = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sel = base.select("doc_id", "text", *extra)
+    if _is_member_unique(
+        base.select("doc_id", "text"),
+        ["doc_id", "text"],
+        (sf_dir, "documents"),
+    ):
+        return sel
+    return sel.distinct()
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,14 +125,20 @@ def _embs_nn_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest rows collapse (class 9) and NULL vectors are not members
     (class 10/12); duplicate ids with DIFFERENT vectors remain honest
     multi-member ids. Mirrored by SELECT DISTINCT ... WHERE embedding
-    IS NOT NULL in the paired oracles; free on contract-valid data
-    (unique ids, no NULLs)."""
-    return (
+    IS NOT NULL in the paired oracles. On contract-valid data (unique
+    ids, no NULLs) the hash-probe proves uniqueness once per table and
+    the collapse is SKIPPED — the vector payloads are never shuffled
+    (VERDICT r12 item 3)."""
+    base = (
         _embs(spark, sf_dir)
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
-        .distinct()
     )
+    if _is_member_unique(
+        base, ["vec_id", "embedding"], (sf_dir, "embeddings")
+    ):
+        return base
+    return base.distinct()
 
 
 def _embs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:

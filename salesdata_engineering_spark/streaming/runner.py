@@ -149,20 +149,27 @@ def run_to_completion(
     stream_df: DataFrame,
     output_mode: str = "complete",
     name: str | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Drain a bounded stream (Trigger.AvailableNow) into a memory sink
     and return the sink table as a batch DataFrame.
 
     The memory sink is driver-local — test/driver harness use only; real
     deployments writeStream to parquet/Kafka with a durable checkpoint
-    (see ``write_stream_parquet``)."""
+    (see ``write_stream_parquet``). Pass ``checkpoint`` to PIN the
+    checkpoint dir across calls (restart/resume tests — the second drain
+    picks up state and the processed-file index from the first); the
+    default is a fresh temp dir per call."""
     name = name or f"sink_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+        )
         .start()
     )
     q.awaitTermination()
@@ -195,13 +202,19 @@ def foreach_batch_pipeline(
     batch_fn: Callable[[DataFrame, int], None],
     checkpoint: str,
     available_now: bool = True,
+    output_mode: str | None = None,
 ):
     """foreachBatch: reuse a BATCH transform/writer per micro-batch —
     how the reference's mart writers (parquet + JDBC) slot into a
-    streaming pipeline without a streaming-capable sink."""
+    streaming pipeline without a streaming-capable sink. Pass
+    ``output_mode="update"`` when the plan holds an update-mode stateful
+    operator (foreachBatch is also the recovery-capable sink for
+    restart tests — the memory sink cannot resume a checkpoint)."""
     w = stream_df.writeStream.foreachBatch(batch_fn).option(
         "checkpointLocation", checkpoint
     )
+    if output_mode:
+        w = w.outputMode(output_mode)
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()

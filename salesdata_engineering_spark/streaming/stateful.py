@@ -22,6 +22,7 @@ applyInPandasWithState contract, identical on local[32] and a
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,14 +30,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
-# STATE-SCHEMA COMPATIBILITY (ADVICE r11): this grew from (n, total)
-# to (n, nvals, total) in round 11 — a restart from a checkpoint
-# written before that change would misparse the old 2-field state.
-# Spark's applyInPandasWithState does not version state for you: any
-# change here is a BREAKING change for long-lived checkpoints — wipe
-# the checkpoint dir (fresh bench/test runs always do) or ship an
-# explicit migration that reads old-state rows under the old schema.
-STATE_SCHEMA = "n bigint, nvals bigint, total double"
+
+# STATE-SCHEMA VERSIONING (VERDICT r12 item 8; history: the flat tuple
+# grew from (n, total) to (n, nvals, total) in round 11, a silently
+# BREAKING change for long-lived checkpoints — ADVICE r11). Spark pins
+# the exact state STRUCT schema in the checkpoint
+# (StateSchemaCompatibilityChecker): ANY arity/type change to a flat
+# tuple layout is rejected on restart, so versioning cannot live in the
+# struct itself. The struct schema is therefore FROZEN as
+# (v bigint, payload binary) and the layout inside the payload is what
+# versions: a future layout change bumps the operator's _*_VERSION,
+# packs the new field list, and adds ONE upgrader entry to its
+# migrations dict — a restart from an older checkpoint then upgrades
+# each key's state lazily on first touch, no wipe, no offline rewrite.
+# The jump from the r11/r12 flat-tuple layout TO this blob layout is
+# itself the last breaking change (same struct-schema pinning): wipe
+# the checkpoint or drain-and-reseed once.
+STATE_SCHEMA = "v bigint, payload binary"
+_TOTALS_VERSION = 2
+#: one-step upgraders: v -> (fields at v) -> (fields at v+1). Empty
+#: today; the restart test exercises the machinery with a synthetic
+#: v3 layout (tests/test_streaming.py).
+_TOTALS_MIGRATIONS: dict[int, object] = {}
+
+
+def _pack(*fields) -> bytes:
+    """Versioned-state payload codec: JSON field list. Exact for the
+    layouts used here — ints are arbitrary precision and json round-trips
+    finite floats via repr (shortest-roundtrip)."""
+    return json.dumps(list(fields)).encode()
+
+
+def _load_versioned(state: GroupState, migrations: dict, version: int):
+    """Current-layout field list from a (v, payload) state row, applying
+    one-step upgraders for state written by older code; None when no
+    state exists."""
+    if not state.exists:
+        return None
+    v, payload = state.get
+    fields = json.loads(bytes(payload).decode())
+    while v < version:
+        fields = migrations[v](fields)
+        v += 1
+    if v != version:
+        raise ValueError(
+            f"state written by NEWER code (v={v} > supported {version}); "
+            "refusing to misparse — upgrade the job, not the checkpoint"
+        )
+    return fields
 
 
 def _update_totals(
@@ -47,7 +88,8 @@ def _update_totals(
     Never materializes the group — pdfs is an iterator of Arrow batches;
     only two scalars live in state.
     """
-    n, nvals, total = state.get if state.exists else (0, 0, 0.0)
+    fields = _load_versioned(state, _TOTALS_MIGRATIONS, _TOTALS_VERSION)
+    n, nvals, total = fields if fields is not None else (0, 0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         # SQL SUM semantics: NULL values contribute nothing, and a sum
@@ -55,7 +97,7 @@ def _update_totals(
         # carries "seen any" across micro-batches (all-NULL probe axis)
         nvals += int(pdf["value"].notna().sum())
         total += float(pdf["value"].sum())
-    state.update((n, nvals, total))
+    state.update((_TOTALS_VERSION, _pack(n, nvals, total)))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -106,14 +148,20 @@ class _RunningTotalsProcessor:
         self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        n, nvals, total = (
-            self._totals.get() if self._totals.exists() else (0, 0, 0.0)
-        )
+        if self._totals.exists():
+            v, payload = self._totals.get()
+            fields = json.loads(bytes(payload).decode())
+            while v < _TOTALS_VERSION:
+                fields = _TOTALS_MIGRATIONS[v](fields)
+                v += 1
+            n, nvals, total = fields
+        else:
+            n, nvals, total = 0, 0, 0.0
         for pdf in rows:
             n += len(pdf)
             nvals += int(pdf["value"].notna().sum())
             total += float(pdf["value"].sum())
-        self._totals.update((n, nvals, total))
+        self._totals.update((_TOTALS_VERSION, _pack(n, nvals, total)))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -147,7 +195,11 @@ CDC_OUT_SCHEMA = (
     "user_id bigint, last_op string, last_value double, "
     "last_ts timestamp, last_seq bigint"
 )
-CDC_STATE_SCHEMA = "ts_ns bigint, seq bigint, op string, value double"
+# same frozen (v, payload) struct as STATE_SCHEMA — see the versioning
+# note at the top; payload layout v2 = [ts_ns, seq, op, value]
+CDC_STATE_SCHEMA = "v bigint, payload binary"
+_CDC_VERSION = 2
+_CDC_MIGRATIONS: dict[int, object] = {}
 
 
 def _update_latest(
@@ -161,7 +213,8 @@ def _update_latest(
         return (t[0], t[1], t[2] is not None, t[2] or "",
                 t[3] is not None, 0.0 if t[3] is None else t[3])
 
-    best = state.get if state.exists else None  # (ts_ns, seq, op, value)
+    loaded = _load_versioned(state, _CDC_MIGRATIONS, _CDC_VERSION)
+    best = tuple(loaded) if loaded is not None else None  # (ts_ns, seq, op, value)
     for pdf in pdfs:
         # a NULL-ts change has no position in a change log — excluded
         # in all three CDC paths (class-12 convention, dupnullmix r12)
@@ -200,7 +253,7 @@ def _update_latest(
         # every row in this batch was NULL-ts and no prior state: the
         # key has no valid change yet — no state, no emission
         return
-    state.update(best)
+    state.update((_CDC_VERSION, _pack(*best)))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

@@ -19,15 +19,17 @@ REQUIRED_IN_WINDOW = {
     "distinct_pairs",
     # grouping variants + stats + pivot
     "agg_grouping_variants",
-    # r11: time-capped funnel (try_divide changed r10) replaces the
-    # plain funnel (driver-green r1-r10, in the tail)
-    "events_funnel_time_capped",
-    # graph rep since r9: triangle cliques (BFS green r7-r8, in the tail)
-    "graph_triangle_cliques",
+    # r13: TWAP (total-order tie-breaks + DECIMAL(38) numerator,
+    # extreme/dupnullmix-changed) replaces the time-capped funnel
+    # (driver-green r11+r12, in the tail)
+    "events_twap_value",
+    # r13: business-day latency (extreme-axis floor-div/pmod sign fix)
+    # replaces triangle cliques (green r9-r12); graph_bfs_levels keeps
+    # the graph rep
+    "orders_business_day_latency",
     # join family (full-outer + anti reps live in the tail since r6;
-    # semi/left/q13/q3 cover the §2 row inside the window)
+    # semi/q3 cover the §2 row inside the window; q13 to the tail r13)
     "join_semi_customers_with_orders",
-    "q13_customer_order_distribution",
     # r10: q5 (6-table star) replaces q3 (green r5-r9, in the tail)
     "q5_local_supplier_volume",
     # sorts / topk / windows (frames rep in the tail since r6; global
@@ -63,10 +65,13 @@ REQUIRED_IN_WINDOW = {
     "interval_join_click_error",
     # r12: null-safe SCD2 maintenance replaces the PIT join built on it
     "scd2_customer_segments",
-    # r10: dynamic-gap sessionizer + sliding counts get first checks
-    # (session_windows / stream-stream left-outer green r9, in the tail;
-    # the left-outer join also gained a streaming_sf1 bench rung)
-    "events_session_dynamic_gap",
+    # r13: nearest as-of join (r12 struct-carry payload fix + O(n)
+    # frame rewrite) gets its first post-change driver check
+    "asof_nearest_click_purchase",
+    # r13: hourly gap-fill interpolation (sanity-domain intake +
+    # descending-prefix frame rewrite) replaces the dynamic-gap
+    # sessionizer (green r10-r12, in the tail)
+    "events_hourly_interpolate",
     "stream_sliding_counts",
     # r12: CUSUM changepoint (flaky NULL-hour oracle fixed in the
     # nullmix sweep) + BFS levels return; DAU/MAU + Shapley (green
@@ -87,6 +92,9 @@ REQUIRED_IN_WINDOW = {
     "text_profile",
     "text_pii_scrub",
     "text_repetition_score",
+    # r13: winnowing fingerprint returns (r12 bigdoc O(len^2) explode
+    # fix + 64 KiB prefix cap, driver-unchecked since)
+    "text_winnow_fingerprint",
     "pack_training_sequences",
     "dedup_exact",
     "dedup_cluster_components",
@@ -106,8 +114,6 @@ REQUIRED_IN_WINDOW = {
     "sim_ivf_pq_index_serve",
     "multimodal_featurize",
     "sample_deterministic",
-    # r10: temperature-mixture epochs replace stratified k-fold (green r9)
-    "sample_mixture_epochs",
     "corpus_curation_pipeline",
 }
 

@@ -385,3 +385,94 @@ def test_foreach_batch_upsert_merges_across_batches(spark, tmp_path):
     run_foreach_batch_upsert(stream, out, "user_id", ["ts", "event_id"])
     snap = {r.user_id: (r.value, r.event_id) for r in spark.read.parquet(out).collect()}
     assert snap == {1: (5.0, 10), 2: (7.0, 12)}
+
+
+def test_stateful_totals_restart_from_old_checkpoint_migrates(spark, tmp_path):
+    """State-schema versioning (VERDICT r12 item 8): the state struct is
+    frozen as (v, payload) so a LAYOUT change is additive — a restart
+    from a checkpoint written by older code upgrades each key's state
+    lazily via the migrations dict instead of misparsing or requiring a
+    wipe. Simulated here end-to-end: drain batch_0 under the current v2
+    layout, then restart the SAME checkpoint with a 'future' v3 operator
+    (adds a max_value field) whose 2->3 upgrader backfills the new
+    field; user 1's v3 accumulation must include the v2-era state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from salesdata_engineering_spark.streaming import stateful as st
+    from salesdata_engineering_spark.streaming.runner import foreach_batch_pipeline
+
+    root = str(tmp_path)
+    ckpt = f"{root}/ckpt"
+    sink_dir = f"{root}/sink"
+
+    # memory sink cannot resume a checkpoint — drain via foreachBatch
+    # (recovery-capable) into an append-parquet sink per run
+    def _drain(stream, run_dir):
+        def sink(df, _epoch):
+            df.write.mode("append").parquet(run_dir)
+
+        foreach_batch_pipeline(
+            stream, sink, checkpoint=ckpt, output_mode="update"
+        ).awaitTermination()
+        return spark.read.parquet(run_dir).collect()
+
+    _write_file(spark, [(1, _ts(10), 1, 2.0), (2, _ts(10, 5), 1, 3.0)], f"{root}/batch_0")
+    out0 = _drain(
+        st.running_user_totals(_read_stream(spark, root)), f"{sink_dir}/run0"
+    )
+    assert [(r.n_events, r.total_value) for r in out0 if r.user_id == 1] == [(2, 5.0)]
+
+    migrations = {2: lambda f: f + [float("-inf")]}  # v3 adds max_value
+
+    def fold_v3(key, pdfs, state):
+        fields = st._load_versioned(state, migrations, 3)
+        n, nvals, total, vmax = fields if fields is not None else (0, 0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            nvals += int(pdf["value"].notna().sum())
+            total += float(pdf["value"].sum())
+            if pdf["value"].notna().any():
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((3, st._pack(n, nvals, total, vmax)))
+        # same OUT_SCHEMA: the checkpoint pins the sink/operator shape
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total if nvals else None],
+            }
+        )
+
+    _write_file(spark, [(3, _ts(11), 1, 5.0), (4, _ts(11), 2, 7.0)], f"{root}/batch_1")
+    out1 = _drain(
+        _read_stream(spark, root)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold_v3,
+            outputStructType=st.OUT_SCHEMA,
+            stateStructType=st.STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ),
+        f"{sink_dir}/run1",
+    )
+    # second drain processes ONLY batch_1; user 1 folds on top of v2 state
+    u1 = [(r.n_events, r.total_value) for r in out1 if r.user_id == 1]
+    assert u1 == [(3, 10.0)]
+    u2 = [(r.n_events, r.total_value) for r in out1 if r.user_id == 2]
+    assert u2 == [(1, 7.0)]
+
+
+def test_load_versioned_refuses_newer_state(spark, tmp_path):
+    """State written by NEWER code must raise, not misparse."""
+    import pytest as _pytest
+
+    from salesdata_engineering_spark.streaming import stateful as st
+
+    class _FakeState:
+        exists = True
+        get = (99, st._pack(1, 1, 1.0))
+
+    with _pytest.raises(ValueError, match="NEWER code"):
+        st._load_versioned(_FakeState(), {}, st._TOTALS_VERSION)

@@ -15,6 +15,7 @@ command instead of an ad-hoc /tmp script, so sweeps can be re-run
     python tools/make_variant.py unicode --src ... --dst ...   # multibyte tails on free text
     python tools/make_variant.py extreme --src ... --dst ...   # type-edge values on ~1/13 rows
     python tools/make_variant.py bigdoc  --src ... --dst ...   # multi-MB texts, 64KiB keys
+    python tools/make_variant.py skew    --src ... --dst ...   # one key owns ~50% of rows
     python tools/make_variant.py dupnullmix / unicode1row / allnulloffset   # composite axes
 
 Then sweep with tools/check_all.py --sf-dir <dst>.
@@ -313,6 +314,61 @@ def _variant(name: str, tbl: pa.Table) -> pa.Table:
                 continue
             cols.append(_extreme_col(field, col, n, ci))
         return pa.table(cols, schema=tbl.schema)
+    if name == "skew":
+        # DISTRIBUTION probe (VERDICT r12 item 5): one heavy-hitter key
+        # owns ~50% of rows — the first axis that tests the salted
+        # join/agg recipes, per-user windows, LSH/IVF bucket sizing,
+        # and AQE skew handling on actually-skewed data instead of the
+        # uniform generator output. The heavy value is row-sourced (the
+        # first non-NULL value of the column), so FKs keep routing:
+        #   o_custkey  -> one customer owns half the orders
+        #   l_suppkey  -> one supplier ships half the lineitems
+        #   user_id    -> one user emits half the events (per-user
+        #                 windows get one giant partition)
+        #   embedding  -> half the corpus is ONE vector (one IVF/LSH
+        #                 cell holds half the index; near-dup heavy —
+        #                 the web-crawl shape)
+        #   text       -> half the documents are ONE text (dedup
+        #                 cluster with n/2 members; LSH bucket blowup)
+        # NULLs pass through; all other columns keep their values, so
+        # duplicated-key copies still differ in payload (total-order
+        # tie-break conventions stay load-bearing).
+        import numpy as np
+
+        SKEW_COLS = {"o_custkey", "l_suppkey", "user_id", "embedding",
+                     "text"}
+        n = len(tbl)
+        names = [f.name for f in tbl.schema]
+        if n == 0 or not (SKEW_COLS & set(names)):
+            return tbl
+        cols = list(tbl.columns)
+        for ci, field in enumerate(tbl.schema):
+            if field.name not in SKEW_COLS:
+                continue
+            vals = tbl.column(ci).to_pylist()
+            heavy = next((v for v in vals if v is not None), None)
+            if heavy is None:
+                continue
+            sel = (_splitmix(n, 555 + ci) % np.uint64(2)) == 0
+            vals = [
+                heavy if sel[i] and v is not None else v
+                for i, v in enumerate(vals)
+            ]
+            cols[ci] = pa.array(vals, type=field.type)
+            if field.name == "text" and "n_chars" in names:
+                nci = names.index("n_chars")
+                nctype = tbl.schema.field(nci).type
+                old_nc = tbl.column(nci).to_pylist()
+                cols[nci] = pa.array(
+                    [
+                        len(vals[i])
+                        if sel[i] and vals[i] is not None
+                        else old_nc[i]
+                        for i in range(n)
+                    ],
+                    type=nctype,
+                )
+        return pa.table(cols, schema=tbl.schema)
     if name == "nullmix":
         n = len(tbl)
         cols = []
@@ -332,7 +388,7 @@ def main() -> int:
                     choices=["dup2", "empty", "onerow", "allnull",
                              "offsetids", "nullmix", "unicode", "extreme",
                              "bigdoc", "dupnullmix", "unicode1row",
-                             "allnulloffset"])
+                             "allnulloffset", "skew"])
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", required=True)
     args = ap.parse_args()
