@@ -214,28 +214,44 @@ def chunk_documents(
     layout-independent key — chunk membership is a pure function of the
     text, so chunks are reproducible across engines and reruns.
 
-    Plan: one explode of ceil(n/stride) ints per doc, slices computed
-    per chunk row — no shuffle; chunk rows inherit the document's
-    partitioning.
+    Plan: the chunk texts are built per-ROW in one ``transform`` over
+    the chunk indices, and only the finished (text, size) structs
+    explode — never the token array alongside its own positions. The
+    previous shape (explode chunk ids WITH ``_t`` attached, slice per
+    chunk row) carried the WHOLE document into every chunk row:
+    O(len²/stride) duplicated bytes — one 3.2 MB doc became ~9.6k rows
+    x 480k tokens each and a 240 s timeout in the r13 bigdoc engine
+    sweep. Same greppable smell the winnowing fingerprint fixed in r12
+    (PERF_NOTES 12f rule 1: explode alongside the payload it derives
+    from). Total bytes are now O(len · chunk_tokens/stride) per doc; no
+    shuffle; chunk rows inherit the document's partitioning.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     t = tokens(text_col)
+    toks = df.select(id_col, t.alias("_t"))
     n_chunks = F.greatest(
-        F.ceil((F.size(t) - F.lit(overlap)) / F.lit(float(stride))).cast("int"), F.lit(1)
+        F.ceil(
+            (F.size(F.col("_t")) - F.lit(overlap)) / F.lit(float(stride))
+        ).cast("int"),
+        F.lit(1),
     )
-    ex = df.select(
-        id_col,
-        t.alias("_t"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    sliced = lambda i: F.slice(F.col("_t"), i * stride + 1, chunk_tokens)  # noqa: E731
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(sliced(i), " ").alias("chunk_text"),
+            F.size(sliced(i)).alias("n_chunk_tokens"),
+        ),
     )
-    sliced = F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, chunk_tokens)
-    return ex.select(
+    return toks.select(
+        id_col, F.posexplode(chunk_structs).alias("chunk_id", "_c")
+    ).select(
         id_col,
         "chunk_id",
-        F.array_join(sliced, " ").alias("chunk_text"),
-        F.size(sliced).alias("n_chunk_tokens"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
 
 
