@@ -790,6 +790,18 @@ def _pq_codebooks(
         (F.col(id_col) % step == 0) & (F.col(id_col) < n_codes * step)
     )
     n_found = sample.count()
+    if n == 0:
+        # distinct message: "re-key the corpus" would fix NOTHING here —
+        # an all-NULL/filtered-to-empty corpus has no codebook to train
+        # (the empty-corpus reduction of the allnull axis, class 7/10;
+        # the shared "dense 0-based integer id space" phrase keeps the
+        # class pins matching both raise sites)
+        raise ValueError(
+            "PQ codebook training requires a non-empty corpus: the "
+            "corpus is empty (after NULL-vector hygiene filtering, if "
+            "any) — the dense 0-based integer id space precondition "
+            "cannot hold on an empty corpus."
+        )
     if n_found != n_codes:
         raise ValueError(
             f"PQ codebook sampling found {n_found} of {n_codes} codebook "
