@@ -16,7 +16,8 @@ command instead of an ad-hoc /tmp script, so sweeps can be re-run
     python tools/make_variant.py extreme --src ... --dst ...   # type-edge values on ~1/13 rows
     python tools/make_variant.py bigdoc  --src ... --dst ...   # multi-MB texts, 64KiB keys
     python tools/make_variant.py skew    --src ... --dst ...   # one key owns ~50% of rows
-    python tools/make_variant.py dupnullmix / unicode1row / allnulloffset   # composite axes
+    python tools/make_variant.py shuffleorder --src ... --dst ... # permuted rows, 7-shard dirs
+    python tools/make_variant.py dupnullmix / unicode1row / allnulloffset / extremenullmix  # composites
 
 Then sweep with tools/check_all.py --sf-dir <dst>.
 
@@ -59,6 +60,19 @@ Variant semantics:
 - bigdoc: ~1% of documents get multi-MB pseudo-word texts (and
   c_name/p_name get 64 KiB tails) — the executor-OOM probe for the
   per-position explode paths (shingles, winnowing, BPE, PII regex).
+- shuffleorder: SAME rows and values, but the PHYSICAL LAYOUT changes —
+  each table's rows are deterministically permuted (splitmix64 argsort)
+  and written as a DIRECTORY of 7 part files instead of one file. On a
+  1000-executor cluster the scan order of a 100 TB table is an
+  accident of file listing and task scheduling; any query whose output
+  depends on input row order or on which rows share a scan partition
+  (first/any_value picks, dropDuplicates survivors, limit-without-
+  order, partition-local assumptions in mapInPandas ops,
+  monotonically_increasing_id leakage) is a real cluster bug that a
+  single-file local read can never expose. Swept by
+  tools/invariance_sweep.py (engine-vs-itself, base dir vs variant
+  dir), not by the DuckDB differential — values are unchanged by
+  construction, so the invariant is bit-equal output.
 """
 
 from __future__ import annotations
@@ -208,6 +222,16 @@ def _variant(name: str, tbl: pa.Table) -> pa.Table:
         return _variant("nullmix", _variant("dup2", tbl))
     if name == "unicode1row":
         return _variant("unicode", _variant("onerow", tbl))
+    if name == "extremenullmix":
+        # extreme FIRST (it only rewrites non-NULL cells), then the
+        # independent NULL mask over the result: every expression that
+        # has to survive an edge VALUE (0 divisor, negative price,
+        # pre-epoch timestamp, int32 edge) now also has to survive
+        # NULL in the SAME position and NULL-next-to-edge across
+        # columns — the try_divide/coalesce/sanity-domain seams where
+        # a NULL branch and an edge-value branch can fork differently
+        # between engines.
+        return _variant("nullmix", _variant("extreme", tbl))
     if name == "allnulloffset":
         return _variant("offsetids", _variant("allnull", tbl))
     if name == "dup2":
@@ -369,6 +393,18 @@ def _variant(name: str, tbl: pa.Table) -> pa.Table:
                     type=nctype,
                 )
         return pa.table(cols, schema=tbl.schema)
+    if name == "shuffleorder":
+        # LAYOUT probe: permute rows deterministically. Values are
+        # untouched — the variant is swept by engine-vs-itself
+        # comparison (tools/invariance_sweep.py), where any output
+        # delta is order/partition dependence, a real cluster bug.
+        import numpy as np
+
+        n = len(tbl)
+        if n <= 1:
+            return tbl
+        order = np.argsort(_splitmix(n, 31337), kind="stable")
+        return tbl.take(pa.array(order))
     if name == "nullmix":
         n = len(tbl)
         cols = []
@@ -388,7 +424,8 @@ def main() -> int:
                     choices=["dup2", "empty", "onerow", "allnull",
                              "offsetids", "nullmix", "unicode", "extreme",
                              "bigdoc", "dupnullmix", "unicode1row",
-                             "allnulloffset", "skew"])
+                             "allnulloffset", "skew", "shuffleorder",
+                             "extremenullmix"])
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", required=True)
     args = ap.parse_args()
@@ -399,8 +436,32 @@ def main() -> int:
         if not os.path.exists(src):
             continue
         out = _variant(args.variant, pq.read_table(src))
-        pq.write_table(out, os.path.join(args.dst, f"{t}.parquet"),
-                       version="2.6")
+        dst = os.path.join(args.dst, f"{t}.parquet")
+        if args.variant == "shuffleorder":
+            # directory-of-parts layout: each part file becomes its own
+            # scan partition, so partition-boundary behavior is probed
+            # too (both engines' readers already handle directories —
+            # tools/gen_sf1.py established the layout). Contiguous
+            # slices of the PERMUTED order, so every shard mixes rows
+            # from everywhere in the original file.
+            import shutil
+
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            elif os.path.exists(dst):
+                os.remove(dst)
+            os.makedirs(dst)
+            n_shards = min(7, max(1, out.num_rows))
+            per = -(-max(out.num_rows, 1) // n_shards)  # ceil
+            for s in range(n_shards):
+                shard = out.slice(s * per, per)
+                if s > 0 and shard.num_rows == 0:
+                    break
+                pq.write_table(
+                    shard, os.path.join(dst, f"part-{s:05d}.parquet"),
+                    version="2.6")
+        else:
+            pq.write_table(out, dst, version="2.6")
         print(f"{t}: {out.num_rows} rows")
     return 0
 
