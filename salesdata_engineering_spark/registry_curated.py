@@ -4073,8 +4073,12 @@ def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nation, m,
            n_lines, n_returned,
            round(CAST(n_returned AS DOUBLE) / n_lines, 6) AS line_return_rate,
+           -- + 0.0 normalizes the SIGN OF ZERO: a zero returned-qty over
+           -- a NEGATIVE month total (extremenullmix composite — extreme
+           -- negative quantities x a NULL-masked returnflag) is IEEE
+           -- -0.0, which DuckDB's round keeps and Spark's drops
            round(CAST(qty_returned AS DOUBLE) / CAST(qty_total AS DOUBLE), 6)
-               AS qty_return_rate,
+               + 0.0 AS qty_return_rate,
            round(CAST(n_returned AS DOUBLE) / n_lines
                  - lag(CAST(n_returned AS DOUBLE) / n_lines)
                    OVER (PARTITION BY nation ORDER BY m), 6) AS mom_delta
@@ -4123,10 +4127,14 @@ def q_returns_rate_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "n_returned",
         F.round(rate, 6).alias("line_return_rate"),
-        F.round(
-            F.col("qty_returned").cast("double")
-            / F.col("qty_total").cast("double"),
-            6,
+        # + 0.0: sign-of-zero normalization, mirrored in the oracle
+        (
+            F.round(
+                F.col("qty_returned").cast("double")
+                / F.col("qty_total").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("qty_return_rate"),
         F.round(rate - F.lag(rate).over(wl), 6).alias("mom_delta"),
     ).orderBy("nation", "m")

@@ -18,10 +18,24 @@ On divergence the base query is re-run in-place to classify the find:
 - nondeterministic=False -> stable per layout but layout-DEPENDENT —
   the cluster-scan bug this axis exists to catch.
 
+A second engine-vs-itself axis rides the same harness: CONFIGURATION
+invariance (`--conf-b k=v,...`). Same data dir both sides, but side B
+runs under different runtime-settable session confs — e.g.
+`spark.sql.shuffle.partitions=7` (different partial-aggregation /
+merge order: any float-sum readout that is not decimal/integer-exact
+or quantized forks in the last ulp) or
+`spark.sql.adaptive.enabled=false` (results must not depend on AQE's
+runtime re-planning). On a cluster BOTH of these vary run-to-run —
+AQE coalesces shuffle partitions by observed sizes — so a query that
+is not conf-invariant gives different answers on identical data on
+consecutive runs.
+
 Usage:
     python tools/make_variant.py shuffleorder --src /root/testdata/sf0.01 --dst /tmp/sf01_shuf
     python tools/invariance_sweep.py --base /root/testdata/sf0.01 \
         --variant /tmp/sf01_shuf --out LAYOUTSWEEP_r13.json
+    python tools/invariance_sweep.py --variant /root/testdata/sf0.01 \
+        --conf-b spark.sql.shuffle.partitions=7 --out CONFSWEEP_r13.json
 """
 
 from __future__ import annotations
@@ -45,6 +59,11 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--skip", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--conf-b", default=None,
+        help="comma-separated k=v runtime confs applied while running "
+        "the --variant side (and reverted for the base side) — the "
+        "configuration-invariance axis; use with --variant == --base")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,8 +90,27 @@ def main() -> int:
         skip = set(args.skip.split(","))
         names = [n for n in names if n not in skip]
 
-    def run(name: str, sf_dir: str):
-        pd_df = queries[name](spark, sf_dir).toPandas()
+    conf_b: dict[str, str] = {}
+    if args.conf_b:
+        for kv in args.conf_b.split(","):
+            k, _, v = kv.partition("=")
+            conf_b[k] = v
+    conf_saved = {k: spark.conf.get(k, None) for k in conf_b}
+
+    def run(name: str, sf_dir: str, side: str = "base"):
+        for k, v in (conf_b if side == "variant" else conf_saved).items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        try:
+            pd_df = queries[name](spark, sf_dir).toPandas()
+        finally:
+            for k, v in conf_saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         return canon_frame(pd_df)
 
     results: dict[str, dict] = {}
@@ -83,7 +121,7 @@ def main() -> int:
         t_q = time.time()
         try:
             b_cols, b_rows = run(name, args.base)
-            v_cols, v_rows = run(name, args.variant)
+            v_cols, v_rows = run(name, args.variant, side="variant")
             rec["base_rows"] = len(b_rows)
             rec["variant_rows"] = len(v_rows)
             if name not in oracles:
@@ -143,7 +181,9 @@ def main() -> int:
             "summary": {
                 "base": args.base,
                 "variant": args.variant,
-                "check": "engine-vs-itself layout invariance",
+                "conf_b": conf_b or None,
+                "check": ("engine-vs-itself conf invariance" if conf_b
+                          else "engine-vs-itself layout invariance"),
                 "n_queries": total,
                 "pass": n_pass,
                 "fail": n_fail,
