@@ -69,6 +69,37 @@ def test_layout_invariant(spark, shuffled_dir, name):
     )
 
 
+@pytest.mark.parametrize("name", ["pricing_summary", "stats_ks_two_sample"])
+def test_conf_invariant(spark, name):
+    """Conf pin (CONFSWEEP_r13 / TZSWEEP_r13): same data, different
+    shuffle partition count + AQE off + a hostile session timezone —
+    canonical output must be bit-equal. Partition count changes the
+    partial-aggregation merge order (any raw double sum forks in the
+    last ulp), and the UTC repair in load_tables must hold regardless
+    of the caller's session timezone."""
+    q = QUERIES[name]
+    b_cols, b_rows = canon_frame(q.fn(spark, SF_DIR).toPandas())
+    confs = {
+        "spark.sql.shuffle.partitions": "5",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.session.timeZone": "Asia/Tokyo",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        v_cols, v_rows = canon_frame(q.fn(spark, SF_DIR).toPandas())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert b_cols == v_cols and b_rows == v_rows, (
+        f"{name}: output depends on session configuration"
+    )
+
+
 def test_shuffleorder_variant_is_value_identical(shuffled_dir):
     """The variant tool itself must not change values — same multiset of
     rows per table, just permuted and sharded."""
