@@ -51,10 +51,18 @@ def stratified_sample(
 ) -> DataFrame:
     """Deterministic n-per-class sample: the ``n_per_stratum`` rows with
     the smallest hash per stratum (a reproducible 'random' order). The
-    standard class-balancing primitive for training mixes."""
+    standard class-balancing primitive for training mixes.
+
+    Id-less rows are NOT members (nullkeys axis, r13): sample
+    membership is a pure function of the id, and a NULL id has no
+    hash — without the explicit exclusion they would sort NULLS FIRST
+    into every stratum's head in Spark (and tie among themselves, an
+    arbitrary-survivor pick). Mirrored by ``id IS NOT NULL`` in the
+    paired oracles; free on contract data."""
     w = Window.partitionBy(*strata).orderBy(_gate(F.col(id_col), salt), id_col)
     return (
-        df.withColumn("_srk", F.row_number().over(w))
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("_srk", F.row_number().over(w))
         .filter(F.col("_srk") <= n_per_stratum)
         .drop("_srk")
     )
@@ -262,8 +270,16 @@ def mixture_epochs(
                    else e_whole.when(F.col(source_col) == s, w))
         e_fb = (F.when(F.col(source_col) == s, fb) if e_fb is None
                 else e_fb.when(F.col(source_col) == s, fb))
+    # id-less rows are not members (nullkeys axis, r13): a NULL id has
+    # no gate, so `whole + NULL` reps silently dropped them in Spark
+    # while a CASE-based oracle emitted `whole` copies — the exclusion
+    # is now explicit and mirrored as `id IS NOT NULL` in the oracles
     reps = e_whole + (_gate(F.col(id_col), salt) < e_fb).cast("int")
-    out = df.withColumn("_reps", reps).filter(F.col("_reps") > 0)
+    out = (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("_reps", reps)
+        .filter(F.col("_reps") > 0)
+    )
     return (
         out.withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)))
         .drop("_reps")

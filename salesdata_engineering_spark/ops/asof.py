@@ -19,9 +19,20 @@ DuckDB ``ASOF JOIN`` oracle reproducible.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _nn_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Drop rows with any NULL join key — the right-side half of SQL
+    equality semantics for the union-scan joins (a NULL key matches
+    nothing, so such right rows are dead weight that would otherwise
+    pair with NULL-key LEFT rows inside the NULL window partition)."""
+    if not keys:
+        return df
+    return df.filter(reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]))
 
 
 def _match_struct_type(right: DataFrame, ts: str, payload: Sequence[str]):
@@ -50,11 +61,19 @@ def asof_join(
     Returns all left columns plus ``<ts><suffix>`` and
     ``<payload_col><suffix>`` for each payload column (NULL when the key
     has no earlier right row — left-join semantics).
+
+    NULL join keys follow SQL equality semantics (nullkeys axis, r13):
+    a NULL key never matches, so NULL-key RIGHT rows are filtered out
+    (they could match nothing) and NULL-key LEFT rows survive
+    unmatched — withOUT the filter, the union-scan's partitionBy would
+    group NULL keys together and silently match NULL-key lefts to
+    NULL-key rights, a pairing no SQL join produces.
     """
     # deterministic right side: one row per (keys, ts), max-tiebreak wins
     w_dedup = Window.partitionBy(*keys, ts).orderBy(F.col(tiebreak).desc())
     r = (
-        right.withColumn("_rn", F.row_number().over(w_dedup))
+        _nn_keys(right, keys)
+        .withColumn("_rn", F.row_number().over(w_dedup))
         .filter(F.col("_rn") == 1)
         .select(*keys, ts, *payload)
     )
@@ -131,10 +150,12 @@ def asof_nearest_join(
     candidate is first(right) over the following frame ordered
     (ts, rights-last) — the two window sorts share the exchange, and
     the row stream stays O(|L|+|R|). Distances compare as exact
-    integer microseconds."""
+    integer microseconds. NULL join keys never match (same right-side
+    filter as :func:`asof_join` — SQL equality semantics)."""
     w_dedup = Window.partitionBy(*keys, ts).orderBy(F.col(tiebreak).desc())
     r = (
-        right.withColumn("_rn", F.row_number().over(w_dedup))
+        _nn_keys(right, keys)
+        .withColumn("_rn", F.row_number().over(w_dedup))
         .filter(F.col("_rn") == 1)
         .select(*keys, ts, *payload)
     )

@@ -60,17 +60,30 @@ def scd2_merge(
     ]  # null-safe: NULL→value and value→NULL are real changes
     changed_pred = F.expr(" OR ".join(diff))
 
-    o, u = open_rows.alias("o"), updates.alias("u")
+    # match-status flags, NOT key-NULLness: the classic LEFT-JOIN-NULL
+    # idiom misreads a row whose key is GENUINELY NULL (nullkeys axis,
+    # r13) — a NULL-key update row has u.key NULL by value, so it was
+    # classified "no update arrived", emitted the unmatched o-side as an
+    # all-NULL open row, and vanished from new_open. The flags classify
+    # by which SIDE joined, independent of key values; NULL keys then
+    # follow SQL equality semantics naturally (they never match, so a
+    # NULL-key open row passes through untouched and a NULL-key update
+    # becomes a new open row — exactly what the SQL oracle's
+    # LEFT JOIN ... WHERE branches produce).
+    o = open_rows.withColumn("_o_present", F.lit(1)).alias("o")
+    u = updates.withColumn("_u_present", F.lit(1)).alias("u")
     joined = o.join(u, F.col(f"o.{key}") == F.col(f"u.{key}"), "full_outer")
+    o_present = F.col("o._o_present").isNotNull()
+    u_present = F.col("u._u_present").isNotNull()
 
-    untouched_open = joined.filter(F.col(f"u.{key}").isNull()).select("o.*")
-    unchanged_open = joined.filter(
-        F.col(f"o.{key}").isNotNull() & F.col(f"u.{key}").isNotNull() & ~changed_pred
-    ).select("o.*")
+    untouched_open = joined.filter(~u_present).select("o.*").drop("_o_present")
+    unchanged_open = (
+        joined.filter(o_present & u_present & ~changed_pred)
+        .select("o.*")
+        .drop("_o_present")
+    )
     closed = (
-        joined.filter(
-            F.col(f"o.{key}").isNotNull() & F.col(f"u.{key}").isNotNull() & changed_pred
-        )
+        joined.filter(o_present & u_present & changed_pred)
         .select(
             F.col(f"o.{key}").alias(key),
             *[F.col(f"o.{a}").alias(a) for a in attrs],
@@ -80,9 +93,7 @@ def scd2_merge(
         )
     )
     new_open = (
-        joined.filter(
-            F.col(f"u.{key}").isNotNull() & (F.col(f"o.{key}").isNull() | changed_pred)
-        )
+        joined.filter(u_present & (~o_present | changed_pred))
         .select(
             F.col(f"u.{key}").alias(key),
             *[F.col(f"u.{a}").alias(a) for a in attrs],

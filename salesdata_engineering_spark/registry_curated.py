@@ -661,6 +661,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'stratified', doc_id, lang, CAST(NULL AS INTEGER)
     FROM (SELECT doc_id, lang FROM documents
+          WHERE doc_id IS NOT NULL  -- id-less rows are not members
           QUALIFY row_number() OVER (
               PARTITION BY lang
               ORDER BY {_GATE_SQL.format(salt='strata')}, doc_id) <= 10)
@@ -1299,8 +1300,13 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "basket_brand_affinity",
     """
     WITH ob AS (
+        -- an order-less line belongs to no basket (nullkeys axis: the
+        -- engine's groupBy would otherwise weld every NULL-key line
+        -- into ONE giant false basket while the SQL self-join pairs
+        -- none of them — and marginals/order counts fork too)
         SELECT DISTINCT l_orderkey, p_brand
         FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_orderkey IS NOT NULL
     ),
     n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob),
     brand_n AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY 1),
@@ -1350,6 +1356,9 @@ def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = swap_persist(
         "basket_arr",
         t["lineitem"]
+        # order-less lines form no basket — mirrored in the oracle's ob
+        # CTE (a NULL groupBy key would weld them into one false basket)
+        .filter(F.col("l_orderkey").isNotNull())
         .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
         .select("l_orderkey", "p_brand")
         .groupBy("l_orderkey")
@@ -3225,8 +3234,12 @@ def q_inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta"),
         *order_cols,
     )
+    # asc_nulls_last on EVERY sequence key, not just the tie-break: a
+    # NULL l_orderkey/l_linenumber (nullkeys axis) walks at Spark's
+    # NULLS-FIRST position but DuckDB's NULLS-LAST one otherwise
     w = Window.partitionBy("part").orderBy(
-        *order_cols, F.col("delta").asc_nulls_last()
+        *[F.col(c).asc_nulls_last() for c in order_cols],
+        F.col("delta").asc_nulls_last(),
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s = moves.withColumn("cum", F.sum("delta").over(w))
     balance = F.col("cum") - F.least(F.lit(0), F.min("cum").over(w))

@@ -2607,8 +2607,25 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
             )
 
         clicks, purchases = side("click", "click"), side("purchase", "purchase")
-        joined = clicks.join(
-            purchases,
+        # NULL-key BYPASS (nullkeys axis, r13): SQL LEFT JOIN preserves
+        # a NULL-key left row (it matches nothing and emits null-padded)
+        # but Spark's streaming symmetric-hash join cannot store or
+        # expire a NULL key — those clicks silently vanished from the
+        # drain. They can NEVER match, so they need no join state and no
+        # watermark wait: route them AROUND the join, null-padded, and
+        # emit on arrival. At 100 TB this is also the efficient plan —
+        # NULL keys would otherwise hash into one skewed state
+        # partition for nothing. The join itself gets only keyed rows
+        # (purchases with NULL users match nothing either: dropped).
+        null_clicks = clicks.filter(F.col("_click_user").isNull()).select(
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            "_click_user",
+            "click_ts",
+            F.lit(None).cast("timestamp").alias("purchase_ts"),
+        )
+        joined = clicks.filter(F.col("_click_user").isNotNull()).join(
+            purchases.filter(F.col("_purchase_user").isNotNull()),
             (F.col("_click_user") == F.col("_purchase_user"))
             & (F.col("purchase_ts") >= F.col("click_ts"))
             & (
@@ -2616,11 +2633,19 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
                 <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
             ),
             "left_outer",
+        ).select(
+            "click_id", "purchase_id", "_click_user", "click_ts",
+            "purchase_ts",
         )
-        out = run_to_completion(joined, output_mode="append")
+        out = run_to_completion(
+            joined.unionByName(null_clicks), output_mode="append"
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return out.filter(F.col("_click_user") >= 0).select(
+    # keep the NULL-user bypass rows; drop only the negative sentinels
+    return out.filter(
+        (F.col("_click_user") >= 0) | F.col("_click_user").isNull()
+    ).select(
         "click_id",
         "purchase_id",
         F.col("_click_user").alias("user_id"),
@@ -3168,7 +3193,8 @@ def q_events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY row_number() OVER (PARTITION BY user_id, ts
                                    ORDER BY event_id DESC) = 1),
     c AS (SELECT DISTINCT event_id, user_id, ts
-          FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+          FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+            AND event_id IS NOT NULL),
     b AS (
         SELECT c.event_id, p.ts AS b_ts, p.value AS b_value
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
@@ -3207,10 +3233,16 @@ def q_asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     e = _events_ts(spark, sf_dir)
     # the match is per click EVENT: distinct on the narrow click
     # projection so a duplicated event_id emits one matched row, not
-    # join-multiplied copies (bug class 9); the purchase side already
-    # dedups inside asof_nearest_join's (keys, ts) tie-break window
+    # join-multiplied copies (bug class 9); an id-LESS click has no
+    # event identity to key the match by and is excluded in both
+    # dialects (nullkeys axis — the oracle's JOIN ... USING (event_id)
+    # recombination drops NULL ids anyway, three-valued equality); the
+    # purchase side already dedups inside asof_nearest_join's
+    # (keys, ts) tie-break window
     clicks = (
-        e.filter(F.col("event_type") == "click")
+        e.filter(
+            (F.col("event_type") == "click") & F.col("event_id").isNotNull()
+        )
         .select("event_id", "user_id", "ts")
         .distinct()
     )

@@ -95,15 +95,23 @@ def _is_member_unique(
 def _docs_nn_uniq(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
     """Document-membership intake (composite dupnullmix convention,
     r12, the documents twin of _embs_nn_uniq): a member is a DISTINCT
-    (doc_id, text[, extra...]) tuple with non-NULL text — duplicate
-    ingest rows collapse and a NULL text has no tokens/grams/language.
-    Mirrored by SELECT DISTINCT ... WHERE text IS NOT NULL in the
-    paired oracles. On contract-valid data (no duplicate (doc_id, text)
+    (doc_id, text[, extra...]) tuple with non-NULL doc_id AND non-NULL
+    text — duplicate ingest rows collapse, a NULL text has no
+    tokens/grams/language, and an id-less row cannot participate in
+    any id-keyed operation (nullkeys axis, r13: every id-less document
+    would otherwise collapse into ONE false identity in id-keyed
+    readouts — winnowing merged ~70 distinct id-less docs into one
+    fingerprint group — while id-equality joins silently drop them;
+    requiring the id makes both dialects agree by construction).
+    Mirrored by SELECT DISTINCT ... WHERE doc_id IS NOT NULL AND text
+    IS NOT NULL in the paired oracles. On contract-valid data (no duplicate (doc_id, text)
     rows) the hash-probe proves uniqueness once per table and the
     collapse is SKIPPED — no payload shuffle at all; uniqueness of
     (doc_id, text) implies uniqueness of any (doc_id, text, extra...)
     superset, so one probe covers every extras combination."""
-    base = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    base = _docs(spark, sf_dir).filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     sel = base.select("doc_id", "text", *extra)
     if _is_member_unique(
         base.select("doc_id", "text"),
@@ -131,7 +139,7 @@ def _embs_nn_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r12 item 3)."""
     base = (
         _embs(spark, sf_dir)
-        .filter(F.col("embedding").isNotNull())
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
     if _is_member_unique(
@@ -148,11 +156,17 @@ def _embs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     undefined, and DuckDB's list_inner_product refuses NULL lists
     outright (the all-NULL-column probe axis crashed 11 oracles this
     way). Queries whose ORACLE consumes every corpus vector use this
-    loader and mirror it with WHERE embedding IS NOT NULL, so both
+    loader and mirror it with WHERE vec_id IS NOT NULL AND embedding IS NOT NULL, so both
     engines agree that corrupt/absent vectors are excluded rather than
-    ranked. On contract-valid data (no NULL vectors) this is a free
-    pushed-to-scan IsNotNull and results are bit-identical."""
-    return _embs(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    ranked. A NULL vec_id is excluded for the same reason (nullkeys
+    axis, r13): neighbor/eval readouts are keyed by the id, and an
+    id-less vector would join/group differently between the window
+    implementation and the SQL-equality oracle. On contract-valid data
+    (no NULL ids or vectors) this is a free pushed-to-scan IsNotNull
+    and results are bit-identical."""
+    return _embs(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +293,7 @@ _WINNOW_GRAMS = (
     WITH g AS (SELECT doc_id, {_WINNOW_GRAMS} AS grams
            FROM (SELECT DISTINCT doc_id, substr(text, 1, 65536) AS text
                  FROM documents
-                 WHERE text IS NOT NULL) documents),
+                 WHERE doc_id IS NOT NULL AND text IS NOT NULL) documents),
     m AS (SELECT doc_id,
            list_sort(list_distinct(
                list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
@@ -533,7 +547,7 @@ def _queries_subset(emb: DataFrame, n: int = 10) -> DataFrame:
     "sim_cosine_topk",
     f"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
           WHERE vec_id < 10 AND embedding IS NOT NULL),
     sims AS (
@@ -578,7 +592,7 @@ _BUCKETS_SQL = (
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p WHERE embedding IS NOT NULL),
+           FROM embeddings, p WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
@@ -616,7 +630,7 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p WHERE embedding IS NOT NULL),
+           FROM embeddings, p WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     k AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     cand AS (
@@ -733,10 +747,10 @@ _SQL_STRIDE = (
 )
 
 #: Stride over the NULL-vector-filtered corpus — used ONLY by queries
-#: whose c0 CTE carries WHERE embedding IS NOT NULL (the _embs_nn
+#: whose c0 CTE carries WHERE vec_id IS NOT NULL AND embedding IS NOT NULL (the _embs_nn
 #: intake), so engine and oracle size the index from the same N.
 _SQL_STRIDE_NN = _SQL_STRIDE.replace(
-    "FROM embeddings", "FROM embeddings WHERE embedding IS NOT NULL"
+    "FROM embeddings", "FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL"
 )
 
 #: Stride over the DISTINCT-membership corpus (see _embs_nn_uniq) —
@@ -744,7 +758,7 @@ _SQL_STRIDE_NN = _SQL_STRIDE.replace(
 _SQL_STRIDE_UNIQ = _SQL_STRIDE.replace(
     "FROM embeddings",
     "FROM (SELECT DISTINCT vec_id, embedding FROM embeddings"
-    " WHERE embedding IS NOT NULL)"
+    " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
 )
 
 
@@ -764,7 +778,7 @@ def _ivf_stride(corpus: DataFrame, n: int | None = None) -> int:
     "sim_ivf_ann_topk",
     f"""
     WITH c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v
-                FROM embeddings WHERE embedding IS NOT NULL),
+                FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_UNIQ} = 0),
     cells AS (
         SELECT vec_id, v, cid
@@ -837,6 +851,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_stratified_by_lang",
     f"""
     SELECT doc_id, lang FROM documents
+    WHERE doc_id IS NOT NULL  -- id-less rows are not sample members
     QUALIFY row_number() OVER (
         PARTITION BY lang
         ORDER BY {_GATE_SQL.format(salt='strata')}, doc_id) <= 10
@@ -859,7 +874,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- pipeline runs on DISTINCT non-NULL-text members, shadowing
         -- the raw view for every stage below
         SELECT DISTINCT doc_id, text, lang, source, n_chars
-        FROM main.documents WHERE text IS NOT NULL),
+        FROM main.documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
     keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
     {_SQL_QUALITY_Q},
     curated AS (
@@ -941,16 +956,20 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import PII_EMAIL, PII_IPV4, pii_scrub
 
     d = _docs(spark, sf_dir)
+    # concat_ws, not concat: DuckDB's concat SKIPS NULL arguments while
+    # Spark's concat NULLs the whole result — a NULL doc_id (nullkeys
+    # axis) or NULL text must contribute nothing to the salted input in
+    # BOTH engines, not blank the row in one of them. concat_ws('') is
+    # Spark's exact equivalent of DuckDB's NULL-skipping concat.
     raw = d.select(
         "doc_id",
-        F.concat(
+        F.concat_ws(
+            "",
             F.lit("contact user"), F.col("doc_id").cast("string"),
             F.lit("@example.com from 10.2."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".7 re: "),
-            # NULL text contributes nothing to the salted input (the
-            # oracle's concat skips NULLs; Spark's would NULL the row)
-            F.coalesce(F.substring("text", 1, 40), F.lit("")),
+            F.substring("text", 1, 40),
         ).alias("raw_text"),
     )
     return raw.select(
@@ -1211,7 +1230,7 @@ _SQL_QUANT = (
     "sim_quantized_topk",
     f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                  WHERE embedding IS NOT NULL),
+                  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     qz AS (SELECT vec_id, v, {_SQL_QUANT.format(v="v")} AS qv FROM base),
     qn AS (SELECT vec_id, v, qv, sqrt(list_dot_product(qv, qv)) AS qnorm FROM qz),
     q AS (SELECT vec_id AS query_id, v AS qv_full, qv AS qqv, qnorm AS qqn
@@ -1352,7 +1371,7 @@ def _sql_lloyd_iter(prev: str, out: str, i: int) -> str:
     "sim_ivf_trained_topk",
     f"""
     WITH c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v
-                FROM embeddings WHERE embedding IS NOT NULL),
+                FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_UNIQ} = 0),
     {_sql_lloyd_iter("cents0", "cents1", 1)},
     {_sql_lloyd_iter("cents1", "cents2", 2)},
@@ -1504,7 +1523,8 @@ _EPOCH_VALUES = ", ".join(
                  e.whole + CASE WHEN ({SQL_HASH60.format(
                      x="'epochs:' || CAST(d.doc_id AS VARCHAR)")} % 10000)
                      < e.fb THEN 1 ELSE 0 END AS reps
-          FROM documents d JOIN e USING (source))
+          FROM documents d JOIN e USING (source)
+          WHERE d.doc_id IS NOT NULL)  -- id-less rows are not members
     SELECT doc_id, source, lang,
            CAST(unnest(generate_series(0, reps - 1)) AS INTEGER) AS epoch
     FROM r
@@ -1803,7 +1823,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p WHERE embedding IS NOT NULL),
+           FROM embeddings, p WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
@@ -2142,7 +2162,7 @@ _PQ_STEP = "(SELECT greatest(1, count(*) // 64) FROM embeddings)"
 #: PQ codebook step over the NULL-vector-filtered corpus (see
 #: _SQL_STRIDE_NN) — paired with _embs_nn intakes only.
 _PQ_STEP_NN = _PQ_STEP.replace(
-    "FROM embeddings", "FROM embeddings WHERE embedding IS NOT NULL"
+    "FROM embeddings", "FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL"
 )
 
 
@@ -2150,7 +2170,7 @@ _PQ_STEP_NN = _PQ_STEP.replace(
     "sim_pq_adc_topk",
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                WHERE embedding IS NOT NULL),
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
     cents AS (
         SELECT CAST(vec_id // {_PQ_STEP_NN} AS INT) AS c, s,
@@ -2232,7 +2252,7 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:  index, so one oracle covers both execution paths.
 _SQL_IVF_PQ = f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                WHERE embedding IS NOT NULL),
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     cents AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_NN} = 0),
     cells AS (
         SELECT vec_id, cid
@@ -2605,7 +2625,7 @@ def q_sim_ivf_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_pq_trained_topk",
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                WHERE embedding IS NOT NULL),
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     cents0 AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id % {_SQL_STRIDE_NN} = 0),
     {_sql_lloyd_iter("cents0", "cents1", 1)},
     {_sql_lloyd_iter("cents1", "cents2", 2)},
@@ -2729,7 +2749,7 @@ def _sql_power_iter(prev_v: str, out_v: str, i: int) -> str:
     f"""
     WITH c0 AS (SELECT list_transform(embedding::DOUBLE[],
                     x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qx
-                FROM embeddings WHERE embedding IS NOT NULL),
+                FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     mp AS (SELECT i AS pos,
                   CAST(floor(SUM(qx[i]) / count(*) + 0.5) AS BIGINT) AS mq
            FROM c0, generate_series(1, 64) AS t(i) GROUP BY i),
@@ -2998,7 +3018,7 @@ def q_text_pii_detect_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_rerank_crossencoder",
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                WHERE embedding IS NOT NULL),
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_SQL_COSINE.format(a="c.v", b="q.v")} AS s
@@ -3215,7 +3235,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p WHERE embedding IS NOT NULL),
+           FROM embeddings, p WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     k AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     cand AS (
@@ -3601,7 +3621,7 @@ def q_dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     f"""
     WITH sp AS (SELECT doc_id, lang, {{SQL_TOKENS}} AS t
             FROM (SELECT DISTINCT doc_id, text, lang FROM documents
-                  WHERE text IS NOT NULL) documents),
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL) documents),
     r AS (SELECT doc_id, lang,
            {{_LANG_RATIOS}}
     FROM sp),
@@ -3726,7 +3746,7 @@ def q_text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                        (embedding::DOUBLE[])[1:16] AS v16
-                FROM embeddings WHERE embedding IS NOT NULL),
+                FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     q AS (SELECT vec_id AS query_id, v, v16 FROM c0 WHERE vec_id < 10),
     fsims AS (
         SELECT q.query_id, c.vec_id,
@@ -4547,7 +4567,7 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p WHERE embedding IS NOT NULL),
+           FROM embeddings, p WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     c AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
           FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     q AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
@@ -4787,7 +4807,7 @@ def q_sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS u
               FROM (SELECT DISTINCT vec_id, embedding, label
                     FROM embeddings
-                    WHERE embedding IS NOT NULL
+                    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
                       AND label IS NOT NULL) embeddings)),
     cent AS (
         SELECT label AS cl, d, CAST(SUM(xm) AS BIGINT) AS s
@@ -4852,10 +4872,14 @@ def q_sim_centroid_assignment_eval(spark: SparkSession, sf_dir: str) -> DataFram
     # labeled membership intake (dupnullmix r12): DISTINCT
     # (vec_id, embedding, label); a NULL label is not a sample of a
     # LABELED eval (it would otherwise form a NULL-label centroid
-    # whose tie-breaks fork between engines)
+    # whose tie-breaks fork between engines), and a NULL vec_id is not
+    # a member either (nullkeys r13 — the per-vector assignment is
+    # keyed by the id; Spark's distinct would additionally collapse
+    # all (NULL, same-vector, same-label) rows into one)
     emb = (
         _embs(spark, sf_dir)
-        .filter(F.col("embedding").isNotNull()
+        .filter(F.col("vec_id").isNotNull()
+                & F.col("embedding").isNotNull()
                 & F.col("label").isNotNull())
         .select("vec_id", "embedding", "label")
         .distinct()
@@ -5031,7 +5055,7 @@ _JL_PLANES_SQL = ", ".join(
                     list_transform((SELECT planes FROM p),
                                    pl -> list_dot_product(embedding::DOUBLE[], pl))
                         AS y
-             FROM embeddings WHERE embedding IS NOT NULL),
+             FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     q AS (SELECT vec_id AS qid, v AS qv, y AS qy FROM base WHERE vec_id < 10),
     c AS (SELECT vec_id, v, y FROM base WHERE vec_id % 37 = 0),
     pairs AS (
@@ -5565,7 +5589,7 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT [{_PLANES_SQL}]::DOUBLE[][] AS planes),
     c0 AS (SELECT DISTINCT vec_id, embedding::DOUBLE[] AS v, {_BUCKETS_SQL} AS buckets
-           FROM embeddings, p WHERE embedding IS NOT NULL),
+           FROM embeddings, p WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     cb AS (SELECT vec_id, u.tbl AS tbl, u.b AS bucket
            FROM (SELECT vec_id, unnest(buckets) AS u FROM c0)),
     qb AS (SELECT vec_id AS query_id, u.tbl AS tbl, u.b AS bucket
@@ -5780,7 +5804,7 @@ def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, unnest({SQL_TOKENS}) AS term
         FROM (SELECT DISTINCT doc_id, text FROM documents
-                WHERE text IS NOT NULL) documents),
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL) documents),
     firsts AS (
         SELECT term, min(doc_id) AS fd FROM toks WHERE term <> ''
         GROUP BY term),
@@ -5791,7 +5815,7 @@ def q_privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT DISTINCT doc_id,
                      len(list_filter({SQL_TOKENS}, x -> x <> '')) AS nt
               FROM (SELECT DISTINCT doc_id, text FROM documents
-                WHERE text IS NOT NULL) documents) d LEFT JOIN newterms USING (doc_id)),
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL) documents) d LEFT JOIN newterms USING (doc_id)),
     cum AS (
         SELECT doc_id,
                SUM(nt) OVER (ORDER BY doc_id) AS cumtok,
@@ -6220,11 +6244,15 @@ def q_text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_kmv_union",
     f"""
     WITH h AS (
+        -- a NULL c_custkey has no hash and is not a sketch member
+        -- (nullkeys axis: Spark's NULLS-FIRST asc would otherwise sort
+        -- the NULL hash INTO the bottom-64, displacing a real one)
         SELECT r_name AS region, c_custkey,
                {sql_md5_long("c_custkey::VARCHAR", "kmv")} AS hv
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey),
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_custkey IS NOT NULL),
     dh AS (SELECT region, hv FROM h GROUP BY 1, 2),
     bk AS (
         SELECT region, hv
@@ -6294,6 +6322,7 @@ def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(t["region"]),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
+        .filter(F.col("c_custkey").isNotNull())
         .select(
             F.col("r_name").alias("region"),
             md5_long(F.col("c_custkey").cast("string"), "kmv").alias("hv"),

@@ -403,10 +403,19 @@ def q_xml_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absent elements; a bare concat would NULL the whole fragment) —
     # from_xml parses the missing <p> back to NULL, and xpath_string
     # yields '' (hence the oracle's coalesce on xpath_digit)
+    # BOTH fields render as omitted tags when NULL — a NULL o_orderkey
+    # (nullkeys axis, r13) previously NULLed the outer concat, blanking
+    # the whole fragment and dragging xml_p/xpath_digit to NULL while
+    # the oracle still carried the priority
     xml = F.concat(
-        F.lit("<o><k>"),
-        F.col("o_orderkey").cast("string"),
-        F.lit("</k>"),
+        F.lit("<o>"),
+        F.coalesce(
+            F.concat(
+                F.lit("<k>"), F.col("o_orderkey").cast("string"),
+                F.lit("</k>"),
+            ),
+            F.lit(""),
+        ),
         F.coalesce(
             F.concat(F.lit("<p>"), F.col("o_orderpriority"), F.lit("</p>")),
             F.lit(""),

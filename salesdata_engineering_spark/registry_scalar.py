@@ -469,7 +469,12 @@ def q_global_sort_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = _orders(spark, sf_dir).filter(F.col("o_totalprice") > 450000)
-    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    # asc_nulls_last on the key tie-break: Spark's implicit asc is NULLS
+    # FIRST while the SQL-default oracle ordering is NULLS LAST — a NULL
+    # o_orderkey among equal prices forked the positions (nullkeys axis)
+    w = Window.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc_nulls_last()
+    )
     return o.select(
         "o_orderkey",
         F.col("o_totalprice").cast("double").alias("price"),
@@ -1327,23 +1332,36 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part JOIN lineitem ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#1'
       AND p_size IN (1, 4, 9, 16, 25)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND l_suppkey IS NOT NULL
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
     GROUP BY 1, 2
     """,
     doc="TPC-H Q16 shape (supplier census with exclusion list): "
     "count(DISTINCT) per group above a NOT IN subquery. The exclusion "
-    "becomes a broadcast LEFT ANTI join (null-safe trivially: s_suppkey "
-    "is a key), the brand/size predicates push into the part scan "
-    "before its broadcast, and the distinct-aggregate expands to the "
-    "standard two-level partial agg.",
+    "becomes a broadcast LEFT ANTI join; NULL keys are excluded "
+    "EXPLICITLY on both sides of both dialects, because NOT IN and "
+    "anti-join genuinely diverge under NULLs (one NULL in the rhs set "
+    "makes SQL NOT IN return ZERO rows — three-valued logic — while an "
+    "anti-join ignores it; a NULL lhs is dropped by NOT IN but kept by "
+    "an anti-join). The intent semantics — a NULL supplier is neither "
+    "a supplier to count nor an exclusion — is the engine convention "
+    "for every NOT-IN-shaped exclusion (nullkeys axis, r13). "
+    "Brand/size predicates push into the part scan before its "
+    "broadcast; the distinct-aggregate expands to the standard "
+    "two-level partial agg.",
 )
 def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     p = t["part"].filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25)
     )
-    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    li = t["lineitem"].join(
+    bad = (
+        t["supplier"]
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
+        .select("s_suppkey")
+    )
+    li = t["lineitem"].filter(F.col("l_suppkey").isNotNull()).join(
         F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     return (

@@ -209,8 +209,10 @@ def _update_latest(
     last-writer state: keep the row with the max (ts, event_id)."""
     def _pick_key(t):
         # total order matching the oracle's DESC NULLS LAST: a NULL
-        # payload loses to any non-NULL at the same (ts, seq)
-        return (t[0], t[1], t[2] is not None, t[2] or "",
+        # sequence id (nullkeys axis, r13) or NULL payload loses to
+        # any non-NULL at the same ts
+        return (t[0], t[1] is not None, t[1] or 0,
+                t[2] is not None, t[2] or "",
                 t[3] is not None, 0.0 if t[3] is None else t[3])
 
     loaded = _load_versioned(state, _CDC_MIGRATIONS, _CDC_VERSION)
@@ -222,7 +224,10 @@ def _update_latest(
         if len(pdf) == 0:
             continue
         ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
-        seq = pdf["event_id"].astype("int64")
+        # float64, not int64: a NULL event_id (nullkeys axis) must
+        # survive as NaN and lose the pick — astype('int64') raises on
+        # missing values, killing the whole stream
+        seq = pdf["event_id"].astype("float64")
         # payload columns are the FINAL tie-breaks (duplicate change
         # rows whose copies differ only in NULL pattern otherwise tie,
         # and the stable sort would pick by arrival order);
@@ -241,9 +246,10 @@ def _update_latest(
         # downstream (the tombstone filter must drop NULL ops the same
         # way the batch twin and the oracle do).
         op_i, val_i = pdf["event_type"].iloc[i], pdf["value"].iloc[i]
+        seq_i = seq.iloc[i]
         cand = (
             int(ts_ns.iloc[i]),
-            int(seq.iloc[i]),
+            None if pd.isna(seq_i) else int(seq_i),
             None if pd.isna(op_i) else str(op_i),
             None if pd.isna(val_i) else float(val_i),
         )

@@ -17,6 +17,7 @@ command instead of an ad-hoc /tmp script, so sweeps can be re-run
     python tools/make_variant.py bigdoc  --src ... --dst ...   # multi-MB texts, 64KiB keys
     python tools/make_variant.py skew    --src ... --dst ...   # one key owns ~50% of rows
     python tools/make_variant.py shuffleorder --src ... --dst ... # permuted rows, 7-shard dirs
+    python tools/make_variant.py nullkeys --src ... --dst ...   # ~1/7 of each KEY col NULL
     python tools/make_variant.py dupnullmix / unicode1row / allnulloffset / extremenullmix  # composites
 
 Then sweep with tools/check_all.py --sf-dir <dst>.
@@ -393,6 +394,33 @@ def _variant(name: str, tbl: pa.Table) -> pa.Table:
                     type=nctype,
                 )
         return pa.table(cols, schema=tbl.schema)
+    if name == "nullkeys":
+        # The LAST identity degeneracy: every prior axis deliberately
+        # kept id/join-key columns non-NULL (allnull/nullmix preserve
+        # KEY_COLS; offsetids shifts them; dup2 copies them). Real
+        # intake at 100 TB has NULL keys — failed enrichments, dirty
+        # FKs, late dimensions — and NULL keys are where engines fork:
+        # inner joins drop them, outer joins keep them (and at scale
+        # hash them all into ONE partition — the canonical skew
+        # outage), GROUP BY gives them their own group, window ORDER
+        # BY placement differs by dialect default, and = vs
+        # IS NOT DISTINCT FROM disagree. An independent ~1/7 per-key
+        # mask (splitmix over (row, column), same scheme as nullmix)
+        # keeps join cardinality largely intact while realizing every
+        # NULL/non-NULL key combination across multi-key joins.
+        import numpy as np
+
+        n = len(tbl)
+        cols = []
+        for ci, (field, col) in enumerate(zip(tbl.schema, tbl.columns)):
+            if field.name not in KEY_COLS or n == 0:
+                cols.append(col)
+                continue
+            mask = pa.array(
+                (_splitmix(n, 9000 + ci) % np.uint64(7)) == 0)
+            cols.append(
+                pc.if_else(mask, pa.nulls(n, type=field.type), col))
+        return pa.table(cols, schema=tbl.schema)
     if name == "shuffleorder":
         # LAYOUT probe: permute rows deterministically. Values are
         # untouched — the variant is swept by engine-vs-itself
@@ -425,7 +453,7 @@ def main() -> int:
                              "offsetids", "nullmix", "unicode", "extreme",
                              "bigdoc", "dupnullmix", "unicode1row",
                              "allnulloffset", "skew", "shuffleorder",
-                             "extremenullmix"])
+                             "extremenullmix", "nullkeys"])
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", required=True)
     args = ap.parse_args()
