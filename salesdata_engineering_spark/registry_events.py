@@ -3192,9 +3192,20 @@ def q_events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'purchase' AND ts IS NOT NULL
         QUALIFY row_number() OVER (PARTITION BY user_id, ts
                                    ORDER BY event_id DESC) = 1),
-    c AS (SELECT DISTINCT event_id, user_id, ts
-          FROM events WHERE event_type = 'click' AND ts IS NOT NULL
-            AND event_id IS NOT NULL),
+    c AS (
+        -- ONE deterministic click per event_id (nullkeysdup composite,
+        -- r13): duplicate ingest copies that differ only in NULL
+        -- pattern (one keeps user_id, the twin lost it) would
+        -- otherwise each survive the DISTINCT and the final
+        -- JOIN USING (event_id) recombination would CROSS them
+        -- (2 b-rows x 2 f-rows). Survivor = the keyed copy first
+        -- (user_id IS NULL sorts it last), then (user_id, ts).
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
+          AND event_id IS NOT NULL
+        QUALIFY row_number() OVER (
+            PARTITION BY event_id
+            ORDER BY (user_id IS NULL), user_id, ts) = 1),
     b AS (
         SELECT c.event_id, p.ts AS b_ts, p.value AS b_value
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
@@ -3231,20 +3242,28 @@ def q_asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     from .ops.asof import asof_nearest_join
 
     e = _events_ts(spark, sf_dir)
-    # the match is per click EVENT: distinct on the narrow click
-    # projection so a duplicated event_id emits one matched row, not
-    # join-multiplied copies (bug class 9); an id-LESS click has no
-    # event identity to key the match by and is excluded in both
-    # dialects (nullkeys axis — the oracle's JOIN ... USING (event_id)
-    # recombination drops NULL ids anyway, three-valued equality); the
-    # purchase side already dedups inside asof_nearest_join's
-    # (keys, ts) tie-break window
+    # the match is per click EVENT: ONE deterministic survivor per
+    # event_id (bug class 9 + nullkeysdup r13 — duplicate ingest
+    # copies differing only in NULL pattern would each survive a plain
+    # distinct and cross-multiply in the oracle's USING (event_id)
+    # recombination). Survivor = the keyed copy first (user_id IS NULL
+    # sorts last), then (user_id, ts) — mirrored in the oracle's c
+    # CTE. An id-LESS click has no event identity and is excluded in
+    # both dialects; the purchase side dedups inside
+    # asof_nearest_join's (keys, ts) tie-break window.
+    w_click = Window.partitionBy("event_id").orderBy(
+        F.col("user_id").isNull().asc(),
+        F.col("user_id").asc_nulls_last(),
+        F.col("ts").asc_nulls_last(),
+    )
     clicks = (
         e.filter(
             (F.col("event_type") == "click") & F.col("event_id").isNotNull()
         )
         .select("event_id", "user_id", "ts")
-        .distinct()
+        .withColumn("_crn", F.row_number().over(w_click))
+        .filter(F.col("_crn") == 1)
+        .drop("_crn")
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"

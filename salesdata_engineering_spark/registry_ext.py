@@ -4286,9 +4286,15 @@ def q_text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_kmv_distinct",
     f"""
     WITH h AS (
+        -- a NULL c_custkey has no hash and is not a sketch member
+        -- (nullkeysdup composite, r13: below-k groups short-circuit to
+        -- the exact count and masked the fork on the parent axis; past
+        -- k the NULL hash sits at rn=1 under Spark's NULLS-FIRST asc
+        -- but at rn=nd under DuckDB's NULLS-LAST, forking u_(k))
         SELECT n_nationkey AS nation, c_nationkey,
                {sql_md5_long("c_custkey::VARCHAR", "kmv")} AS hv
-        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey IS NOT NULL),
     dh AS (SELECT nation, hv FROM h GROUP BY 1, 2),
     rk AS (
         SELECT nation, hv,
@@ -4335,6 +4341,9 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO60 = float(1 << 60)
     h = (
         t["customer"]
+        # a NULL c_custkey has no hash — not a sketch member (mirrored
+        # in the oracle's h CTE; see the dialect-fork note there)
+        .filter(F.col("c_custkey").isNotNull())
         .join(
             F.broadcast(t["nation"]),
             F.col("c_nationkey") == F.col("n_nationkey"),

@@ -235,6 +235,17 @@ def _variant(name: str, tbl: pa.Table) -> pa.Table:
         return _variant("nullmix", _variant("extreme", tbl))
     if name == "allnulloffset":
         return _variant("offsetids", _variant("allnull", tbl))
+    if name == "nullkeysdup":
+        # dup2 FIRST, then the independent per-key NULL mask over the
+        # doubled row space: the two copies of each row get DIFFERENT
+        # key-NULL patterns — one copy keeps its id while the twin
+        # loses it (or loses a different key). Stresses the r13
+        # id-membership conventions against the class-9 duplicate-
+        # collapse rules: a DISTINCT that keys on (id, payload) sees
+        # the keyed copy and the id-less copy as different rows, the
+        # id-less one must then be excluded by membership, and joins
+        # must route the surviving copy exactly once.
+        return _variant("nullkeys", _variant("dup2", tbl))
     if name == "dup2":
         return pa.concat_tables([tbl, tbl])
     if name == "empty":
@@ -453,7 +464,7 @@ def main() -> int:
                              "offsetids", "nullmix", "unicode", "extreme",
                              "bigdoc", "dupnullmix", "unicode1row",
                              "allnulloffset", "skew", "shuffleorder",
-                             "extremenullmix", "nullkeys"])
+                             "extremenullmix", "nullkeys", "nullkeysdup"])
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", required=True)
     args = ap.parse_args()
