@@ -44,7 +44,16 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign every document to a (bucket, seq_id) training sequence and
     return per-sequence stats: document count, token count, fill ratio.
+
+    Id-less rows are NOT packed (nullkeys+layout composite, r13): the
+    bucket and the within-bucket order both derive from the id hash, so
+    every NULL-id row lands in the NULL bucket with a fully-tied
+    (NULL, NULL) sort key — and the running prefix sum over tied rows
+    with DIFFERENT token counts depends on scan order, i.e. the packing
+    would change across cluster layouts. Mirrored by ``id IS NOT NULL``
+    in the paired oracle; free on contract data.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     base = df.select(
         F.col(id_col).alias("id"),
         md5_long(F.col(id_col).cast("string")).alias("_h"),

@@ -1155,10 +1155,13 @@ def q_contamination_ngram_overlap_capped(spark: SparkSession, sf_dir: str) -> Da
     "pack_training_sequences",
     f"""
     WITH d AS (
+        -- id-less rows are not packed: bucket and order derive from
+        -- the id hash, and a fully-tied NULL sort key would make the
+        -- prefix sum scan-order-dependent (nullkeys+layout, r13)
         SELECT doc_id AS id,
                {SQL_HASH60.format(x="CAST(doc_id AS VARCHAR)")} AS h,
                len({SQL_TOKENS}) AS n_tok
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     b AS (SELECT *, h % 32 AS bucket FROM d),
     c AS (SELECT *,
