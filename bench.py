@@ -362,64 +362,15 @@ def _load_gen_module():
     return gen
 
 
-def _source_fingerprint(src_dir: str) -> str:
-    """Content key for the derived-scale caches: stat metadata of every
-    parquet under ``src_dir`` (the marker file itself is excluded by the
-    suffix filter) plus the generator source — so a regenerated source
-    dataset OR a changed gen_sf1.py invalidates the cache (ADVICE r8: a
-    bare isdir check let a stale .data/sf3 survive an sf1 regeneration
-    and silently cross-compare datasets)."""
-    import hashlib
-
-    from salesdata_engineering_spark.ext.ann_index import inventory_fingerprint
-
-    repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "tools", "gen_sf1.py"), "rb") as fh:
-        gen_src = fh.read()
-    return hashlib.md5(
-        inventory_fingerprint(src_dir, suffix=".parquet").encode() + gen_src
-    ).hexdigest()
-
-
 def _ensure_derived(spark, src_dir: str, dst_dir: str, reps: int) -> str:
     """Generate-or-reuse a derived-scale dataset, keyed on the source
-    fingerprint: a ``_FINGERPRINT`` marker (written as INCOMPLETE before
-    generation, finalized after) must match the current source; any
-    mismatch — regenerated source, changed generator, changed reps, or
-    a crashed half-generation — deletes the stale cache and
-    regenerates. A non-empty directory WITHOUT a marker was not created
-    by this tool and is never deleted: a user-supplied
-    SPARK_GRAFT_SF1_DIR pointing at hand-maintained data raises instead
-    of being rmtree'd."""
-    import shutil
-
-    marker = os.path.join(dst_dir, "_FINGERPRINT")
-    want = f"{_source_fingerprint(src_dir)}:reps={reps}"
-    if os.path.isdir(dst_dir):
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if fh.read() == want:
-                    return dst_dir
-            # tool-created and stale: delete WITHOUT ignore_errors — a
-            # partial deletion followed by regeneration could leave a
-            # table gen_sf1 no longer produces lingering under a fresh
-            # marker (ADVICE r9); a raise here degrades the sf1/sf3
-            # section to its error marker instead
-            shutil.rmtree(dst_dir)
-        elif os.listdir(dst_dir):
-            raise RuntimeError(
-                f"{dst_dir} exists without a _FINGERPRINT marker — not "
-                "created by bench.py; refusing to delete it. Point "
-                "SPARK_GRAFT_SF1_DIR/SF3_DIR elsewhere or remove it "
-                "yourself."
-            )
-    os.makedirs(dst_dir, exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write("INCOMPLETE")  # a crash mid-gen must read as stale
-    _load_gen_module().generate(spark, src_dir, dst_dir, reps=reps)
-    with open(marker, "w") as fh:
-        fh.write(want)
-    return dst_dir
+    fingerprint. The implementation lives in tools/gen_sf1.py since
+    round 14 so that the gen_sf1 CLI (and scalecheck runs that
+    pre-generate .data/sf1) writes the exact same ``_FINGERPRINT``
+    marker this cache checks — round 13's driver sf1 section errored
+    out because the two tools shared one directory with incompatible
+    ownership conventions (VERDICT r13 item 3)."""
+    return _load_gen_module().ensure_derived(spark, src_dir, dst_dir, reps)
 
 
 def _measure_samples(spark, runs: int, run_once) -> list[float]:
@@ -694,14 +645,24 @@ def main() -> None:
                 )
                 sf1_timings[name] = round(statistics.median(samples), 3)
                 sf1_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+            ratios = {
+                n: round(sf1_timings[n] / timings[n], 2)
+                for n in names
+                if timings.get(n)
+            }
             sf1_block = {
                 "value": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
-                "ratio_vs_base": {
-                    n: round(sf1_timings[n] / timings[n], 2)
-                    for n in names
-                    if timings.get(n)
-                },
+                "ratio_vs_base": ratios,
+                # in-artifact superlinear gate (VERDICT r13 item 8):
+                # sf1 is 10x the data, so linear cost is ratio <= 10
+                # and scheduling-bound queries sit far below; a ratio
+                # above 6 on this box has only ever meant a composed-
+                # operator scale bug (r6: 13.46x) — flag it in the
+                # record itself instead of relying on a reader
+                "superlinear_suspects": sorted(
+                    n for n, r in ratios.items() if r > 6
+                ),
                 "spread": sf1_spread,
                 "timed_runs": sf1_runs,
                 "scale_vs_base": 10,
@@ -895,6 +856,9 @@ def main() -> None:
             "timed_runs": sf1_block["timed_runs"],
             "max_ratio": ratios.get(worst),
             "max_ratio_query": worst,
+            # normally [] — any entry is a superlinear scale bug the
+            # record itself is flagging (VERDICT r13 item 8)
+            "superlinear_suspects": sf1_block.get("superlinear_suspects", []),
             "detail": "BENCH_LOCAL.json (committed idle run; this run: BENCH_DETAIL.json)",
         }
     elif isinstance(sf1_block, dict):  # degraded: carry the error marker

@@ -27,12 +27,39 @@ def top_k_global(df: DataFrame, order: Column | str, k: int) -> DataFrame:
     return df.orderBy(order).limit(k)
 
 
+def _order_cols(
+    order: list[Column | str], directions: list[str] | None
+) -> list[Column]:
+    """Engine ordering convention for the total-order helpers: every
+    key is NULLS LAST in BOTH directions. ``asc`` maps to
+    ``asc_nulls_last`` (Spark's implicit asc is NULLS FIRST and forks
+    from the SQL-default oracle ordering on mixed-NULL keys — see
+    ops/windows.py asc_nulls_last); ``desc`` maps to
+    ``desc_nulls_last``, which IS Spark's ``.desc()`` default and
+    DuckDB's default, so a descending key needs no convention shim.
+    ``directions`` is positional (``"asc"``/``"desc"`` per key),
+    default all-ascending — the pre-r14 behavior, unchanged for every
+    existing caller."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    if directions is None:
+        directions = ["asc"] * len(cols)
+    if len(directions) != len(cols):
+        raise ValueError(
+            f"directions has {len(directions)} entries for {len(cols)} keys"
+        )
+    return [
+        c.desc_nulls_last() if d == "desc" else c.asc_nulls_last()
+        for c, d in zip(cols, directions)
+    ]
+
+
 def global_row_number(
     df: DataFrame,
     order: list[Column | str],
     alias: str = "rn",
     n_parts: int | None = None,
     persist_key: str = "global_row_number",
+    directions: list[str] | None = None,
 ) -> DataFrame:
     """Global contiguous 1-based row numbering by a TOTAL order — the
     sharding primitive of a training-data pipeline (deterministic
@@ -52,13 +79,15 @@ def global_row_number(
 
     ``order`` entries must be PLAIN columns or names — no ``.desc()``/
     ``.asc()`` direction: the helper imposes the engine ordering
-    convention (ascending, NULLS LAST — see ops/windows.py
-    asc_nulls_last) on every key, and a direction already attached to a
-    passed Column would be silently overridden. Note this therefore
-    diverges from the naive ``row_number() OVER (ORDER BY ...)`` on
-    NULL keys, whose Spark default is ascending NULLS FIRST; on
-    NULL-free keys the two are equal for any TOTAL order (ties
-    would make both forms nondeterministic — pass a tie-breaking key).
+    convention (NULLS LAST in both directions — see :func:`_order_cols`)
+    on every key, and a direction already attached to a passed Column
+    would be silently overridden; pass ``directions`` (positional
+    ``"asc"``/``"desc"`` per key, default all-asc) for descending
+    keys. Note the asc convention therefore diverges from the naive
+    ``row_number() OVER (ORDER BY ...)`` on NULL keys, whose Spark
+    default is ascending NULLS FIRST; on NULL-free keys the two are
+    equal for any TOTAL order (ties would make both forms
+    nondeterministic — pass a tie-breaking key).
     The partitioned frame is swap-persisted (ext/caching.py): both the
     counts pass and the numbering pass read it, and without the cut
     the range sort runs twice — while a BARE persist here would leak
@@ -69,14 +98,7 @@ def global_row_number(
 
     from ..ext.caching import swap_persist
 
-    # engine ordering convention: ascending = NULLS LAST (see
-    # ops/windows.py asc_nulls_last) — Spark's implicit asc is NULLS
-    # FIRST and silently forks from the SQL-default oracle ordering on
-    # mixed-NULL keys; every caller of these total-order helpers means
-    # plain ascending, so the convention is applied here, once
-    cols = [
-        (F.col(c) if isinstance(c, str) else c).asc_nulls_last() for c in order
-    ]
+    cols = _order_cols(order, directions)
     parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     ranged = swap_persist(
         persist_key,
@@ -104,6 +126,7 @@ def global_cumsum(
     alias: str = "cum",
     n_parts: int | None = None,
     persist_key: str = "global_cumsum",
+    directions: list[str] | None = None,
 ) -> DataFrame:
     """Running sum of ``value`` over a TOTAL order — the same two-pass
     offset scheme as :func:`global_row_number`, for cumulative SUMS:
@@ -115,7 +138,8 @@ def global_cumsum(
     concurrent use inside one query (swap_persist keeps ONE live frame
     per key)."""
     return global_cumsum_multi(
-        df, order, {alias: value}, n_parts=n_parts, persist_key=persist_key
+        df, order, {alias: value}, n_parts=n_parts, persist_key=persist_key,
+        directions=directions,
     )
 
 
@@ -125,6 +149,7 @@ def global_cumsum_multi(
     values: dict[str, str],
     n_parts: int | None = None,
     persist_key: str = "global_cumsum_multi",
+    directions: list[str] | None = None,
 ) -> DataFrame:
     """Several running sums (``{alias: value_col}``) over ONE shared
     total order, in one two-pass pipeline: one range exchange, one tiny
@@ -137,10 +162,7 @@ def global_cumsum_multi(
 
     from ..ext.caching import swap_persist
 
-    # ascending = NULLS LAST, same convention as global_row_number
-    cols = [
-        (F.col(c) if isinstance(c, str) else c).asc_nulls_last() for c in order
-    ]
+    cols = _order_cols(order, directions)
     parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     ranged = swap_persist(
         persist_key,
@@ -176,15 +198,49 @@ def global_ntile(
     n_tiles: int,
     alias: str = "tile",
     persist_key: str = "global_ntile",
+    directions: list[str] | None = None,
 ) -> DataFrame:
     """``ntile(n)`` over a TOTAL order without the single-task global
     window: reproduce ntile's exact tiling arithmetic (the first
     ``n mod n_tiles`` tiles get one extra row — the SQL standard) on
-    :func:`global_row_number`'s two-pass rank. Equal to the naive
-    ``ntile(n) OVER (ORDER BY ...)`` for any total order; pass a
-    tie-breaking key, as with every total-order helper here."""
-    rn = global_row_number(df, order, alias="_gn_rn", persist_key=persist_key)
-    tot = rn.agg(F.count("*").alias("_gn_n"))
+    the two-pass range-partitioned rank of :func:`global_row_number`.
+    Equal to the naive ``ntile(n) OVER (ORDER BY ...)`` for any total
+    order; pass a tie-breaking key, as with every total-order helper
+    here.
+
+    r14: inlines the two-pass scheme instead of composing
+    global_row_number + a separate count + a crossJoin — the total row
+    count is just the SUM of the same tiny per-partition counts frame
+    the offsets come from, so one n_parts-row aggregate and ONE
+    broadcast now carry both (measured: 3 fewer jobs per call; the
+    three-quintile RFM query runs one driver-blocking job per ntile
+    instead of three)."""
+    from pyspark.sql import Window
+
+    from ..ext.caching import swap_persist
+
+    cols = _order_cols(order, directions)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = swap_persist(
+        persist_key,
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id()),
+    )
+    counts = ranged.groupBy("_pid").count()
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("count").over(w_tot).alias("_gn_n"),
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*cols)
+    rn = ranged.join(F.broadcast(offsets), "_pid").withColumn(
+        "_gn_rn", F.row_number().over(w_in) + F.col("_off")
+    )
     base = F.floor(F.col("_gn_n") / n_tiles)
     r = F.col("_gn_n") % n_tiles
     cut = r * (base + 1)
@@ -196,10 +252,8 @@ def global_ntile(
         )
         .otherwise(r + F.floor((F.col("_gn_rn") - cut - 1) / base) + 1)
     )
-    return (
-        rn.crossJoin(F.broadcast(tot))
-        .withColumn(alias, tile.cast("int"))
-        .drop("_gn_rn", "_gn_n")
+    return rn.withColumn(alias, tile.cast("int")).drop(
+        "_pid", "_off", "_gn_rn", "_gn_n"
     )
 
 

@@ -577,41 +577,67 @@ def q_q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     bench=True,
 )
 def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.caching import swap_persist
+
     t = load_tables(spark, sf_dir)
-    li = t["lineitem"]
-    l1 = (
-        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    # r14 rewrite (guide §2.4 — operations keyed the same way share one
+    # exchange): the EXISTS / NOT EXISTS double correlation used to run
+    # as a LEFT SEMI + LEFT ANTI join, each shuffling a FULL extra copy
+    # of lineitem on l_orderkey. Both correlations only ask per-order
+    # questions — "does some OTHER supplier contribute a line?" /
+    # "is no OTHER supplier ALSO late?" — so they collapse into ONE
+    # aggregate over the already-order-keyed l⨝o frame:
+    #   EXISTS l2 (l2.supp <> s)        ⟺ n_distinct_suppliers >= 2
+    #   NOT EXISTS l3 (late, <> s)      ⟺ n_distinct_LATE_suppliers = 1
+    # (for an l1 row, s itself is late and non-NULL — a NULL-suppkey l1
+    # fails both the original <> comparisons and the downstream
+    # supplier equi-join, and count_distinct ignores NULL suppkeys
+    # exactly as the <> comparisons reject them). Grouping carries
+    # o_orderdate so lateness is judged against each outer row's OWN
+    # order date — bit-equal to the correlated form even on degenerate
+    # duplicate-orderkey data. The aggregate and both downstream joins
+    # reuse the l⨝o join's l_orderkey clustering (subset rule), so at
+    # scale the query does 2 lineitem-sized exchanges instead of 4.
+    lo = swap_persist(
+        "q21_lo",
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(
-            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "o_orderdate",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("_late"),
+        ),
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    # two-level aggregation instead of two count_distincts (which would
+    # plan an Expand doubling the pre-aggregate rows): per-supplier
+    # any-late first, then per-order counts — both levels and the
+    # downstream join reuse the same l_orderkey clustering
+    per_supp = lo.groupBy("l_orderkey", "o_orderdate", "l_suppkey").agg(
+        F.max("_late").alias("_any_late")
     )
-    l3 = li.select(
-        F.col("l_orderkey").alias("_ok3"),
-        F.col("l_suppkey").alias("_sk3"),
-        F.col("l_shipdate").alias("_sd3"),
+    stats = (
+        per_supp.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.count("l_suppkey").alias("_nsupp"),
+            F.count(
+                F.when(F.col("_any_late"), F.col("l_suppkey"))
+            ).alias("_nlate"),
+        )
+        .filter((F.col("_nsupp") >= 2) & (F.col("_nlate") == 1))
+        .select("l_orderkey", "o_orderdate")
     )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("_ok2"))
-            & (F.col("l_suppkey") != F.col("_sk2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("_ok3"))
-            & (F.col("l_suppkey") != F.col("_sk3"))
-            & (F.col("_sd3") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
-            "left_anti",
-        )
+    waiting = lo.filter(F.col("_late")).join(
+        stats, ["l_orderkey", "o_orderdate"]
     )
     return (
         waiting.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))

@@ -373,14 +373,23 @@ def test_q17_decorrelates_scalar_avg(spark, sf_dir):
     assert "avg(" in plan, plan
 
 
-def test_q21_exists_chain_is_semi_then_anti(spark, sf_dir):
-    """Q21's EXISTS / NOT EXISTS double correlation must execute as a
-    LEFT SEMI stacked with a LEFT ANTI join on the order key — the
-    supplier-inequality and lateness bounds ride as join residuals,
-    never a cartesian."""
+def test_q21_correlation_is_shared_exchange_aggregate(spark, sf_dir):
+    """r14: Q21's EXISTS / NOT EXISTS double correlation collapses into
+    per-order aggregates over the persisted l⨝o frame (guide §2.4 —
+    the semi and anti joins each shuffled a FULL extra copy of
+    lineitem on l_orderkey; the aggregate answers both correlations
+    from the frame the query already built). The plan must show: no
+    semi/anti correlation joins left, the persisted frame shared by
+    both consumers, the two-level any-late→counts aggregate, and as
+    ever no cartesian."""
     plan = plan_of(QUERIES["q21_waiting_suppliers"].fn(spark, sf_dir))
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert "LeftSemi" not in plan, plan
+    assert "LeftAnti" not in plan, plan
+    # the l⨝o frame is persisted and read by both the stats aggregate
+    # and the late-lines side of the rejoin
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # per-supplier any-late + per-order counts, each partial+final
+    assert plan.count("HashAggregate") >= 4, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -997,3 +1006,41 @@ def test_rekeyed_serve_no_single_task_window(spark, sf_dir):
             raise AssertionError(
                 f"unpartitioned data-sized window in rekeyed serve: {spec}"
             )
+
+
+def _formatted_plan_of(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "global_sort_prices",
+        "customer_rfm_segments",
+        "parts_abc_analysis",
+        "q3_shipping_priority",
+        "q10_returned_items",
+    ],
+)
+def test_no_one_task_window_over_data_frame(spark, sf_dir, name):
+    """VERDICT r13 item 2 (the greppable recurrence rule): none of the
+    five rewritten global-rank queries may plan a Window whose input
+    exchange is SinglePartition over a data-proportional frame. The
+    detector (tools/plan_audit.py, also run registry-wide each round —
+    PLAN_AUDIT_r14.json) treats limit-type ops and the two-pass
+    substrate's _pid-keyed counts aggregates (n_parts rows, constant in
+    the data) as bounding; per-entity aggregates are NOT bounding —
+    they grow with the data and are exactly the frames r13 flagged."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import unbounded_single_partition_windows
+
+    plan = _formatted_plan_of(QUERIES[name].fn(spark, sf_dir))
+    assert unbounded_single_partition_windows(plan) == [], plan[:2000]

