@@ -566,19 +566,27 @@ def vocab_build(
     still maps somewhere.
 
     Scale shape: one explode + one (term) hash-agg (map-side combined);
-    the id assignment is a row_number over a GLOBAL order — a
-    single-partition window, fine because its input is the aggregated
-    vocab (millions of rows), never the token stream. Ties break on the
-    term string, so ids are deterministic cross-engine."""
+    the id assignment is the two-pass range-partitioned
+    :func:`~..ops.sorts.global_row_number` over (count DESC, term ASC)
+    — r14: the previous unpartitioned row_number window funneled the
+    whole aggregated vocab (Heaps-law growth, ~10^7+ types at web
+    scale) through ONE task; identical ids, since the order is total
+    and desc = NULLS LAST in both forms. Ties break on the term
+    string, so ids are deterministic cross-engine."""
+    from ..ops.sorts import global_row_number
+
     toks = df.select(F.explode(tokens(text_col)).alias("term")).filter(
         F.col("term") != ""
     )
     counts = toks.groupBy("term").agg(F.count("*").alias("c"))
     kept = counts.filter(F.col("c") >= min_count)
-    w = Window.orderBy(F.col("c").desc(), F.col("term"))
-    ranked = kept.select(
-        "term", "c", F.row_number().over(w).cast("bigint").alias("term_id")
-    )
+    ranked = global_row_number(
+        kept,
+        order=["c", "term"],
+        directions=["desc", "asc"],
+        alias="_vb_rn",
+        persist_key="vocab_build_rank",
+    ).select("term", "c", F.col("_vb_rn").cast("bigint").alias("term_id"))
     oov = (
         counts.filter(F.col("c") < min_count)
         .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("c"))

@@ -3717,10 +3717,20 @@ def q_text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tf.agg(
         F.sum("c").cast("long").alias("total"), F.count("*").alias("vocab_size")
     )
+    # r14: only ranks <= max(marks) ever reach the output — rows with
+    # rk > 10000 are dropped by every when(rk <= top_n) — so the frame
+    # entering the rank/cumsum windows is bounded FIRST with a top-k by
+    # the same (c DESC, term) total order (TakeOrderedAndProject, per-
+    # partition top-k + driver merge). The windows then run over
+    # <= 10000 rows — constant in the corpus size — instead of
+    # single-tasking the whole Heaps-law vocab histogram; identical
+    # output by construction (the limit keeps exactly the rows whose
+    # rk the full-frame window would have kept).
+    head = tf.orderBy(F.col("c").desc(), "term").limit(10000)
     w = Window.orderBy(F.col("c").desc(), "term").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = tf.select(
+    cum = head.select(
         F.row_number().over(Window.orderBy(F.col("c").desc(), "term")).alias("rk"),
         F.sum("c").over(w).alias("cumtok"),
     )
