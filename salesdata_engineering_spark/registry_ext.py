@@ -5698,17 +5698,31 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|Q| x k rows.",
 )
 def q_sim_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.caching import swap_persist
+
     emb = _embs_nn_uniq(spark, sf_dir)
     # dedup by row for the same bug-class-9 reason as sim_ann_recall_eval
     corpus = emb.withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     ).distinct()
     qs = _queries_subset(corpus)
-    lsh = lsh_ann_topk(
-        corpus, qs, k=5, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
-    ).select("query_id", F.col("neighbor_id").alias("vec_id"), "rk")
-    quant = quantized_topk(corpus, qs, k=5, m=20, dim=_DIM).select(
-        "query_id", F.col("neighbor_id").alias("vec_id"), "rk"
+    # r14: each ranker's |Q|·k output (50 rows) feeds TWO consumers —
+    # the rrf union AND its recall join — differently-shaped subtrees
+    # Catalyst cannot share, so without a persist the whole ranker
+    # pipeline (LSH bucket join resp. quantized scan + re-rank over the
+    # corpus) executed TWICE (guide §5: reuse beats recompute when the
+    # recompute is a corpus-sized pass and the cached frame is 50 rows)
+    lsh = swap_persist(
+        "rrf_lsh_topk",
+        lsh_ann_topk(
+            corpus, qs, k=5, n_tables=_N_TABLES, bits=_BITS, dim=_DIM
+        ).select("query_id", F.col("neighbor_id").alias("vec_id"), "rk"),
+    )
+    quant = swap_persist(
+        "rrf_quant_topk",
+        quantized_topk(corpus, qs, k=5, m=20, dim=_DIM).select(
+            "query_id", F.col("neighbor_id").alias("vec_id"), "rk"
+        ),
     )
     both = lsh.unionByName(quant)
     rrf = both.groupBy("query_id", "vec_id").agg(

@@ -224,10 +224,11 @@ def _update_latest(
         if len(pdf) == 0:
             continue
         ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
-        # float64, not int64: a NULL event_id (nullkeys axis) must
-        # survive as NaN and lose the pick — astype('int64') raises on
-        # missing values, killing the whole stream
-        seq = pdf["event_id"].astype("float64")
+        # nullable Int64, not float64 (ADVICE r13): NULLs survive as
+        # pd.NA and lose the pick via na_position, while bigint ids
+        # above 2^53 keep exact values — float64 rounded them, which
+        # could pick the wrong last-writer or corrupt the stored seq
+        seq = pdf["event_id"].astype("Int64")
         # payload columns are the FINAL tie-breaks (duplicate change
         # rows whose copies differ only in NULL pattern otherwise tie,
         # and the stable sort would pick by arrival order);
