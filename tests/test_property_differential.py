@@ -397,3 +397,59 @@ def test_band_join_bucket_explode_is_lossless(spark):
     got = {(r.ida, r.idb) for r in banded.collect()}
     want = {(r.ida, r.idb) for r in naive.collect()}
     assert got == want
+
+
+def test_global_helpers_desc_directions_equal_naive_windows(spark):
+    """r14: the substrate's positional ``directions`` support (added for
+    the five 1-task-window swaps) must reproduce the naive DESC-keyed
+    windows exactly — desc maps to desc_nulls_last, which is BOTH
+    Spark's .desc() default and the oracle's, so the assignments must
+    be bit-equal on any total order, uneven tiles included."""
+    from pyspark.sql import Window
+
+    from salesdata_engineering_spark.ops.sorts import (
+        global_cumsum,
+        global_ntile,
+        global_row_number,
+    )
+
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(499),  # prime: uneven tile splits
+            "v": rng.integers(0, 200, 499),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = Window.orderBy(F.col("v").desc(), "k")
+    naive_rn = {
+        r.k: r.rn for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    got_rn = {
+        r.k: r.rn
+        for r in global_row_number(
+            df, ["v", "k"], directions=["desc", "asc"], persist_key="gdir_rn"
+        ).collect()
+    }
+    assert got_rn == naive_rn
+    naive_t = {
+        r.k: r.t for r in df.select("k", F.ntile(5).over(w).alias("t")).collect()
+    }
+    got_t = {
+        r.k: r.tile
+        for r in global_ntile(
+            df, ["v", "k"], 5, directions=["desc", "asc"], persist_key="gdir_nt"
+        ).collect()
+    }
+    assert got_t == naive_t
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    naive_c = {
+        r.k: r.c for r in df.select("k", F.sum("v").over(wc).alias("c")).collect()
+    }
+    got_c = {
+        r.k: r.cum
+        for r in global_cumsum(
+            df, ["v", "k"], "v", directions=["desc", "asc"], persist_key="gdir_cs"
+        ).collect()
+    }
+    assert got_c == naive_c
