@@ -54,17 +54,48 @@ def run_full_pipeline(
         smart = sales_team_mart(sales).withColumn(
             "sales_month_p", F.col("sales_month")
         )
-        write_parquet_partitioned(
-            cmart.withColumn("sales_month_p", F.col("sales_month")),
-            f"{out_dir}/customers_data_mart",
-            ["sales_month_p"],
-        )
-        write_parquet_partitioned(
-            smart, f"{out_dir}/sales_team_data_mart", ["sales_month_p", "store_id"]
-        )
-        c_rows = spark.read.parquet(f"{out_dir}/customers_data_mart").count()
-        s_rows = spark.read.parquet(f"{out_dir}/sales_team_data_mart").count()
+
+        def _cust_chain() -> int:
+            spark.sparkContext.setJobDescription("pipeline: customers mart")
+            write_parquet_partitioned(
+                cmart.withColumn("sales_month_p", F.col("sales_month")),
+                f"{out_dir}/customers_data_mart",
+                ["sales_month_p"],
+            )
+            return spark.read.parquet(f"{out_dir}/customers_data_mart").count()
+
+        def _sales_chain() -> int:
+            spark.sparkContext.setJobDescription("pipeline: sales team mart")
+            write_parquet_partitioned(
+                smart,
+                f"{out_dir}/sales_team_data_mart",
+                ["sales_month_p", "store_id"],
+            )
+            return spark.read.parquet(f"{out_dir}/sales_team_data_mart").count()
+
+        if persist:
+            # Materialize the shared fact ONCE, then run the two
+            # independent mart chains (write + count-back) CONCURRENTLY:
+            # the scheduler back-fills each partitioned write's straggler
+            # tail with the other chain's tasks instead of leaving the
+            # cluster idle between sequential actions. The up-front count
+            # exists because two concurrently-launched cold jobs would
+            # each compute the join pipeline before the cache fills; on
+            # the persisted frame it is one pass that the first mart
+            # aggregate previously paid anyway. (persist=False keeps the
+            # sequential shape: without the shared cache, concurrent
+            # chains would recompute the fact twice.)
+            sales.count()
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                c_fut = pool.submit(_cust_chain)
+                s_fut = pool.submit(_sales_chain)
+                c_rows, s_rows = c_fut.result(), s_fut.result()
+        else:
+            c_rows, s_rows = _cust_chain(), _sales_chain()
         return PipelineResult(c_rows, s_rows, out_dir)
     finally:
+        spark.sparkContext.setJobDescription(None)
         if persist:
             sales.unpersist()
