@@ -48,11 +48,19 @@ PINNED = [
 @pytest.fixture(scope="module")
 def shuffled_dir(tmp_path_factory) -> str:
     dst = str(tmp_path_factory.mktemp("sf_shuffled"))
-    subprocess.run(
+    # capture_output but surface the tool's stderr on failure: a bare
+    # check=True would bury the fixture-build error inside an opaque
+    # CalledProcessError (ADVICE r13)
+    proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_variant.py"),
          "shuffleorder", "--src", SF_DIR, "--dst", dst],
-        check=True, capture_output=True,
+        capture_output=True, text=True,
     )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"make_variant shuffleorder failed (rc={proc.returncode}):\n"
+            f"{proc.stderr}"
+        )
     return dst
 
 
