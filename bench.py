@@ -420,10 +420,17 @@ def _ann_serve_scaling(spark, sf_dir: str, runs: int) -> dict[str, float]:
     corpus = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", SF.col("embedding").cast("array<double>").alias("embedding")
     )
-    n = corpus.count()
+
+    # same deferred-sizing key as the sim_ivf_pq_index_serve headline
+    # query, so both resolve to ONE shared cached index (an explicit
+    # stride/corpus_count here would key a second, duplicate build)
+    def _sizing() -> dict:
+        n = corpus.count()
+        return {"stride": _ivf_stride(corpus, n), "corpus_count": n}
+
     idx = ensure_ivf_pq_index(
         spark, corpus, sf_dir, os.path.join(repo, ".data", "ann_index"),
-        stride=_ivf_stride(corpus, n), n_codes=64, corpus_count=n,
+        deferred_sizing=_sizing, n_codes=64,
     )
     out: dict[str, float] = {}
     for label, nq in (("q10", 10), ("q100", 100)):

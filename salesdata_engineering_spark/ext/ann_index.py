@@ -539,6 +539,7 @@ def ensure_ivf_pq_index(
     corpus: DataFrame,
     sf_dir: str,
     cache_root: str,
+    deferred_sizing=None,
     **build_kwargs,
 ) -> str:
     """Build-or-reuse: the persisted index for ``sf_dir``'s embeddings,
@@ -546,11 +547,25 @@ def ensure_ivf_pq_index(
     (one-time cost); every later call — across sessions — returns the
     published directory immediately.  The crash-safe ``.new`` swap in
     :func:`build_ivf_pq_index` makes a concurrent double-build benign:
-    both publish identical bits, last rename wins atomically."""
+    both publish identical bits, last rename wins atomically.
+
+    ``deferred_sizing`` (r14, guide §5 "the driver should do almost no
+    data work"): a thunk returning extra build kwargs that require
+    scanning the corpus (``{"stride": ..., "corpus_count": n}``), called
+    ONLY on a cache miss.  Without it the serve path paid a full
+    ``corpus.count()`` job per call just to reconstruct the cache key —
+    at 100 TB that is a corpus scan to look up a cache hit.  Keying on
+    the fingerprint alone is equally sound for those kwargs: the
+    fingerprint pins the corpus bytes, which pin N, which pins the
+    derived stride — one content, one key, one index."""
     key_src = corpus_fingerprint(sf_dir) + repr(sorted(build_kwargs.items()))
+    if deferred_sizing is not None:
+        key_src += ":derived-sizing"
     key = hashlib.md5(key_src.encode()).hexdigest()[:16]
     index_dir = os.path.join(cache_root, f"ivf_pq_{key}")
     if os.path.isdir(index_dir) and os.path.isdir(f"{index_dir}/codes"):
         return index_dir
+    if deferred_sizing is not None:
+        build_kwargs.update(deferred_sizing())
     os.makedirs(cache_root, exist_ok=True)
     return build_ivf_pq_index(spark, corpus, index_dir, **build_kwargs)

@@ -2526,14 +2526,23 @@ def q_sim_ivf_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _embs_nn(spark, sf_dir)
     corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    n = corpus.count()
     cache_root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".data", "ann_index",
     )
+
+    # r14: the corpus count (and the stride derived from it) moved
+    # behind ensure's deferred_sizing thunk — the fingerprint already
+    # pins the corpus content and therefore N/stride, so a cache-HIT
+    # serve issues ZERO pre-search jobs where it previously scanned the
+    # corpus once per call just to rebuild the cache key (guide §5; at
+    # 100 TB that count is a full corpus scan per serve).
+    def _sizing() -> dict:
+        n = corpus.count()
+        return {"stride": _ivf_stride(corpus, n), "corpus_count": n}
+
     idx = ensure_ivf_pq_index(
-        spark, corpus, sf_dir, cache_root,
-        stride=_ivf_stride(corpus, n), n_codes=64, corpus_count=n,
+        spark, corpus, sf_dir, cache_root, deferred_sizing=_sizing, n_codes=64,
     )
     return search_ivf_pq_index(
         spark, idx, corpus, _queries_subset(corpus),

@@ -71,6 +71,46 @@ def test_ensure_reuses_published_index(spark, sf_dir, corpus, tmp_path):
     assert idx3 != idx1
 
 
+def test_ensure_deferred_sizing_skips_corpus_scan_on_hit(
+    spark, sf_dir, corpus, tmp_path
+):
+    """The r14 serve fast path: with deferred_sizing, a cache HIT must
+    return without invoking the sizing thunk (i.e. without the
+    corpus.count() job the serve query previously paid per call), and
+    the derived-sizing key must resolve to ONE index across calls."""
+    root = str(tmp_path / "cache")
+
+    def sizing():
+        n = corpus.count()
+        return {"stride": _ivf_stride(corpus, n), "corpus_count": n}
+
+    idx1 = ensure_ivf_pq_index(
+        spark, corpus, sf_dir, root, deferred_sizing=sizing, n_codes=64
+    )
+    stamp = os.path.getmtime(os.path.join(idx1, "codes"))
+
+    def sizing_must_not_run():
+        raise AssertionError("sizing thunk invoked on a cache hit")
+
+    idx2 = ensure_ivf_pq_index(
+        spark, corpus, sf_dir, root,
+        deferred_sizing=sizing_must_not_run, n_codes=64,
+    )
+    assert idx2 == idx1
+    assert os.path.getmtime(os.path.join(idx1, "codes")) == stamp  # no rebuild
+    # the deferred-sizing index is bit-compatible with an explicit-kwargs
+    # build: same corpus, same geometry, identical serve results
+    n = corpus.count()
+    explicit = ensure_ivf_pq_index(
+        spark, corpus, sf_dir, root,
+        stride=_ivf_stride(corpus, n), n_codes=64, corpus_count=n,
+    )
+    q = _queries_subset(corpus)
+    got1 = search_ivf_pq_index(spark, idx1, corpus, q, k=5, m_cand=40, nprobe=4)
+    got2 = search_ivf_pq_index(spark, explicit, corpus, q, k=5, m_cand=40, nprobe=4)
+    assert _sorted_rows(got1) == _sorted_rows(got2)
+
+
 def test_fingerprint_tracks_file_metadata(sf_dir, tmp_path):
     fp1 = corpus_fingerprint(sf_dir)
     assert fp1 == corpus_fingerprint(sf_dir)  # stable
