@@ -1873,13 +1873,16 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs_nn_uniq(spark, sf_dir)
-    # the eval is keyed by vec_id: dedup input rows so a duplicated id
-    # contributes one candidate, not rank-tied copies that would eat
-    # top-5 slots (bug class 9); the evals run on samples, so the
-    # distinct shuffle is bounded by the eval corpus, not production
-    corpus = emb.withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    ).distinct()
+    # the eval is keyed by vec_id: duplicated input rows must contribute
+    # one candidate, not rank-tied copies that would eat top-5 slots
+    # (bug class 9) — _embs_nn_uniq already guarantees exactly that
+    # (DISTINCT (vec_id, embedding) members, hash-probe fast path on
+    # contract data), and float→double widening is injective, so a
+    # second post-cast .distinct() was a semantic no-op that re-added
+    # the payload shuffle the r13b fast path exists to skip — once per
+    # consumer subtree (r14, guide §2.4 "a distinct on data that is
+    # already unique")
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     qs = _queries_subset(corpus)
     exact = cosine_topk(corpus, qs, k=5).select("query_id", "neighbor_id")
     approx = lsh_ann_topk(
@@ -4667,10 +4670,10 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs_nn_uniq(spark, sf_dir)
-    # dedup by row for the same bug-class-9 reason as sim_ann_recall_eval
-    corpus = emb.withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    ).distinct()
+    # row-dedup is _embs_nn_uniq's contract (see sim_ann_recall_eval:
+    # the post-cast .distinct() was a semantic no-op re-adding the
+    # payload shuffle per consumer subtree — removed r14)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     qs = _queries_subset(corpus)
     exact = cosine_topk(corpus, qs, k=5).select(
         "query_id", "neighbor_id", F.col("rk").alias("erk")
@@ -5710,10 +5713,11 @@ def q_sim_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.caching import swap_persist
 
     emb = _embs_nn_uniq(spark, sf_dir)
-    # dedup by row for the same bug-class-9 reason as sim_ann_recall_eval
-    corpus = emb.withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    ).distinct()
+    # row-dedup is _embs_nn_uniq's contract (see sim_ann_recall_eval:
+    # the post-cast .distinct() was a semantic no-op re-adding the
+    # payload shuffle in EVERY one of this query's ~8 corpus subtrees —
+    # removed r14)
+    corpus = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     qs = _queries_subset(corpus)
     # r14: each ranker's |Q|·k output (50 rows) feeds TWO consumers —
     # the rrf union AND its recall join — differently-shaped subtrees
