@@ -226,6 +226,19 @@ def classify_coload(
     }
 
 
+#: Queries whose >6x sf1 ratio is a DOCUMENTED linear design, not a
+#: scale bug: the superlinear gate reports them as annotated
+#: adjudications instead of bare suspects (VERDICT r14 item 5 — a gate
+#: that cries wolf on the known case is half a gate). sim_pq_adc_topk
+#: is the r6 flat-ADC baseline the IVF composition exists to beat: it
+#: scans EVERY code row per query by design, so its base->sf1 ratio is
+#: honestly ~linear (~6-7 after the sublinear fixed costs wash out).
+SUPERLINEAR_DOCUMENTED = {
+    "sim_pq_adc_topk": "deliberately-linear flat ADC baseline (r6): scans "
+    "all corpus codes per query by design; the IVF-gated variants are the "
+    "scale path",
+}
+
 #: The driver retains only ~2 KB of stdout and parses the record out of
 #: the tail; round 6 lost its entire official headline when the line
 #: outgrew it. Keep a safety margin under the observed 2000 bytes.
@@ -349,6 +362,215 @@ def run_ab(spark, sf_dir: str, names: list[str], rounds: int) -> None:
     )
 
 
+class _AbRefWorker:
+    """One side of the interleaved pinned-ref A/B: a subprocess running
+    tools/abref_worker.py against ``engine_root``, commands strictly
+    serialized by the parent (only one Spark job in flight, ever)."""
+
+    def __init__(self, engine_root: str, worker_script: str, log_path: str):
+        import subprocess
+
+        self.root = engine_root
+        self._log = open(log_path, "w")
+        self.proc = subprocess.Popen(
+            [sys.executable, worker_script, engine_root],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=self._log,
+            text=True,
+        )
+        self.hello = self._read()
+
+    def _read(self) -> dict:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(
+                    f"abref worker for {self.root} died (see its stderr log)"
+                )
+            if line.startswith("ABREF "):
+                return json.loads(line[len("ABREF "):])
+
+    def send(self, obj: dict) -> dict:
+        self.proc.stdin.write(json.dumps(obj, separators=(",", ":")) + "\n")
+        self.proc.stdin.flush()
+        return self._read()
+
+    def close(self) -> None:
+        try:
+            self.send({"op": "quit"})
+        except Exception:
+            pass
+        try:
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+        self._log.close()
+
+
+def _abref_worktree(repo: str, ref: str) -> str:
+    """Materialize (or reuse) a detached git worktree of ``ref`` under
+    .data/ — the pinned previous-round engine the A/B compares against."""
+    import subprocess
+
+    sha = subprocess.check_output(
+        ["git", "rev-parse", ref], cwd=repo, text=True
+    ).strip()
+    wt = os.path.join(repo, ".data", f"abref_{sha[:12]}")
+    if not os.path.isdir(os.path.join(wt, "salesdata_engineering_spark")):
+        subprocess.check_call(
+            ["git", "worktree", "add", "--detach", "--force", wt, sha], cwd=repo
+        )
+    return wt
+
+
+def run_ab_ref(
+    ref: str, names: list[str], rounds: int, sf_dirs: list[str]
+) -> None:
+    """Contamination-immune round-over-round instrument (VERDICT r14
+    item 1): interleave THIS tree against a worktree pinned at ``ref``
+    in one schedule — two long-lived worker subprocesses (one
+    SparkSession each; the parent serializes commands so only one runs
+    at a time), alternating HEAD/ref per query with the leading side
+    flipped every round (ABBA). Each HEAD sample is seconds — not
+    minutes — from its paired ref sample, so slow-varying co-load hits
+    both sides equally and DIFFERENCES OUT of the per-query ratios by
+    construction; the five contaminated publish attempts of r14 are the
+    failure mode this replaces. One untimed warmup per (side, query,
+    sf_dir) amortizes codegen/FS caches exactly like the main bench.
+
+    Prints ONE JSON line (per-query medians/mins + speedup_vs_ref =
+    ref_median / head_median) and writes the full per-sample record to
+    ABREF_DETAIL.json. Missing-in-ref queries are recorded, not fatal.
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    worker_script = os.path.join(repo, "tools", "abref_worker.py")
+    wt = _abref_worktree(repo, ref)
+    os.makedirs(os.path.join(repo, ".data"), exist_ok=True)
+    workers = {
+        "head": _AbRefWorker(
+            repo, worker_script, os.path.join(repo, ".data", "abref_head.err")
+        ),
+        "ref": _AbRefWorker(
+            wt, worker_script, os.path.join(repo, ".data", "abref_ref.err")
+        ),
+    }
+    record: dict = {
+        "metric": "ab_ref_interleaved",
+        "unit": "sec",
+        "ref": ref,
+        "ref_root": wt,
+        "rounds": rounds,
+        "order": "per-query HEAD/ref alternation, leading side flips per round",
+        "sections": {},
+    }
+    try:
+        for sf_dir in sf_dirs:
+            # probe BOTH workers: the samples double as the co-load
+            # record and as symmetric JVM warmup (a calib-warmed head
+            # JVM vs a cold ref JVM read as a phantom head win in
+            # smoke testing)
+            calib0 = {
+                s: workers[s].send({"op": "calib"}) for s in ("head", "ref")
+            }
+            samples: dict[str, dict[str, list[float]]] = {
+                n: {"head": [], "ref": []} for n in names
+            }
+            issues: list[dict] = []
+            for n in names:  # one untimed warmup per side
+                for side in ("head", "ref"):
+                    r = workers[side].send(
+                        {"op": "run", "query": n, "sf_dir": sf_dir}
+                    )
+                    if "sec" not in r:
+                        issues.append({"query": n, "side": side, **r})
+            for i in range(rounds):
+                for j, n in enumerate(names):
+                    # the TRAILING side of each pair rides caches its twin
+                    # just warmed (the null run measured a ~4% median bias
+                    # toward whichever side consistently trailed), so the
+                    # leading side flips per (round, query) parity rather
+                    # than per round alone
+                    sides = (
+                        ("head", "ref") if (i + j) % 2 == 0 else ("ref", "head")
+                    )
+                    for side in sides:
+                        r = workers[side].send(
+                            {"op": "run", "query": n, "sf_dir": sf_dir}
+                        )
+                        if "sec" in r:
+                            samples[n][side].append(r["sec"])
+            calib1 = {
+                s: workers[s].send({"op": "calib"}) for s in ("head", "ref")
+            }
+            per_q = {}
+            for n in names:
+                h, rf = samples[n]["head"], samples[n]["ref"]
+                per_q[n] = {
+                    "head": {
+                        "median": round(statistics.median(h), 3) if h else None,
+                        "min": min(h) if h else None,
+                        "samples": h,
+                    },
+                    "ref": {
+                        "median": round(statistics.median(rf), 3) if rf else None,
+                        "min": min(rf) if rf else None,
+                        "samples": rf,
+                    },
+                }
+                if h and rf:
+                    per_q[n]["speedup_vs_ref"] = round(
+                        statistics.median(rf) / max(statistics.median(h), 1e-9), 3
+                    )
+                    per_q[n]["speedup_vs_ref_min"] = round(
+                        min(rf) / max(min(h), 1e-9), 3
+                    )
+                    # the most co-load-robust readout: each round's
+                    # head/ref samples ran SECONDS apart, so their ratio
+                    # is immune to anything slower-varying than a pair;
+                    # the median across rounds then drops pairs a spike
+                    # landed inside of (observed: a mid-run spike can
+                    # inflate one side of 2-3 pairs; the remaining clean
+                    # pairs agree to a few %)
+                    per_q[n]["speedup_vs_ref_pairs"] = round(
+                        statistics.median(
+                            r / max(hh, 1e-9)
+                            for hh, r in zip(h, rf)
+                        ),
+                        3,
+                    )
+            record["sections"][sf_dir] = {
+                "queries": per_q,
+                "issues": issues,
+                "env": {"calib_start": calib0, "calib_end": calib1},
+            }
+    finally:
+        for w in workers.values():
+            w.close()
+    try:
+        with open(os.path.join(repo, "ABREF_DETAIL.json"), "w") as fh:
+            json.dump(record, fh, indent=2)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"ABREF_DETAIL.json write failed: {exc}", file=sys.stderr)
+    # stdout: the one-line summary (per-query speedups only — the full
+    # samples live in ABREF_DETAIL.json); this mode is operator-invoked,
+    # never the driver's parsed record, so length is not budgeted
+    summary = {
+        "metric": "ab_ref_interleaved",
+        "ref": ref,
+        "rounds": rounds,
+        "sections": {
+            sf: {
+                n: q.get("speedup_vs_ref")
+                for n, q in sec["queries"].items()
+            }
+            for sf, sec in record["sections"].items()
+        },
+    }
+    print(json.dumps(summary, separators=(",", ":")))
+
+
 def _load_gen_module():
     """tools/gen_sf1.py as a module (shared by the sf1 and sf3 sections)."""
     import importlib.util
@@ -417,8 +639,19 @@ def _ann_serve_scaling(spark, sf_dir: str, runs: int) -> dict[str, float]:
     from salesdata_engineering_spark.registry_ext import _IVF_NPROBE, _ivf_stride
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    corpus = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
-        "vec_id", SF.col("embedding").cast("array<double>").alias("embedding")
+    # mirror the _embs_nn intake EXACTLY (NULL vec_id/embedding dropped
+    # before the cast): this probe shares the serve query's deferred-
+    # sizing cache key, so the two callers MUST pass identical corpora —
+    # on data containing NULL rows a raw-parquet corpus here would build
+    # a different index (different N/stride, NULL vectors) under the
+    # same key and whichever published first would silently serve the
+    # other (ADVICE r14, medium)
+    corpus = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(SF.col("vec_id").isNotNull() & SF.col("embedding").isNotNull())
+        .select(
+            "vec_id", SF.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
 
     # same deferred-sizing key as the sim_ivf_pq_index_serve headline
@@ -491,10 +724,47 @@ def main() -> None:
         default=5,
         help="timed passes per query in --ab mode (default 5)",
     )
+    ap.add_argument(
+        "--ab-ref",
+        default=None,
+        metavar="GIT_REF",
+        help="pinned-ref interleaved A/B (VERDICT r14 item 1): time the "
+        "given queries alternating between THIS tree and a worktree at "
+        "GIT_REF in one schedule, so co-load differences out; prints a "
+        "summary line and writes ABREF_DETAIL.json; skips every other "
+        "section",
+    )
+    ap.add_argument(
+        "--ab-ref-queries",
+        default=None,
+        metavar="Q1,Q2",
+        help="--ab-ref query list (default: the headline set)",
+    )
+    ap.add_argument(
+        "--ab-ref-sf-dirs",
+        default=None,
+        metavar="DIR1,DIR2",
+        help="--ab-ref data dirs (default: $SPARK_GRAFT_SF_DIR)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.ab_ref:
+        # no SparkSession in the parent: the two worker subprocesses own
+        # the (strictly serialized) sessions
+        if args.ab_ref_queries:
+            names = [n for n in args.ab_ref_queries.split(",") if n]
+        else:
+            names = [n for n in HEADLINE if n in QUERIES]
+            names += [n for n in QUERIES if n not in names and QUERIES[n].bench]
+        dirs = [
+            d for d in (args.ab_ref_sf_dirs or sf_dir).split(",") if d
+        ]
+        run_ab_ref(args.ab_ref, names, args.ab_rounds, dirs)
+        return
+
     spark = get_spark(app_name="salesdata-engine-bench")
 
     if args.ab:
@@ -666,10 +936,27 @@ def main() -> None:
                 # and scheduling-bound queries sit far below; a ratio
                 # above 6 on this box has only ever meant a composed-
                 # operator scale bug (r6: 13.46x) — flag it in the
-                # record itself instead of relying on a reader
+                # record itself instead of relying on a reader.
+                # Queries DOCUMENTED deliberately-linear are carried as
+                # annotated adjudications instead of bare suspects
+                # (VERDICT r14 item 5): sim_pq_adc_topk's ADC baseline
+                # scans every code row by design (r6), so its honest
+                # ratio sits ~6-7 and a bare alarm there would train
+                # readers to ignore the gate on the real cases.
                 "superlinear_suspects": sorted(
-                    n for n, r in ratios.items() if r > 6
+                    n
+                    for n, r in ratios.items()
+                    if r > 6 and n not in SUPERLINEAR_DOCUMENTED
                 ),
+                "superlinear_adjudicated": [
+                    {
+                        "query": n,
+                        "ratio": ratios[n],
+                        "adjudicated": SUPERLINEAR_DOCUMENTED[n],
+                    }
+                    for n in sorted(SUPERLINEAR_DOCUMENTED)
+                    if ratios.get(n, 0) > 6
+                ],
                 "spread": sf1_spread,
                 "timed_runs": sf1_runs,
                 "scale_vs_base": 10,
@@ -868,6 +1155,13 @@ def main() -> None:
             "superlinear_suspects": sf1_block.get("superlinear_suspects", []),
             "detail": "BENCH_LOCAL.json (committed idle run; this run: BENCH_DETAIL.json)",
         }
+        # documented-linear queries above the gate ride along annotated
+        # (VERDICT r14 item 5); omitted entirely when none fired so the
+        # stdout line's byte budget is untouched on clean runs
+        if sf1_block.get("superlinear_adjudicated"):
+            sf1_summary["superlinear_adjudicated"] = sf1_block[
+                "superlinear_adjudicated"
+            ]
     elif isinstance(sf1_block, dict):  # degraded: carry the error marker
         sf1_summary = {"error": sf1_block.get("error", "")[:120]}
 
