@@ -55,6 +55,7 @@ def get_spark(
         # inputs down to 1-2 tasks. At scale the 64 MiB advisory target
         # governs; this floor only binds on small/local data.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
